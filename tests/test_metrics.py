@@ -1,0 +1,100 @@
+"""Metric-engine parity: vs sklearn and vs the reference implementation."""
+import numpy as np
+import pytest
+
+from fvt_tpu import constants
+from fvt_tpu.train import metrics as M
+
+from conftest import add_reference_to_path
+
+
+def make_data(seed=0, n_videos=40, ncls=8, n=57):
+    rng = np.random.default_rng(seed)
+    data = {}
+    for i in range(n_videos):
+        data[f"v{i}"] = {
+            'labels': np.full((n,), rng.integers(0, ncls), dtype=np.int64),
+            'logits': rng.normal(size=(n, ncls)).astype(np.float32),
+        }
+    return data
+
+
+@pytest.mark.parametrize('ignore_class', [None, 7])
+def test_f1_acc_confusion_vs_sklearn(ignore_class):
+    from sklearn.metrics import f1_score, confusion_matrix
+    data = make_data(3)
+    preds, trgs = M.format_trg_pred_frames(data, ignore_class=ignore_class)
+
+    f1_per, macro = M.compute_f1_score(trgs, preds, constants.MACRO_F1)
+    np.testing.assert_allclose(f1_per, f1_score(trgs, preds, average=None),
+                               atol=1e-12)
+    assert abs(macro - np.mean(f1_score(trgs, preds, average=None))) < 1e-12
+
+    _, wf1 = M.compute_f1_score(trgs, preds, constants.W_F1)
+    assert abs(wf1 - f1_score(trgs, preds, average='weighted')) < 1e-12
+
+    acc = M.compute_class_acc(trgs, preds)
+    assert abs(acc - 100.0 * np.mean(np.array(trgs) == np.array(preds))) \
+        < 1e-4
+
+    cm = M.compute_confusion_matrix(trgs, preds)
+    np.testing.assert_allclose(
+        cm, confusion_matrix(trgs, preds, normalize='true'), atol=1e-12)
+
+
+@pytest.mark.parametrize('ignore_class', [None, 7])
+def test_formatting_vs_reference(ignore_class):
+    add_reference_to_path()
+    import metrics as ref_metrics  # /root/reference/metrics.py
+
+    data = make_data(11)
+    got_p, got_t = M.format_trg_pred_frames(data, ignore_class=ignore_class)
+    ref_p, ref_t = ref_metrics.format_trg_pred_frames(
+        data, ignore_class=ignore_class)
+    assert got_p == ref_p and got_t == ref_t
+
+    got_p, got_t = M.format_trg_pred_video(data, ignore_class=ignore_class)
+    ref_p, ref_t = ref_metrics.format_trg_pred_video(
+        data, ignore_class=ignore_class)
+    assert got_t == ref_t
+    assert got_p == ref_p  # includes the Counter tie-break rule
+
+
+def test_compute_perf_structure_and_tracker():
+    data = make_data(5, n_videos=20)
+    perf = M.compute_perf(data, constants.C_EXPR_DB, use_other_class=True)
+    assert set(perf.keys()) == {None, 7}
+    node = perf[None][constants.W_F1][constants.FRAME_LEVEL]
+    assert 0.0 <= node['master'] <= 1.0
+    vnode = perf[7][constants.MACRO_F1][constants.VIDEO_LEVEL]
+    assert set(vnode.keys()) == set(constants.VIDEO_PREDS)
+
+    trackers = M.build_trackers(constants.C_EXPR_DB, use_other_class=True)
+    assert set(trackers.keys()) == {None, 7}
+    t = trackers[None]
+    t.append(perf)
+    assert t.is_last_best and t.best_value_idx == 0
+    # strictly worse second epoch
+    perf2 = {ic: perf[ic] for ic in perf}
+    import copy
+    perf2 = copy.deepcopy(perf)
+    perf2[None][constants.W_F1][constants.FRAME_LEVEL]['master'] -= 1.0
+    t.append(perf2)
+    assert not t.is_last_best
+    # ties count as new best (reference uses >=, metrics.py:410)
+    perf3 = copy.deepcopy(perf)
+    t.append(perf3)
+    assert t.is_last_best and t.best_value_idx == 2
+
+    report = t.report(perf, {i: f"c{i}" for i in range(8)})
+    assert 'Master:' in report
+
+
+def test_meld_trackers():
+    trackers = M.build_trackers(constants.MELD, use_other_class=False)
+    assert set(trackers.keys()) == set(constants.VIDEO_PREDS)
+    data = make_data(7, n_videos=15, ncls=7)
+    perf = M.compute_perf(data, constants.MELD, use_other_class=False)
+    for t in trackers.values():
+        t.append(perf)
+        assert t.best_value is not None

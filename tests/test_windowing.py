@@ -1,0 +1,84 @@
+"""Windowing / stitch parity with the reference index math."""
+import numpy as np
+import pytest
+
+from fvt_tpu.data import windowing as W
+
+
+def ref_windowing(x, window_length, hop_length, strict_greater=True):
+    """Reference rule (base/dataset.py:434-453 / trainer.py:894-912),
+    re-derived here as an independent oracle."""
+    _length = len(x)
+    cond = _length > window_length if strict_greater \
+        else _length >= window_length
+    if cond:
+        steps = (_length - window_length) // hop_length + 1
+        sampled = [x[i * hop_length:i * hop_length + window_length]
+                   for i in range(steps)]
+        if sampled[-1][-1] < _length - 1:
+            sampled.append(x[-window_length:])
+    else:
+        sampled = [x]
+    return sampled
+
+
+@pytest.mark.parametrize('length', [1, 5, 299, 300, 301, 499, 500, 501,
+                                    700, 899, 900, 1234, 4321])
+@pytest.mark.parametrize('win,hop', [(300, 200), (300, 300), (10, 3)])
+def test_windowing_matches_reference(length, win, hop):
+    x = np.arange(length)
+    got = W.windowing(x, win, hop)
+    want = ref_windowing(x, win, hop)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_window_index_matrix_matches_lists():
+    length, win, hop = 1234, 300, 200
+    mat = W.window_index_matrix(length, win, hop)
+    lists = W.windowing(np.arange(length), win, hop)
+    assert mat.shape == (len(lists), win)
+    for row, lst in zip(mat, lists):
+        np.testing.assert_array_equal(row, lst)
+
+
+def test_stitch_equals_counter_average():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    length, win, hop, ncls = 750, 300, 200, 7
+    mat = W.window_index_matrix(length, win, hop)
+    outs = rng.normal(size=(mat.shape[0], win, ncls)).astype(np.float32)
+
+    # oracle: scatter-add then divide by visit counts (trainer.py:870-890)
+    final = np.zeros((length, ncls), dtype=np.float32)
+    counts = np.zeros((length,), dtype=np.float32)
+    for w_out, w_idx in zip(outs, mat):
+        final[w_idx] += w_out
+        counts[w_idx] += 1.0
+    final /= counts[:, None]
+
+    got = np.asarray(W.stitch_windows(jnp.asarray(outs), jnp.asarray(mat),
+                                      length))
+    np.testing.assert_allclose(got, final, rtol=1e-5, atol=1e-5)
+
+    # masked variant with padded window axis agrees
+    pm, mask = W.pad_index_matrix(mat, mat.shape[0] + 3)
+    outs_p = np.concatenate(
+        [outs, rng.normal(size=(3, win, ncls)).astype(np.float32)])
+    got_m = np.asarray(W.stitch_windows_masked(
+        jnp.asarray(outs_p), jnp.asarray(pm), jnp.asarray(mask), length))
+    np.testing.assert_allclose(got_m, final, rtol=1e-5, atol=1e-5)
+
+
+def test_pad_short_window_indices():
+    idx = W.pad_short_window_indices(4, 7)
+    np.testing.assert_array_equal(idx, [0, 1, 2, 3, 3, 3, 3])
+
+
+def test_overlap_counts():
+    c = W.overlap_counts(500, 300, 200)
+    assert c.shape == (500,)
+    # windows: [0,300), [200,500) -> overlap on [200,300)
+    assert (c[:200] == 1).all() and (c[200:300] == 2).all() \
+        and (c[300:] == 1).all()
