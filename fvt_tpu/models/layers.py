@@ -1,0 +1,225 @@
+"""Shared flax building blocks with torch-compatible semantics.
+
+These layers reproduce the numerical behavior of the reference's torch
+modules (so ported weights give identical outputs) while using TPU-friendly
+layouts: activations are kept feature-last ``(B, T, C)`` end-to-end and
+conv kernels are stored ``(K, C_in, C_out)`` for
+``lax.conv_general_dilated`` with NWC/WIO dimension numbers.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+# ------------------------------------------------------------------ inits
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default: kaiming-uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    shape is flax layout (in_features, out_features).
+    """
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init_from_fan_in(fan_in: int) -> Callable:
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def xavier_uniform_gain(gain: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        # flax dense/conv kernels: (..., in, out); xavier uses the last two
+        fan_in = math.prod(shape[:-1])
+        fan_out = shape[-1]
+        a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, -a, a)
+
+    return init
+
+
+class TorchLinear(nn.Module):
+    """nn.Dense with torch's default init (matters for from-scratch runs)."""
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel_init = self.kernel_init or torch_linear_kernel_init
+        dense = nn.Dense(self.features, use_bias=self.use_bias,
+                         kernel_init=kernel_init,
+                         bias_init=torch_bias_init_from_fan_in(in_features),
+                         name='dense')
+        return dense(x)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm over all-but-last axis; torch eps/momentum defaults.
+
+    Equivalent to torch BatchNorm1d applied per-channel over (B, T) when the
+    input is (B, T, C).  ``use_running_average=True`` for eval.
+    """
+    use_running_average: bool = False
+    momentum_torch: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        bn = nn.BatchNorm(use_running_average=self.use_running_average,
+                          momentum=1.0 - self.momentum_torch,
+                          epsilon=self.eps,
+                          use_bias=True, use_scale=True, name='bn')
+        return bn(x)
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(C), init 0.25), feature-last."""
+    channels: int
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            'alpha', lambda key, shape: jnp.full(shape, self.init_value),
+            (self.channels,))
+        return jnp.where(x >= 0, x, x * alpha)
+
+
+class CausalWeightNormConv1d(nn.Module):
+    """Causal dilated conv1d with weight normalisation.
+
+    Reference semantics: pad both sides by ``(k-1)*dilation`` then chomp the
+    right (temporal_convolutional_model.py:12-37) == left-pad only + VALID.
+    Weight norm over (K, C_in) per output channel (torch dim=0 on OIW).
+    Input/output: (B, T, C) feature-last.
+    """
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        k = self.kernel_size
+
+        def v_init(key, shape, dtype=jnp.float32):
+            # torch conv default kaiming-uniform(a=sqrt(5)) on fan_in=C_in*K
+            fan_in = shape[0] * shape[1]
+            bound = 1.0 / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        v = self.param('v', v_init, (k, in_features, self.features))
+        g = self.param(
+            'g',
+            lambda key, shape: jnp.linalg.norm(
+                v.reshape(-1, self.features), axis=0),
+            (self.features,))
+
+        norm = jnp.sqrt(
+            jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True) + 0.0)
+        kernel = v * (g[None, None, :] / jnp.maximum(norm, 1e-12))
+
+        pad = (k - 1) * self.dilation
+        y = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(1,),
+            padding=[(pad, 0)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=('NWC', 'WIO', 'NWC'))
+        if self.use_bias:
+            fan_in = in_features * k
+            b = self.param('bias', torch_bias_init_from_fan_in(fan_in),
+                           (self.features,))
+            y = y + b
+        return y
+
+
+class Conv1d1x1(nn.Module):
+    """Pointwise conv1d (the TCN residual downsample), feature-last."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return TorchLinear(self.features, name='proj')(x)
+
+
+def scaled_dot_product(q, k, v):
+    """softmax(q k^T / sqrt(d)) v over the last two axes
+    (reference models/transformer.py:11-19)."""
+    d_k = q.shape[-1]
+    attn_logits = jnp.einsum('...qd,...kd->...qk', q, k) / math.sqrt(d_k)
+    attention = jax.nn.softmax(attn_logits, axis=-1)
+    values = jnp.einsum('...qk,...kd->...qd', attention, v)
+    return values, attention
+
+
+class TorchMultiheadAttention(nn.Module):
+    """Equivalent of torch nn.MultiheadAttention (self- or cross-attention).
+
+    Packed qkv projection (in_proj (E, 3E) kernel = torch in_proj_weight^T),
+    identical head split and scaling.  Inputs are (B, L, E) batch-first;
+    an optional boolean mask (B, L_k) marks VALID key positions.
+    """
+    embed_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, query, key, value, key_valid_mask=None):
+        e, h = self.embed_dim, self.num_heads
+        assert e % h == 0
+        hd = e // h
+
+        in_proj = self.param('in_proj_kernel', xavier_uniform_gain(1.0),
+                             (e, 3 * e))
+        in_bias = self.param('in_proj_bias', nn.initializers.zeros, (3 * e,))
+
+        q = query @ in_proj[:, :e] + in_bias[:e]
+        k = key @ in_proj[:, e:2 * e] + in_bias[e:2 * e]
+        v = value @ in_proj[:, 2 * e:] + in_bias[2 * e:]
+
+        def split(x):  # (B, L, E) -> (B, H, L, hd)
+            b, l, _ = x.shape
+            return x.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) / math.sqrt(hd)
+        if key_valid_mask is not None:
+            neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(key_valid_mask[:, None, None, :], logits, neg)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum('bhqk,bhkd->bhqd', attn, v)
+        b, _, l, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, e)
+
+        out = TorchLinear(e, name='out_proj',
+                          kernel_init=xavier_uniform_gain(1.0))(out)
+        return out
+
+
+class PositionalEncoding(nn.Module):
+    """Sin/cos positional encoding (transformer.py:22-47)."""
+    d_model: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x):
+        position = jnp.arange(self.max_len, dtype=jnp.float32)[:, None]
+        div_term = jnp.exp(
+            jnp.arange(0, self.d_model, 2, dtype=jnp.float32)
+            * (-math.log(10000.0) / self.d_model))
+        pe = jnp.zeros((self.max_len, self.d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+        pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+        return x + pe[None, :x.shape[1]]

@@ -6,11 +6,17 @@ exercised without TPU hardware.  Must be set before jax is imported.
 import os
 import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402  (before any other module pulls in jax)
+
+# the session may be launched with JAX_PLATFORMS=axon baked in; the config
+# knob wins over the env var regardless of import order
+jax.config.update('jax_platforms', 'cpu')
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

@@ -1,0 +1,84 @@
+"""TPU-design properties: fixed-shape padded eval must match ragged eval.
+
+LFAN/CAN are frame-causal/frame-local, so right-padding the timeline must
+not change the valid prefix.  JMT/MT attend over time, so a key-padding
+mask must make the padded forward equal the unpadded one.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fvt_tpu import constants
+from fvt_tpu.models.models import LFAN, CAN, JMT
+
+RNG = np.random.default_rng(0)
+
+
+def _inputs(B, T):
+    return {'vggish': RNG.normal(size=(B, T, 128)).astype(np.float32),
+            'bert': RNG.normal(size=(B, T, 768)).astype(np.float32)}
+
+
+def _pad(x, T_pad):
+    pad = T_pad - x.shape[1]
+    return np.concatenate(
+        [x, np.zeros((x.shape[0], pad) + x.shape[2:], x.dtype)], axis=1)
+
+
+def test_lfan_right_padding_is_exact():
+    model = LFAN(modality=('vggish', 'bert'), output_dim=7)
+    x = _inputs(2, 40)
+    variables = model.init(jax.random.key(0),
+                           jax.tree.map(jnp.asarray, x), train=False)
+    out = model.apply(variables, jax.tree.map(jnp.asarray, x), train=False)
+    xp = {k: jnp.asarray(_pad(v, 64)) for k, v in x.items()}
+    out_p = model.apply(variables, xp, train=False)
+    np.testing.assert_allclose(np.asarray(out_p[:, :40]), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_can_right_padding_is_exact():
+    model = CAN(modality=('vggish', 'bert'), output_dim=7)
+    x = _inputs(2, 40)
+    variables = model.init(jax.random.key(0),
+                           jax.tree.map(jnp.asarray, x), train=False)
+    out = model.apply(variables, jax.tree.map(jnp.asarray, x), train=False)
+    xp = {k: jnp.asarray(_pad(v, 64)) for k, v in x.items()}
+    out_p = model.apply(variables, xp, train=False)
+    np.testing.assert_allclose(np.asarray(out_p[:, :40]), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_jmt_time_mask_matches_unpadded():
+    B, T, T_pad = 1, 40, 64
+    x = {'video': RNG.normal(size=(B, T, 512)).astype(np.float32),
+         'vggish': RNG.normal(size=(B, T, 128)).astype(np.float32)}
+    model = JMT(modality=('video', 'vggish'), output_dim=7,
+                model_name=constants.MT)
+    variables = model.init(jax.random.key(0),
+                           jax.tree.map(jnp.asarray, x), train=False)
+    out = model.apply(variables, jax.tree.map(jnp.asarray, x), train=False)
+
+    xp = {k: jnp.asarray(_pad(v, T_pad)) for k, v in x.items()}
+    mask = jnp.arange(T_pad)[None, :] < T
+    out_p = model.apply(variables, xp, train=False, time_mask=mask)
+    np.testing.assert_allclose(np.asarray(out_p[:, :T]), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_train_mode_runs_with_dropout_and_batchstats():
+    model = LFAN(modality=('vggish', 'bert'), output_dim=7)
+    x = jax.tree.map(jnp.asarray, _inputs(2, 32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out, mutated = model.apply(
+        variables, x, train=True,
+        rngs={'dropout': jax.random.key(1)},
+        mutable=['batch_stats'])
+    assert out.shape == (2, 32, 7)
+    assert 'batch_stats' in mutated
+    # dropout actually fires: two different keys -> different outputs
+    out2, _ = model.apply(
+        variables, x, train=True,
+        rngs={'dropout': jax.random.key(2)},
+        mutable=['batch_stats'])
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
