@@ -1,0 +1,107 @@
+"""Per-dataset default config (tier 1 of 3).
+
+Port of /root/reference/default_config.py:35-142 minus the hostname-env
+coupling: dataset/folds paths are plain config keys overridable from the
+CLI (tier 2), and every run snapshots its merged config to
+``<outd>/config.yml`` (tier 3) which EVALUATION mode reloads verbatim.
+"""
+from __future__ import annotations
+
+import os
+from os.path import join
+from types import SimpleNamespace
+
+from fvt_tpu import constants
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def get_config(ds: str) -> dict:
+    assert ds in constants.DATASETS, ds
+    return {
+        'dataset_name': ds,
+        'num_classes': constants.NUM_CLASSES[ds],
+        'task': constants.DS_TASK[ds],
+        'train_p': 100.,
+        'valid_p': 100.,
+        'test_p': 100.,
+
+        'outd': '',
+        'exp_id': '123456',
+        't0': 'STARTING_TIME',
+        'tend': 'FINISHING_TIME',
+
+        'seed': 0,
+        'verbose': True,
+        'mode': constants.TRAINING,
+        'resume': False,
+        'modality': 'video+vggish+bert+EXPR_continuous_label',
+        'calc_mean_std': True,
+        'emotion': '???',
+
+        'model_name': constants.LFAN,
+        'num_folds': 1,
+        'fold_to_run': 0,
+        'folds_dir': join(REPO_ROOT, 'folds', ds),
+
+        'amp': False,
+
+        'num_heads': 2,
+        'modal_dim': 32,
+        'tcn_kernel_size': 5,
+
+        'num_epochs': 100,
+        'min_num_epochs': 5,
+        'early_stopping': 50,
+        'window_length': 300,
+        'hop_length': 200,
+
+        'train_batch_size': 16,
+        'eval_batch_size': 1,
+        'num_workers': 6,
+
+        'opt__weight_decay': 0.0001,
+        'opt__name_optimizer': constants.SGD,
+        'opt__lr': 0.001,
+        'opt__momentum': 0.9,
+        'opt__dampening': 0.0,
+        'opt__nesterov': True,
+        'opt__beta1': 0.9,
+        'opt__beta2': 0.999,
+        'opt__eps_adam': 1e-8,
+        'opt__amsgrad': False,
+
+        'opt__lr_scheduler': True,
+        'opt__name_lr_scheduler': constants.MYSTEP,
+        'opt__gamma': 0.1,
+        'opt__step_size': 40,
+        'opt__last_epoch': -1,
+        'opt__min_lr': 1e-7,
+        'opt__t_max': 100,
+        'opt__mode': constants.MIN_MODE,
+        'opt__factor': 0.5,
+        'opt__patience': 10,
+        'opt__gradual_release': 1,
+        'opt__release_count': 3,
+        'opt__milestone': '0',
+        'opt__load_best_at_each_epoch': True,
+
+        'time_delay': 0,
+        'metrics': 'nrmse',
+        'save_plot': False,
+        'dataset_path': '',
+        'load_path': join(REPO_ROOT, 'pretrained_models'),
+        'save_path': '',
+
+        'use_other_class': False,
+
+        # TPU-specific knobs (new framework)
+        'eval_bucket_quantum': 100,   # T padding quantum for eval jits
+        'data_parallel': False,       # shard the train step over devices
+        'checkpoint_every': 0,        # orbax checkpoint period (0 = off)
+    }
+
+
+def to_namespace(config: dict) -> SimpleNamespace:
+    return SimpleNamespace(**config)

@@ -1,0 +1,81 @@
+"""Example assembly from the per-trial .npy feature store.
+
+Host-side counterpart of /root/reference/base/dataset.py:456-631: mmap-slice
+each modality, reproduce the pad-by-repeat rule for short trials (labels
+included), and normalize feature streams with the train-split stats.
+Raw video windows stay uint8; the batched device transform handles
+resize/crop/normalize (fvt_tpu.data.transforms).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from fvt_tpu import constants
+from fvt_tpu.config import model_config as MC
+from fvt_tpu.data.windowing import pad_short_window_indices
+from fvt_tpu.utils.io import load_npy, npy_exists
+
+
+class ExampleBuilder:
+    """Builds one (features, label) example per work item.
+
+    Work item: ``[path, trial, length, frame_index_array]`` from the
+    arranger.  ``window_length`` is the configured model window; trials
+    shorter than it are padded by repeating the last frame — in every split,
+    exactly as the reference does (base/dataset.py:555-582).
+    """
+
+    def __init__(self,
+                 modality: Sequence[str],
+                 window_length: int,
+                 mean_std: Optional[dict] = None,
+                 feature_dimension: Optional[dict] = None,
+                 normalized_features: Sequence[str] = (constants.VGGISH,
+                                                      constants.BERT)):
+        self.modality = list(modality)
+        self.window_length = window_length
+        self.mean_std = mean_std or {}
+        self.feature_dimension = feature_dimension or MC.FEATURE_DIMENSION
+        self.normalized_features = set(normalized_features)
+
+    def _gather(self, path: str, length: int, index: np.ndarray,
+                feature: str) -> np.ndarray:
+        if length < self.window_length:
+            gather_idx = pad_short_window_indices(length, self.window_length)
+        else:
+            gather_idx = index
+
+        if npy_exists(path, feature):
+            data = load_npy(path, feature)[gather_idx]
+            data = np.asarray(data)
+        else:
+            # missing modality file -> zeros (base/dataset.py:606-618)
+            shape = (len(gather_idx),) + self.feature_dimension[feature]
+            data = np.zeros(shape, dtype=np.float32)
+        return data
+
+    def build(self, item) -> Dict[str, np.ndarray]:
+        path, trial, length, index = item
+        out: Dict[str, np.ndarray] = {}
+        for feature in self.modality:
+            data = self._gather(path, length, index, feature)
+            if 'continuous_label' in feature:
+                out[feature] = data.astype(np.int32).reshape(-1)
+            elif feature == constants.VIDEO and data.ndim == 4:
+                out[feature] = data  # raw frames; device transform later
+            else:
+                data = data.astype(np.float32)
+                if feature in self.normalized_features \
+                        and feature in self.mean_std:
+                    avg = self.mean_std[feature]['mean'].astype(np.float32)
+                    std = self.mean_std[feature]['std'].astype(np.float32)
+                    data = (data - avg) / std
+                out[feature] = data
+        return out
+
+    def padded_length(self, length: int) -> int:
+        """The example's frame count after pad-by-repeat."""
+        return max(length, self.window_length)

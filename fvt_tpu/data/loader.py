@@ -1,0 +1,127 @@
+"""Host-side batch loaders with threaded prefetch.
+
+Replaces torch DataLoader worker processes (base/experiment.py:205-211)
+with a thread-pool prefetch pipeline feeding fixed-shape numpy batches;
+device transfer happens in the train/eval step (jit donates/shards them).
+
+Shape policy (XLA wants static shapes):
+  * train: all windows are exactly ``window_length`` frames; the final
+    partial batch keeps its true (smaller) batch size — at most two
+    compiled shapes per epoch, loss semantics identical to the reference.
+  * eval: one video per step at its padded-to-bucket length with a frame
+    validity mask (bucket = next multiple of ``bucket_quantum``).
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fvt_tpu import constants
+from fvt_tpu.data.dataset import ExampleBuilder
+from fvt_tpu.utils import rng as rng_mod
+
+
+def _stack(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = examples[0].keys()
+    return {k: np.stack([e[k] for e in examples], axis=0) for k in keys}
+
+
+class TrainLoader:
+    """Shuffled fixed-window batches; deterministic per-epoch order."""
+
+    def __init__(self, work_list: list, builder: ExampleBuilder,
+                 batch_size: int, seed: int, prefetch: int = 4,
+                 num_threads: int = 8):
+        self.work_list = list(work_list)
+        self.builder = builder
+        self.batch_size = batch_size
+        self.seed = seed
+        self.prefetch = prefetch
+        self.num_threads = num_threads
+
+    def __len__(self):
+        return (len(self.work_list) + self.batch_size - 1) \
+            // self.batch_size
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        order = rng_mod.np_rng(
+            rng_mod.epoch_seed(self.seed, epoch_idx),
+            'train_order').permutation(len(self.work_list))
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+
+        def build_batch(idxs) -> Dict[str, np.ndarray]:
+            return _stack([self.builder.build(self.work_list[i])
+                           for i in idxs])
+
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            pending = []
+            it = iter(batches)
+            for _ in range(self.prefetch):
+                idxs = next(it, None)
+                if idxs is None:
+                    break
+                pending.append(pool.submit(build_batch, idxs))
+            while pending:
+                fut = pending.pop(0)
+                idxs = next(it, None)
+                if idxs is not None:
+                    pending.append(pool.submit(build_batch, idxs))
+                yield fut.result()
+
+
+def round_up(n: int, quantum: int) -> int:
+    return ((n + quantum - 1) // quantum) * quantum
+
+
+class EvalLoader:
+    """One whole video per step: (batch, trial, true_length, bucket_length).
+
+    ``true_length`` is the post-pad-by-repeat frame count (== reference's
+    per-video frame count at eval); frames beyond it up to the bucket are
+    padding, marked invalid in the mask.
+    """
+
+    def __init__(self, work_list: list, builder: ExampleBuilder,
+                 bucket_quantum: int = 100, prefetch: int = 2,
+                 num_threads: int = 4):
+        self.work_list = list(work_list)
+        self.builder = builder
+        self.bucket_quantum = bucket_quantum
+        self.prefetch = prefetch
+        self.num_threads = num_threads
+
+    def __len__(self):
+        return len(self.work_list)
+
+    def _build(self, item) -> Tuple[Dict[str, np.ndarray], str, int, int]:
+        path, trial, length, index = item
+        example = self.builder.build(item)
+        true_len = self.builder.padded_length(length)
+        bucket = round_up(true_len, self.bucket_quantum)
+        padded = {}
+        for k, v in example.items():
+            pad = bucket - v.shape[0]
+            if pad:
+                v = np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+            padded[k] = v[None]  # add batch dim
+        return padded, trial, true_len, bucket
+
+    def __iter__(self):
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            pending = []
+            it = iter(self.work_list)
+            for _ in range(self.prefetch):
+                item = next(it, None)
+                if item is None:
+                    break
+                pending.append(pool.submit(self._build, item))
+            while pending:
+                fut = pending.pop(0)
+                item = next(it, None)
+                if item is not None:
+                    pending.append(pool.submit(self._build, item))
+                yield fut.result()

@@ -1,0 +1,64 @@
+"""Batched, jit-able group video transforms.
+
+Replaces the reference's per-frame PIL pipeline
+(/root/reference/base/transforms3D.py:10-145, wiring base/dataset.py:487-539)
+with device-side batched ops:
+
+  train: resize 48 -> random crop 40 (one offset per window) -> random
+         hflip (per window) -> /255 -> normalize(0.5, 0.5)
+  eval:  resize 48 -> center crop 40 -> /255 -> normalize(0.5, 0.5)
+
+Resampling uses jax.image bilinear (PIL-bilinear-equivalent up to resampling
+kernel details; the backbone is robust to this).  Group semantics: the same
+crop/flip is applied to every frame of a window, as the reference's Group*
+transforms do.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SCALE_SIZE = 48
+CROP_SIZE = 40
+
+
+def _resize_frames(video: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(B, T, H, W, 3) -> (B, T, size, size, 3), bilinear."""
+    b, t, h, w, c = video.shape
+    return jax.image.resize(video, (b, t, size, size, c), method='bilinear')
+
+
+def train_video_transform(video: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """uint8/float (B, T, H, W, 3) -> normalized float32 (B, T, 40, 40, 3)."""
+    b = video.shape[0]
+    x = _resize_frames(video.astype(jnp.float32), SCALE_SIZE)
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    max_off = SCALE_SIZE - CROP_SIZE
+    offs_h = jax.random.randint(k1, (b,), 0, max_off + 1)
+    offs_w = jax.random.randint(k2, (b,), 0, max_off + 1)
+    flip = jax.random.bernoulli(k3, 0.5, (b,))
+
+    def crop_one(frames, oh, ow, fl):
+        cropped = jax.lax.dynamic_slice(
+            frames, (0, oh, ow, 0),
+            (frames.shape[0], CROP_SIZE, CROP_SIZE, frames.shape[3]))
+        return jax.lax.cond(fl, lambda v: v[:, :, ::-1, :], lambda v: v,
+                            cropped)
+
+    x = jax.vmap(crop_one)(x, offs_h, offs_w, flip)
+    x = x / 255.0
+    return (x - 0.5) / 0.5
+
+
+def eval_video_transform(video: jnp.ndarray) -> jnp.ndarray:
+    x = _resize_frames(video.astype(jnp.float32), SCALE_SIZE)
+    off = (SCALE_SIZE - CROP_SIZE) // 2
+    x = x[:, :, off:off + CROP_SIZE, off:off + CROP_SIZE, :]
+    x = x / 255.0
+    return (x - 0.5) / 0.5
+
+
+def normalize_features(x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray
+                       ) -> jnp.ndarray:
+    return (x - mean) / std

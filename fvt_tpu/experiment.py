@@ -1,0 +1,208 @@
+"""Experiment orchestration: prepare -> run / run_eval.
+
+Mirror of /root/reference/experiment.py:26-375 + base/experiment.py:66-301:
+loads per-split ``dataset_info_{ds}_{split}.pkl`` (with the C-EXPR-DB
+test:=valid and challenge train==valid==test aliasing), builds the
+DataArranger, computes/caches per-fold mean/std, constructs the model,
+loaders and Trainer.
+"""
+from __future__ import annotations
+
+import copy
+import os
+from os.path import join
+from typing import Dict, Optional
+
+from fvt_tpu import constants
+from fvt_tpu.config import model_config as MC
+from fvt_tpu.data.arranger import DataArranger
+from fvt_tpu.data.dataset import ExampleBuilder
+from fvt_tpu.data.loader import TrainLoader, EvalLoader
+from fvt_tpu.models.registry import init_model, split_modality
+from fvt_tpu.train.trainer import Trainer
+from fvt_tpu.utils.io import load_pickle, save_pickle
+from fvt_tpu.utils.logger import log, fmsg
+
+
+class Experiment:
+    def __init__(self, args):
+        self.args = args
+        self.dataset_name = args.dataset_name
+        self.dataset_path = args.dataset_path
+        self.fold_to_run = args.fold_to_run
+        self.folds_dir = args.folds_dir
+        self.modality = args.modality.split('+')
+
+        self.dataset_info: Optional[dict] = None
+        self.data_arranger: Optional[DataArranger] = None
+        self.mean_std_dict: Optional[dict] = None
+
+    # ---------------------------------------------------------------- setup
+    def load_dataset_info(self) -> dict:
+        ds = self.dataset_name
+        feat = join(self.dataset_path, 'features')
+
+        def load(split):
+            return load_pickle(join(feat, f"dataset_info_{ds}_{split}.pkl"))
+
+        if ds == constants.MELD:
+            return {s: load(s) for s in constants.SPLITS}
+        if ds == constants.C_EXPR_DB:
+            info = {s: load(s) for s in (constants.TRAINSET,
+                                         constants.VALIDSET)}
+            info[constants.TESTSET] = copy.deepcopy(
+                info[constants.VALIDSET])
+            return info
+        if ds == constants.C_EXPR_DB_CHALLENGE:
+            info = {constants.TRAINSET: load(constants.TRAINSET)}
+            info[constants.VALIDSET] = copy.deepcopy(
+                info[constants.TRAINSET])
+            info[constants.TESTSET] = copy.deepcopy(
+                info[constants.TRAINSET])
+            return info
+        raise NotImplementedError(ds)
+
+    def get_mean_std_path(self) -> str:
+        return join(self.dataset_path,
+                    f"mean_std_info_fold-{self.fold_to_run}.pkl")
+
+    def calc_mean_std(self):
+        path = self.get_mean_std_path()
+        if os.path.isfile(path):
+            log(f"mean/std cache exists: {path}")
+            return
+        log(f"Computing mean/std (DS: {self.dataset_name}, "
+            f"fold: {self.fold_to_run})")
+        data_list = self.data_arranger.generate_partitioned_trial_list(
+            window_length=self.args.window_length,
+            hop_length=self.args.hop_length,
+            windowing=False)
+        save_pickle(self.data_arranger.calculate_mean_std(data_list), path)
+
+    def prepare(self):
+        self.dataset_info = self.load_dataset_info()
+        self.data_arranger = DataArranger(
+            self.args, self.dataset_info, self.dataset_path,
+            self.fold_to_run, self.folds_dir)
+        if self.args.calc_mean_std:
+            self.calc_mean_std()
+        self.mean_std_dict = load_pickle(self.get_mean_std_path())
+
+    # -------------------------------------------------------------- loaders
+    def init_loaders(self) -> Dict[str, object]:
+        data_list = self.data_arranger.generate_partitioned_trial_list(
+            window_length=self.args.window_length,
+            hop_length=self.args.hop_length,
+            windowing=True,
+            window_eval=False)
+
+        builder = ExampleBuilder(
+            modality=self.modality,
+            window_length=self.args.window_length,
+            mean_std=self.mean_std_dict,
+            feature_dimension=MC.FEATURE_DIMENSION)
+
+        loaders: Dict[str, object] = {}
+        for split, data in data_list.items():
+            if not data:
+                continue
+            if split == constants.TRAINSET:
+                loaders[split] = TrainLoader(
+                    data, builder,
+                    batch_size=self.args.train_batch_size,
+                    seed=self.args.seed,
+                    num_threads=max(1, self.args.num_workers))
+            else:
+                loaders[split] = EvalLoader(
+                    data, builder,
+                    bucket_quantum=getattr(self.args,
+                                           'eval_bucket_quantum', 100),
+                    num_threads=max(1, min(self.args.num_workers, 4)))
+        return loaders
+
+    def _spatial_modules(self):
+        """Frozen backbones for raw-stream modalities."""
+        spatial_video = spatial_audio = None
+        if constants.VIDEO in self.modality:
+            from fvt_tpu.models.arcface import VisualBackbone
+            spatial_video = VisualBackbone()
+        if 'logmel' in self.modality:
+            from fvt_tpu.models.vggish import VGGish
+            spatial_audio = VGGish()
+        return spatial_video, spatial_audio
+
+    def init_trainer(self) -> Trainer:
+        spatial_video, spatial_audio = self._spatial_modules()
+        model = init_model(self.args, spatial_video=spatial_video,
+                           spatial_audio=spatial_audio)
+        return Trainer(model, self.args.model_name, self.args,
+                       self.data_arranger.cl_to_int,
+                       self.data_arranger.int_to_cl)
+
+    def _sample_batch(self, loaders):
+        loader = loaders.get(constants.TRAINSET) \
+            or next(iter(loaders.values()))
+        if isinstance(loader, TrainLoader):
+            return next(iter(loader.epoch(0)))
+        batch, _, _, _ = next(iter(loader))
+        return batch
+
+    # ------------------------------------------------------------------ run
+    def run(self):
+        assert self.args.task == constants.CLASSIFICATION, self.args.task
+        loaders = self.init_loaders()
+        trainer = self.init_trainer()
+        trainer.init_state(self._sample_batch(loaders))
+        if getattr(self.args, 'pretrained_torch_ckpt', None):
+            self._load_torch_ckpt(trainer, self.args.pretrained_torch_ckpt)
+        trainer.optimize(loaders[constants.TRAINSET],
+                         loaders[constants.VALIDSET],
+                         loaders[constants.TESTSET])
+        return trainer
+
+    def run_eval(self, path_model: str):
+        """EVALUATION: load a saved best model and run test inference
+        (experiment.py:222-269)."""
+        loaders = self.init_loaders()
+        trainer = self.init_trainer()
+        trainer.init_state(self._sample_batch(loaders))
+
+        assert os.path.isfile(path_model), path_model
+        if path_model.endswith('.msgpack'):
+            trainer.load_best_model(path_model)
+        else:
+            self._load_torch_ckpt(trainer, path_model)
+        log(f"Loaded weights from {path_model}")
+
+        perf, per_video = trainer.inference(loaders[constants.TESTSET])
+        return perf, per_video
+
+    def _load_torch_ckpt(self, trainer: Trainer, path: str):
+        """Port a reference-trained torch ``model.pt`` into the live state."""
+        import torch
+        import jax.numpy as jnp
+        import jax
+        from fvt_tpu.models import torch_port as port
+
+        sd = torch.load(path, map_location='cpu')
+        modality = split_modality(self.args.modality)
+        name = self.args.model_name
+        if name == constants.LFAN:
+            params, stats = port.lfan_from_torch(
+                sd, modality, MC.TCN_CHANNELS, MC.EMBEDDING_DIM)
+        elif name == constants.CAN:
+            params, stats = port.can_from_torch(sd, modality,
+                                                MC.TCN_SETTINGS)
+        else:
+            params, stats = port.jmt_from_torch(
+                sd, modality, MC.TCN_SETTINGS,
+                joint=(name == constants.JMT))
+
+        # graft converted trees onto the live state (spatial params, if any,
+        # keep their separately-loaded values)
+        new_params = dict(trainer.state.params)
+        new_params.update(jax.tree.map(jnp.asarray, params))
+        new_stats = dict(trainer.state.batch_stats)
+        new_stats.update(jax.tree.map(jnp.asarray, stats))
+        trainer.state = trainer.state.replace(params=new_params,
+                                              batch_stats=new_stats)

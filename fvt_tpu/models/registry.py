@@ -1,0 +1,53 @@
+"""Model factory (mirror of /root/reference/experiment.py:298-351)."""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+
+from fvt_tpu import constants
+from fvt_tpu.config import model_config as MC
+from fvt_tpu.models.models import LFAN, CAN, JMT
+
+
+def split_modality(modality_str: str) -> list:
+    """'video+vggish+bert+EXPR_continuous_label' -> model modality list
+    (label stream removed, base/experiment.py:107 + experiment.py:300)."""
+    return [m for m in modality_str.split('+')
+            if 'continuous_label' not in m]
+
+
+def init_model(args, spatial_video: Optional[nn.Module] = None,
+               spatial_audio: Optional[nn.Module] = None) -> nn.Module:
+    modality = tuple(split_modality(args.modality))
+    num_classes = args.num_classes
+    if args.dataset_name == constants.C_EXPR_DB and args.use_other_class:
+        num_classes += 1
+
+    name = args.model_name
+    if name == constants.LFAN:
+        return LFAN(modality=modality,
+                    output_dim=num_classes,
+                    task=args.task,
+                    kernel_size=args.tcn_kernel_size,
+                    tcn_channel=MC.TCN_CHANNELS,
+                    modal_dim=args.modal_dim,
+                    num_heads=args.num_heads,
+                    spatial_video=spatial_video,
+                    spatial_audio=spatial_audio)
+    if name == constants.CAN:
+        return CAN(modality=modality,
+                   output_dim=num_classes,
+                   task=args.task,
+                   tcn_settings=MC.TCN_SETTINGS,
+                   spatial_video=spatial_video,
+                   spatial_audio=spatial_audio)
+    if name in (constants.JMT, constants.MT):
+        return JMT(modality=modality,
+                   output_dim=num_classes,
+                   task=args.task,
+                   model_name=name,
+                   tcn_settings=MC.TCN_SETTINGS,
+                   spatial_video=spatial_video,
+                   spatial_audio=spatial_audio)
+    raise NotImplementedError(name)

@@ -1,0 +1,228 @@
+"""Optimizers + LR schedules (optax), matching torch semantics.
+
+Re-implements /root/reference/instantiators.py:60-185 and
+base/scheduler.py:13-256:
+
+  * SGD: L2 weight decay added to the gradient, heavy-ball momentum with
+    optional Nesterov (dampening must be 0 with Nesterov, as in torch).
+  * ADAM: L2-into-gradient weight decay, bias-corrected moments, optional
+    amsgrad.
+  * Schedules (applied per EPOCH, stepped after each train epoch):
+    STEP / MULTISTEP / MYSTEP (min-lr-clamped step) / COSINE
+    (CosineAnnealingLR closed form) / MYCOSINE / MYWARMUP (warmup then
+    plateau-decay; stateful).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import optax
+
+from fvt_tpu import constants
+
+
+# ----------------------------------------------------------------- optimizer
+def build_optimizer(hp) -> optax.GradientTransformation:
+    """hp: standardized opt hyperparams (attributes, not 'opt__' keys)."""
+    name = hp.name_optimizer
+    assert name in constants.OPTIMIZERS, name
+
+    if name == constants.SGD:
+        assert not (hp.nesterov and hp.dampening != 0.0), \
+            'torch SGD requires dampening=0 with nesterov'
+        chain = [
+            optax.add_decayed_weights(hp.weight_decay),
+            optax.trace(decay=hp.momentum, nesterov=hp.nesterov),
+        ]
+    elif name == constants.ADAM:
+        chain = [
+            optax.add_decayed_weights(hp.weight_decay),
+            (optax.scale_by_amsgrad(b1=hp.beta1, b2=hp.beta2,
+                                    eps=hp.eps_adam)
+             if hp.amsgrad else
+             optax.scale_by_adam(b1=hp.beta1, b2=hp.beta2, eps=hp.eps_adam)),
+        ]
+    else:
+        raise NotImplementedError(name)
+
+    def with_lr(learning_rate):
+        return optax.chain(*chain, optax.scale(-learning_rate))
+
+    return optax.inject_hyperparams(with_lr)(learning_rate=hp.lr)
+
+
+def set_lr(opt_state, lr: float):
+    opt_state.hyperparams['learning_rate'] = lr
+    return opt_state
+
+
+def get_lr(opt_state) -> float:
+    return float(opt_state.hyperparams['learning_rate'])
+
+
+# ----------------------------------------------------------------- schedules
+class Scheduler:
+    """lr(epoch) interface; ``step(epoch, metric)`` returns the lr for the
+    NEXT epoch (stepped after each epoch, as the reference does)."""
+
+    def lr(self, epoch: int) -> float:
+        raise NotImplementedError
+
+    def step(self, epoch: int, metric: Optional[float] = None) -> float:
+        return self.lr(epoch + 1)
+
+
+@dataclass
+class StepSchedule(Scheduler):
+    base_lr: float
+    step_size: int
+    gamma: float = 0.1
+
+    def lr(self, epoch):
+        return self.base_lr * self.gamma ** (epoch // self.step_size)
+
+
+@dataclass
+class MultiStepSchedule(Scheduler):
+    base_lr: float
+    milestones: Sequence[int]
+    gamma: float = 0.1
+
+    def lr(self, epoch):
+        n = sum(1 for m in self.milestones if m <= epoch)
+        return self.base_lr * self.gamma ** n
+
+
+@dataclass
+class MyStepSchedule(Scheduler):
+    """StepLR clamped at min_lr (base/scheduler.py:167-197)."""
+    base_lr: float
+    step_size: int
+    gamma: float = 0.1
+    min_lr: float = 1e-6
+
+    def lr(self, epoch):
+        return max(self.base_lr * self.gamma ** (epoch // self.step_size),
+                   self.min_lr)
+
+
+@dataclass
+class CosineSchedule(Scheduler):
+    """CosineAnnealingLR closed form."""
+    base_lr: float
+    t_max: int
+    eta_min: float = 0.0
+
+    def lr(self, epoch):
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * epoch / self.t_max)) / 2
+
+
+@dataclass
+class MyCosineSchedule(Scheduler):
+    """lr = max(base * coef * (1 + cos((e-1) pi / max_epochs)), min_lr)
+    (base/scheduler.py:200-240)."""
+    base_lr: float
+    coef: float
+    max_epochs: int
+    min_lr: float = 1e-9
+
+    def lr(self, epoch):
+        return max(
+            self.base_lr * self.coef
+            * (1.0 + math.cos((epoch - 1) * math.pi / self.max_epochs)),
+            self.min_lr)
+
+
+@dataclass
+class MyWarmupSchedule(Scheduler):
+    """Warmup to base lr over num_warmup_epoch, then plateau-decay by
+    ``factor`` after ``patience`` bad epochs (base/scheduler.py:76-164)."""
+    base_lr: float
+    min_lr: float = 1e-7
+    mode: str = 'min'
+    patience: int = 5
+    factor: float = 0.1
+    num_warmup_epoch: int = 5
+    init_epoch: int = 0
+    eps: float = 1e-11
+
+    best: Optional[float] = None
+    num_bad_epochs: int = 0
+    current_lr: float = field(default=0.0)
+
+    def __post_init__(self):
+        if self.best is None:
+            self.best = 1e10 if self.mode == 'min' else -1e10
+        self.current_lr = self.base_lr
+
+    def is_better(self, metric: float) -> bool:
+        return metric < self.best if self.mode == 'min' \
+            else metric > self.best
+
+    def lr(self, epoch):
+        return self.current_lr
+
+    def step(self, epoch, metric=None):
+        relative_epoch = epoch - self.init_epoch + 1
+        if relative_epoch == self.num_warmup_epoch:
+            self.current_lr = self.base_lr
+
+        if metric is not None:
+            if self.is_better(float(metric)):
+                self.best = float(metric)
+                self.num_bad_epochs = 0
+            elif relative_epoch > self.num_warmup_epoch:
+                self.num_bad_epochs += 1
+
+            if self.num_bad_epochs > self.patience:
+                new_lr = self.current_lr * self.factor
+                if self.current_lr - new_lr > self.eps:
+                    self.current_lr = new_lr
+                self.num_bad_epochs = 0
+        return self.current_lr
+
+
+def build_scheduler(hp, num_epochs: int, min_num_epochs: int
+                    ) -> Optional[Scheduler]:
+    """Dispatch per reference instantiators.py:103-181."""
+    if not hp.lr_scheduler:
+        return None
+    name = hp.name_lr_scheduler
+    if name == constants.STEP:
+        return StepSchedule(hp.lr, hp.step_size, hp.gamma)
+    if name == constants.MULTISTEP:
+        milestones = hp.milestone
+        if isinstance(milestones, str):
+            milestones = [int(m) for m in milestones.split(',')]
+        return MultiStepSchedule(hp.lr, milestones, hp.gamma)
+    if name == constants.MYSTEP:
+        return MyStepSchedule(hp.lr, hp.step_size, hp.gamma, hp.min_lr)
+    if name == constants.COSINE:
+        return CosineSchedule(hp.lr, hp.t_max, hp.min_lr)
+    if name == constants.MYCOSINE:
+        return MyCosineSchedule(hp.lr, getattr(hp, 'coef', 0.5),
+                                num_epochs, hp.min_lr)
+    if name == constants.MYWARMUP:
+        return MyWarmupSchedule(
+            hp.lr, min_lr=hp.min_lr,
+            mode='min' if hp.mode == constants.MIN_MODE else 'max',
+            patience=hp.patience, factor=hp.factor,
+            num_warmup_epoch=min_num_epochs)
+    raise NotImplementedError(name)
+
+
+def standardize_opt_params(config: dict):
+    """'opt__lr' -> attribute 'lr' etc. (instantiators.py:32-57)."""
+    class HP:
+        pass
+
+    hp = HP()
+    for k, v in config.items():
+        if k.startswith('opt__'):
+            setattr(hp, k.split('__', 1)[1], v)
+        else:
+            setattr(hp, k, v)
+    return hp

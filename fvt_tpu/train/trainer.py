@@ -1,0 +1,287 @@
+"""Training / evaluation runtime.
+
+The live loop of /root/reference/trainer.py:315-786, TPU-re-designed:
+
+  * jitted fused train step (forward+CE+backward+update) per batch shape;
+  * eval on whole videos at bucketed lengths (exact for frame-causal
+    models; masked attention for JMT/MT);
+  * LFAN long-video inference: batched window forward + one vectorized
+    stitch (replaces the per-window python loop trainer.py:832-892);
+  * per-criterion best-model tracking with host-side param copies, final
+    test pass per best model, and the reference artifact contract:
+    test-<item>-perf.{txt,pkl}, pred-per-frame-test-<item>-perf.pkl,
+    best-models/<item>/{model.msgpack,config.yml}, passed.txt, and the
+    challenge prediction.pkl dump.
+"""
+from __future__ import annotations
+
+import copy
+import datetime as dt
+import os
+import pickle as pkl
+import time
+from os.path import join
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import yaml
+from flax import serialization
+
+from fvt_tpu import constants
+from fvt_tpu.data.loader import TrainLoader, EvalLoader, round_up
+from fvt_tpu.data import windowing as W
+from fvt_tpu.train import metrics as M
+from fvt_tpu.train import optim
+from fvt_tpu.train.steps import (TrainState, create_train_state,
+                                 make_train_step, make_eval_step)
+from fvt_tpu.utils import rng as rng_mod
+from fvt_tpu.utils.logger import log, fmsg
+
+
+class Trainer:
+    def __init__(self, model, model_name: str, args, cl_to_int: dict,
+                 int_to_cl: dict, train_step_fn=None):
+        self.model = model
+        self.model_name = model_name
+        self.args = args
+        self.cl_to_int = cl_to_int
+        self.int_to_cl = int_to_cl
+
+        hp = optim.standardize_opt_params(vars(args))
+        self.hp = hp
+        self.optimizer = optim.build_optimizer(hp)
+        self.scheduler = optim.build_scheduler(
+            hp, args.num_epochs, args.min_num_epochs)
+
+        self.train_step = train_step_fn or make_train_step(
+            self.model, self.optimizer)
+        needs_mask = model_name in (constants.JMT, constants.MT)
+        self.eval_step = make_eval_step(self.model, needs_time_mask=True) \
+            if needs_mask else make_eval_step(self.model)
+        self.needs_mask = needs_mask
+
+        self.state: Optional[TrainState] = None
+        self.fit_finished = False
+
+    # ----------------------------------------------------------------- init
+    def init_state(self, sample_batch: Dict[str, np.ndarray]):
+        key = rng_mod.root_key(self.args.seed)
+        batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        self.state = create_train_state(
+            self.model, self.optimizer, batch,
+            rng_mod.fold_key(key, 'init'))
+        return self.state
+
+    # ---------------------------------------------------------------- train
+    def train_one_epoch(self, loader: TrainLoader, epoch: int) -> float:
+        t0 = dt.datetime.now()
+        epoch_key = rng_mod.fold_key(
+            rng_mod.root_key(self.args.seed), 'epoch', epoch)
+
+        running, count = 0.0, 0
+        for i, batch in enumerate(loader.epoch(epoch)):
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, loss = self.train_step(
+                self.state, jbatch, jax.random.fold_in(epoch_key, i))
+            running += float(loss)
+            count += 1
+
+        # next-epoch lr (scheduler stepped after each epoch, trainer.py:694)
+        if self.scheduler is not None:
+            lr = self.scheduler.lr(epoch + 1)
+            self.state = self.state.replace(
+                opt_state=optim.set_lr(self.state.opt_state, lr))
+
+        epoch_loss = running / max(count, 1)
+        log(fmsg(f"Train epoch ({epoch}/{self.args.num_epochs}) "
+                 f"loss: {epoch_loss:.6f} "
+                 f"runtime: {dt.datetime.now() - t0}"))
+        return epoch_loss
+
+    # ------------------------------------------------------------ inference
+    def _forward_whole(self, inputs: Dict[str, jnp.ndarray], true_len: int
+                       ) -> np.ndarray:
+        out = self.eval_step(self.state.params, self.state.batch_stats,
+                             inputs, jnp.asarray(true_len)) \
+            if self.needs_mask else \
+            self.eval_step(self.state.params, self.state.batch_stats, inputs)
+        return np.asarray(out[0])
+
+    def _forward_windows(self, batch: Dict[str, np.ndarray], true_len: int
+                         ) -> np.ndarray:
+        """LFAN window-and-stitch for videos longer than the model window
+        (trainer.py:832-892), as a batched forward + vectorized stitch."""
+        window = self.args.window_length
+        hop = self.args.hop_length
+        mat = W.window_index_matrix(true_len, window, hop)
+        n_win = mat.shape[0]
+        n_pad = round_up(n_win, 4)
+
+        windows = {}
+        for k, v in batch.items():
+            arr = v[0]  # (bucket, ...)
+            g = arr[mat.reshape(-1)].reshape(
+                (n_win, window) + arr.shape[1:])
+            if n_pad > n_win:
+                g = np.concatenate(
+                    [g, np.repeat(g[-1:], n_pad - n_win, axis=0)], axis=0)
+            windows[k] = jnp.asarray(g)
+
+        out = self.eval_step(self.state.params, self.state.batch_stats,
+                             windows, jnp.asarray(window)) \
+            if self.needs_mask else \
+            self.eval_step(self.state.params, self.state.batch_stats,
+                           windows)
+        out = np.asarray(out)[:n_win]  # (n_win, window, C)
+
+        ncls = out.shape[-1]
+        summed = np.zeros((true_len, ncls), dtype=np.float32)
+        counts = np.zeros((true_len,), dtype=np.float32)
+        np.add.at(summed, mat.reshape(-1), out.reshape(-1, ncls))
+        np.add.at(counts, mat.reshape(-1), 1.0)
+        return summed / counts[:, None]
+
+    def inference(self, loader: EvalLoader) -> tuple:
+        per_video_frame_logits = {}
+        for batch, trial, true_len, bucket in loader:
+            labels = batch.pop(constants.EXPR)[0, :true_len]
+            inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+
+            windowed = (true_len > self.args.window_length
+                        and self.model_name == constants.LFAN)
+            if windowed:
+                logits = self._forward_windows(batch, true_len)
+            else:
+                logits = self._forward_whole(inputs, true_len)[:true_len]
+
+            assert trial not in per_video_frame_logits, trial
+            per_video_frame_logits[trial] = {
+                'labels': np.asarray(labels).flatten(),
+                'logits': np.asarray(logits, dtype=np.float32),
+            }
+
+        perf = M.compute_perf(per_video_frame_logits,
+                              self.args.dataset_name,
+                              self.args.use_other_class)
+
+        if self.args.dataset_name == constants.C_EXPR_DB_CHALLENGE:
+            out_inf = join(self.args.outd,
+                           f'pred-{constants.C_EXPR_DB_CHALLENGE}')
+            os.makedirs(out_inf, exist_ok=True)
+            with open(join(out_inf, 'prediction.pkl'), 'wb') as f:
+                pkl.dump(per_video_frame_logits, f,
+                         protocol=pkl.HIGHEST_PROTOCOL)
+            log(f"Dumped {constants.C_EXPR_DB_CHALLENGE} predictions at "
+                f"{join(out_inf, 'prediction.pkl')}")
+
+        return perf, per_video_frame_logits
+
+    # --------------------------------------------------------------- driver
+    def optimize(self, train_loader: TrainLoader, valid_loader: EvalLoader,
+                 test_loader: EvalLoader):
+        log(fmsg(f"Starting training on {jax.default_backend()} "
+                 f"({len(jax.devices())} device(s))"))
+        t_start = time.time()
+
+        current_perf, _ = self.inference(valid_loader)
+
+        valid_tracker = M.build_trackers(self.args.dataset_name,
+                                         self.args.use_other_class)
+        test_tracker = copy.deepcopy(valid_tracker)
+        best_params = {}
+        host = lambda tree: jax.tree.map(np.asarray, tree)  # noqa: E731
+        for item in valid_tracker:
+            valid_tracker[item].append(current_perf)
+            best_params[item] = (host(self.state.params),
+                                 host(self.state.batch_stats))
+            log(f"{constants.VALIDSET}: "
+                f"{valid_tracker[item].current_status_str}")
+            log(f"{constants.VALIDSET}: "
+                f"{valid_tracker[item].best_status_str}")
+
+        loss_tracker = []
+        for epoch in range(self.args.num_epochs):
+            epoch_loss = self.train_one_epoch(train_loader, epoch)
+            loss_tracker.append(epoch_loss)
+
+            current_perf, _ = self.inference(valid_loader)
+            for item in valid_tracker:
+                valid_tracker[item].append(current_perf)
+                if valid_tracker[item].is_last_best:
+                    best_params[item] = (host(self.state.params),
+                                         host(self.state.batch_stats))
+                log(f"{constants.VALIDSET}: "
+                    f"{valid_tracker[item].current_status_str}")
+                log(f"{constants.VALIDSET}: "
+                    f"{valid_tracker[item].best_status_str}")
+
+        self.fit_finished = True
+
+        # test each best model (trainer.py:716-750)
+        log(fmsg(f"{constants.TESTSET} performance:"))
+        live_state = self.state
+        for item in best_params:
+            params, stats = best_params[item]
+            self.state = live_state.replace(
+                params=jax.tree.map(jnp.asarray, params),
+                batch_stats=jax.tree.map(jnp.asarray, stats))
+            current_perf, per_video = self.inference(test_loader)
+            test_tracker[item].append(current_perf)
+            log(f"{constants.TESTSET}: "
+                f"{test_tracker[item].current_status_str}")
+
+            with open(join(self.args.outd,
+                           f"{constants.TESTSET}-{item}-perf.txt"),
+                      'w') as f:
+                f.write(test_tracker[item].report(current_perf,
+                                                  self.int_to_cl))
+            with open(join(self.args.outd,
+                           f"{constants.TESTSET}-{item}-perf.pkl"),
+                      'wb') as f:
+                pkl.dump(current_perf, f, protocol=pkl.HIGHEST_PROTOCOL)
+            with open(join(self.args.outd,
+                           f"pred-per-frame-{constants.TESTSET}"
+                           f"-{item}-perf.pkl"), 'wb') as f:
+                pkl.dump(per_video, f, protocol=pkl.HIGHEST_PROTOCOL)
+
+        self.state = live_state
+
+        # persist best models (trainer.py:752-768)
+        dir_best = join(self.args.outd, 'best-models')
+        for item in best_params:
+            params, stats = best_params[item]
+            _dir = join(dir_best, f"{item}")
+            os.makedirs(_dir, exist_ok=True)
+            with open(join(_dir, 'model.msgpack'), 'wb') as f:
+                f.write(serialization.to_bytes(
+                    {'params': params, 'batch_stats': stats}))
+            self.save_args(join(_dir, 'config.yml'))
+
+        self.args.tend = dt.datetime.now()
+        self.save_args(join(self.args.outd, 'config.yml'))
+        self.bye(t_start)
+        return valid_tracker, test_tracker
+
+    def load_best_model(self, path: str):
+        """Load a best-models/<item>/model.msgpack into the live state."""
+        with open(path, 'rb') as f:
+            data = serialization.from_bytes(
+                {'params': self.state.params,
+                 'batch_stats': self.state.batch_stats}, f.read())
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.asarray, data['params']),
+            batch_stats=jax.tree.map(jnp.asarray, data['batch_stats']))
+
+    def save_args(self, path: str):
+        cfg = {k: (str(v) if isinstance(v, dt.datetime) else v)
+               for k, v in vars(self.args).items()}
+        with open(path, 'w') as f:
+            yaml.dump(cfg, f)
+
+    def bye(self, t_start: float):
+        log(fmsg(f"Total time: {time.time() - t_start:.1f}s"))
+        with open(join(self.args.outd, 'passed.txt'), 'w') as f:
+            f.write('Passed.')
+        log(fmsg('bye.'))

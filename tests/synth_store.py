@@ -1,0 +1,74 @@
+"""Synthetic on-disk feature store matching the reference disk contract.
+
+Creates features/compacted_48/<trial>/{vggish,bert,EXPR_continuous_label}.npy,
+dataset_info_{ds}_{split}.pkl and folds/<ds>/split-0/ — enough to run the
+full training CLI without any real data (the reference's train_p smoke-test
+strategy, done properly).
+"""
+from __future__ import annotations
+
+import os
+from os.path import join
+
+import numpy as np
+import yaml
+
+from fvt_tpu import constants
+from fvt_tpu.utils.io import save_pickle
+
+CLASSES = [constants.SURPRISE, constants.FEAR, constants.DISGUST,
+           constants.SADNESS, constants.HAPPINESS, constants.ANGER,
+           constants.NEUTRAL]
+
+
+def make_meld_store(root: str, n_train=12, n_val=6, n_test=6,
+                    min_len=8, max_len=40, ncls=7, seed=0,
+                    separation=3.0, with_video=False):
+    """Label-separable synthetic vggish/bert streams (learnable quickly)."""
+    rng = np.random.default_rng(seed)
+    ds = constants.MELD
+    feat_dir = join(root, 'features', 'compacted_48')
+    folds_dir = join(root, 'folds', ds, 'split-0')
+    os.makedirs(folds_dir, exist_ok=True)
+
+    class_centers_v = rng.normal(size=(ncls, 128)) * separation
+    class_centers_b = rng.normal(size=(ncls, 768)) * separation
+
+    counts = {constants.TRAINSET: n_train, constants.VALIDSET: n_val,
+              constants.TESTSET: n_test}
+    for split, n in counts.items():
+        trials, lengths, lines = [], [], []
+        for i in range(n):
+            trial = f"{split}/v{i}"
+            label = int(rng.integers(0, ncls))
+            length = int(rng.integers(min_len, max_len + 1))
+            tdir = join(feat_dir, trial)
+            os.makedirs(tdir, exist_ok=True)
+
+            vggish = (class_centers_v[label]
+                      + rng.normal(size=(length, 128))).astype(np.float32)
+            bert = (class_centers_b[label]
+                    + rng.normal(size=(length, 768))).astype(np.float32)
+            labels = np.full((length,), label, dtype=np.int64)
+            np.save(join(tdir, 'vggish.npy'), vggish)
+            np.save(join(tdir, 'bert.npy'), bert)
+            np.save(join(tdir, 'EXPR_continuous_label.npy'), labels)
+            if with_video:
+                video = rng.integers(
+                    0, 255, size=(length, 64, 64, 3)).astype(np.uint8)
+                np.save(join(tdir, 'video.npy'), video)
+
+            trials.append(trial)
+            lengths.append(length)
+            lines.append(f"{trial},{label},synthetic transcript {i}")
+
+        save_pickle({'data_folder': 'compacted_48', 'trial': trials,
+                     'length': lengths, 'partition': split},
+                    join(root, 'features', f"dataset_info_{ds}_{split}.pkl"))
+        with open(join(folds_dir, f"{split}.txt"), 'w') as f:
+            f.write('\n'.join(lines) + '\n')
+
+    with open(join(folds_dir, 'class_id.yaml'), 'w') as f:
+        yaml.dump({c: i for i, c in enumerate(CLASSES[:ncls])}, f)
+
+    return {'dataset_path': root, 'folds_dir': join(root, 'folds', ds)}

@@ -1,0 +1,107 @@
+"""End-to-end: synthetic store -> training CLI -> artifacts + learning."""
+import os
+import pickle
+from os.path import join
+
+import numpy as np
+import pytest
+import yaml
+
+from fvt_tpu import constants
+from synth_store import make_meld_store
+
+
+@pytest.fixture(scope='module')
+def store(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('meld_store'))
+    return make_meld_store(root, n_train=16, n_val=6, n_test=6,
+                           min_len=8, max_len=40)
+
+
+def _run_training(store, outd, model_name='LFAN', epochs=2, extra=()):
+    from fvt_tpu.main import main
+    argv = [
+        '--dataset_name', 'MELD',
+        '--dataset_path', store['dataset_path'],
+        '--folds_dir', store['folds_dir'],
+        '--modality', 'vggish+bert+EXPR_continuous_label',
+        '--model_name', model_name,
+        '--num_epochs', str(epochs),
+        '--train_batch_size', '4',
+        '--num_workers', '2',
+        '--window_length', '16',
+        '--hop_length', '8',
+        '--eval_bucket_quantum', '16',
+        '--outd', outd,
+        '--opt__lr', '0.01',
+        *extra,
+    ]
+    main(argv)
+
+
+def test_lfan_training_end_to_end(store, tmp_path):
+    outd = str(tmp_path / 'exp')
+    _run_training(store, outd, 'LFAN', epochs=3)
+
+    # artifact contract (reference trainer.py:736-786)
+    assert os.path.isfile(join(outd, 'passed.txt'))
+    assert os.path.isfile(join(outd, 'config.yml'))
+    assert os.path.isfile(join(outd, 'log.json'))
+    items = os.listdir(join(outd, 'best-models'))
+    assert set(items) == set(constants.VIDEO_PREDS)  # MELD criteria
+    for item in items:
+        assert os.path.isfile(
+            join(outd, 'best-models', item, 'model.msgpack'))
+        assert os.path.isfile(
+            join(outd, 'best-models', item, 'config.yml'))
+        assert os.path.isfile(join(outd, f'test-{item}-perf.txt'))
+        with open(join(outd, f'test-{item}-perf.pkl'), 'rb') as f:
+            perf = pickle.load(f)
+        assert None in perf
+        wf1 = perf[None][constants.W_F1][constants.VIDEO_LEVEL][
+            item]['master']
+        assert 0.0 <= wf1 <= 1.0
+
+    # learning check: separable synthetic data should be well above chance
+    with open(join(outd, f'pred-per-frame-test-{items[0]}-perf.pkl'),
+              'rb') as f:
+        per_video = pickle.load(f)
+    correct = sum(
+        int(np.argmax(v['logits'].mean(axis=0)) == v['labels'][0])
+        for v in per_video.values())
+    assert correct / len(per_video) >= 0.5, \
+        f"only {correct}/{len(per_video)} videos correct"
+
+    # idempotency gate: a finished run refuses to rerun (passed.txt)
+    with pytest.raises(SystemExit):
+        _run_training(store, outd, 'LFAN', epochs=1)
+
+
+@pytest.mark.parametrize('model_name', ['CAN', 'MT'])
+def test_other_models_train(store, tmp_path, model_name):
+    outd = str(tmp_path / f'exp_{model_name}')
+    if model_name == 'MT':
+        # JMT/MT need video+vggish; use vggish for audio and bert-as-video
+        # is invalid -> use a store with video features? Keep: MT requires
+        # 'video' and 'vggish' streams; synth store has no video features,
+        # so this exercises CAN only for now.
+        pytest.skip('MT needs video features; covered by parity tests')
+    _run_training(store, outd, model_name, epochs=1)
+    assert os.path.isfile(join(outd, 'passed.txt'))
+
+
+def test_eval_mode_reloads_frozen_config(store, tmp_path):
+    outd = str(tmp_path / 'exp_eval_base')
+    _run_training(store, outd, 'LFAN', epochs=1)
+
+    from fvt_tpu.inference_challenge import main as eval_main
+    eval_main([
+        '--mode', 'EVALUATION',
+        '--fd_exp', outd,
+        '--target_ds_name', 'MELD',
+        '--dataset_path', store['dataset_path'],
+        '--folds_dir', store['folds_dir'],
+    ])
+    # eval dir created inside the training run dir
+    eval_dir = join(outd, 'eval-MELD')
+    assert os.path.isdir(eval_dir)
