@@ -1,0 +1,138 @@
+"""Headline benchmark: LFAN tri-modal inference throughput (frames/sec/chip).
+
+Workload: the C-EXPR-DB-CHALLENGE hot path — batched 300-frame windows
+through the full LFAN stack (ArcFace ResNet-50 over every frame + VGGish/
+BERT feature streams + TCN + fusion), eval mode, steady state.  This is
+where >95% of the reference pipeline's FLOPs live (SURVEY §3.2).
+
+Baseline: the same model graph in the reference's PyTorch implementation on
+this host's CPU (the only torch device available here; the reference's
+published environment is single-GPU).  The torch number is measured once
+and cached in .bench_baseline.json.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+WINDOW = 300
+BATCH_WINDOWS = 4
+CROP = 48  # stored face crops are rescaled to 48 then cropped to 40
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              '.bench_baseline.json')
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    from fvt_tpu.models.models import LFAN
+    from fvt_tpu.models.arcface import VisualBackbone
+    from fvt_tpu.train.steps import make_eval_step
+
+    model = LFAN(modality=('video', 'vggish', 'bert'), output_dim=7,
+                 spatial_video=VisualBackbone())
+
+    rng = np.random.default_rng(0)
+    batch = {
+        'video': jnp.asarray(rng.integers(
+            0, 255, size=(BATCH_WINDOWS, WINDOW, CROP, CROP, 3)
+        ).astype(np.uint8)),
+        'vggish': jnp.asarray(rng.normal(
+            size=(BATCH_WINDOWS, WINDOW, 128)).astype(np.float32)),
+        'bert': jnp.asarray(rng.normal(
+            size=(BATCH_WINDOWS, WINDOW, 768)).astype(np.float32)),
+    }
+    from fvt_tpu.train.steps import _device_transform
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False))(
+            jax.random.key(0), _device_transform(batch, train=False))
+    eval_step = make_eval_step(model)
+    params, stats = variables['params'], variables.get('batch_stats', {})
+
+    # warmup/compile
+    jax.block_until_ready(eval_step(params, stats, batch))
+    jax.block_until_ready(eval_step(params, stats, batch))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_step(params, stats, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BATCH_WINDOWS * WINDOW * iters / dt
+
+
+def bench_torch_reference() -> float:
+    """Reference LFAN forward on torch-CPU (cached)."""
+    if os.path.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)['torch_cpu_fps']
+
+    import sys
+    sys.path.insert(0, '/root/reference')
+    import torch
+    from models.model import LFAN as RefLFAN
+    from models.backbone import VisualBackbone as RefVB
+
+    RefLFAN.load_visual_backbone = (
+        lambda self, backbone_settings: RefVB(use_pretrained=False,
+                                              mode='ir'))
+    torch.manual_seed(0)
+    model = RefLFAN(
+        backbone_settings={'visual_state_dict': 'x', 'audio_state_dict': 'x'},
+        output_dim=7, task='CLASSIFICATION',
+        modality=['video', 'vggish', 'bert'], example_length=WINDOW,
+        kernel_size=5,
+        tcn_channel={'video': [256, 256, 128, 128],
+                     'vggish': [64, 64, 32, 32],
+                     'bert': [256, 256, 128, 128]},
+        modal_dim=32, num_heads=2, root_dir='', device='cpu')
+    model.init()
+    model.eval()
+
+    rng = np.random.default_rng(0)
+
+    def make_inputs():
+        return {
+            'video': torch.from_numpy(rng.normal(
+                size=(1, WINDOW, 3, 40, 40)).astype(np.float32)),
+            'vggish': torch.from_numpy(rng.normal(
+                size=(1, 1, WINDOW, 128)).astype(np.float32)),
+            'bert': torch.from_numpy(rng.normal(
+                size=(1, 1, WINDOW, 768)).astype(np.float32)),
+        }
+
+    with torch.no_grad():
+        model(make_inputs())  # warmup
+        iters = 2
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            model(make_inputs())
+        dt = time.perf_counter() - t0
+    fps = WINDOW * iters / dt
+    with open(BASELINE_CACHE, 'w') as f:
+        json.dump({'torch_cpu_fps': fps}, f)
+    return fps
+
+
+def main():
+    fps = bench_jax()
+    try:
+        base = bench_torch_reference()
+        ratio = fps / base
+    except Exception:
+        ratio = 0.0
+    print(json.dumps({
+        'metric': 'lfan_trimodal_inference_throughput',
+        'value': round(fps, 2),
+        'unit': 'frames/sec/chip (vs torch-CPU reference baseline)',
+        'vs_baseline': round(ratio, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,182 @@
+"""ArcFace ir-ResNet-50 visual backbone (frozen feature extractor).
+
+TPU re-implementation of /root/reference/models/arcface_model.py:44-151 +
+models/backbone.py:69-126: input (N, 40, 40, 3) face crops -> l2-normalized
+512-d embeddings.  NHWC layout end-to-end; weights port from the torch
+``res50_ir_0.887.pth`` checkpoint via :func:`visual_backbone_from_torch`.
+
+This is the hot op of the whole pipeline (B*T frames per step); bf16-ready:
+pass ``compute_dtype=jnp.bfloat16`` to run conv/matmul in bf16 on the MXU
+with fp32 batch-norm statistics.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from fvt_tpu.models.layers import PReLU
+
+
+def get_blocks_50() -> List[Tuple[int, int, int]]:
+    """(in_channel, depth, stride) per bottleneck (arcface_model.py:91-102)."""
+    blocks = []
+    for in_c, depth, num_units, stride in [(64, 64, 3, 1), (64, 128, 4, 2),
+                                           (128, 256, 14, 2),
+                                           (256, 512, 3, 2)]:
+        blocks.append((in_c, depth, stride))
+        blocks.extend([(depth, depth, 1)] * (num_units - 1))
+    return blocks
+
+
+class BottleneckIR(nn.Module):
+    """BN -> 3x3 conv -> PReLU -> 3x3 strided conv -> BN, + shortcut."""
+    in_channel: int
+    depth: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.in_channel == self.depth:
+            shortcut = x[:, ::self.stride, ::self.stride, :]  # MaxPool2d(1,s)
+        else:
+            shortcut = nn.Conv(self.depth, (1, 1), strides=self.stride,
+                               use_bias=False, dtype=self.dtype,
+                               name='shortcut_conv')(x)
+            shortcut = nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
+                                    name='shortcut_bn')(shortcut)
+
+        res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name='bn1')(x)
+        res = nn.Conv(self.depth, (3, 3), strides=1, padding=1,
+                      use_bias=False, dtype=self.dtype, name='conv1')(res)
+        res = PReLU(self.depth, name='prelu')(res)
+        res = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False, dtype=self.dtype, name='conv2')(res)
+        res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name='bn2')(res)
+        return res + shortcut
+
+
+class ArcFaceBackbone(nn.Module):
+    """Backbone(num_layers=50, mode='ir') with the 5x5 output layer
+    (backbone.py:99-103): 40x40 input -> 512-d l2-normed embedding."""
+    drop_ratio: float = 0.4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (3, 3), strides=1, padding=1, use_bias=False,
+                    dtype=self.dtype, name='input_conv')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='input_bn')(x)
+        x = PReLU(64, name='input_prelu')(x)
+
+        for i, (in_c, depth, stride) in enumerate(get_blocks_50()):
+            x = BottleneckIR(in_c, depth, stride, dtype=self.dtype,
+                             name=f'body{i}')(x, train=train)
+
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='output_bn2d')(x)
+        x = nn.Dropout(self.drop_ratio, deterministic=not train)(x)
+        x = x.reshape(x.shape[0], -1)  # NHWC flatten
+        x = x.astype(jnp.float32)
+        x = nn.Dense(512, name='output_linear')(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name='output_bn1d')(x)
+
+        norm = jnp.linalg.norm(x, ord=2, axis=1, keepdims=True)
+        return x / norm
+
+
+class VisualBackbone(nn.Module):
+    """Wrapper matching backbone.py:69-130 (extract() == forward())."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        return ArcFaceBackbone(dtype=self.dtype, name='backbone')(
+            x, train=train)
+
+
+# --------------------------------------------------------------- weight port
+def _np(x):
+    import numpy as np
+    if hasattr(x, 'detach'):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _conv(sd, prefix):
+    # torch OIHW -> flax HWIO
+    return {'kernel': _np(sd[f'{prefix}.weight']).transpose(2, 3, 1, 0)}
+
+
+def _bn(sd, prefix):
+    params = {'scale': _np(sd[f'{prefix}.weight']),
+              'bias': _np(sd[f'{prefix}.bias'])}
+    stats = {'mean': _np(sd[f'{prefix}.running_mean']),
+             'var': _np(sd[f'{prefix}.running_var'])}
+    return params, stats
+
+
+def _prelu(sd, prefix):
+    return {'alpha': _np(sd[f'{prefix}.weight'])}
+
+
+def arcface_from_torch(sd: dict, prefix: str = 'backbone'
+                       ) -> Tuple[dict, dict]:
+    """Convert a VisualBackbone torch state_dict (backbone.py layout:
+    input_layer.{0,1,2}, body.{i}.{shortcut_layer,res_layer}, output_layer)
+    to (params, batch_stats) for :class:`ArcFaceBackbone`."""
+    import numpy as np
+
+    params: dict = {}
+    stats: dict = {}
+
+    params['input_conv'] = _conv(sd, f'{prefix}.input_layer.0')
+    p, s = _bn(sd, f'{prefix}.input_layer.1')
+    params['input_bn'], stats['input_bn'] = p, s
+    params['input_prelu'] = _prelu(sd, f'{prefix}.input_layer.2')
+
+    for i, (in_c, depth, stride) in enumerate(get_blocks_50()):
+        blk: dict = {}
+        blk_stats: dict = {}
+        base = f'{prefix}.body.{i}'
+        if in_c != depth:
+            blk['shortcut_conv'] = _conv(sd, f'{base}.shortcut_layer.0')
+            p, s = _bn(sd, f'{base}.shortcut_layer.1')
+            blk['shortcut_bn'], blk_stats['shortcut_bn'] = p, s
+        p, s = _bn(sd, f'{base}.res_layer.0')
+        blk['bn1'], blk_stats['bn1'] = p, s
+        blk['conv1'] = _conv(sd, f'{base}.res_layer.1')
+        blk['prelu'] = _prelu(sd, f'{base}.res_layer.2')
+        blk['conv2'] = _conv(sd, f'{base}.res_layer.3')
+        p, s = _bn(sd, f'{base}.res_layer.4')
+        blk['bn2'], blk_stats['bn2'] = p, s
+        params[f'body{i}'] = blk
+        stats[f'body{i}'] = blk_stats
+
+    p, s = _bn(sd, f'{prefix}.output_layer.0')
+    params['output_bn2d'], stats['output_bn2d'] = p, s
+    # torch flattens NCHW (c*25 + h*5 + w); we flatten NHWC
+    w = _np(sd[f'{prefix}.output_layer.3.weight'])  # (512, 512*5*5)
+    w = w.reshape(512, 512, 5, 5).transpose(0, 2, 3, 1).reshape(512, -1)
+    params['output_linear'] = {
+        'kernel': w.T, 'bias': _np(sd[f'{prefix}.output_layer.3.bias'])}
+    p, s = _bn(sd, f'{prefix}.output_layer.4')
+    params['output_bn1d'], stats['output_bn1d'] = p, s
+
+    return params, stats
+
+
+def visual_backbone_from_torch(sd: dict) -> Tuple[dict, dict]:
+    """(params, batch_stats) for :class:`VisualBackbone` from the torch
+    VisualBackbone state_dict (keys rooted at 'backbone.')."""
+    params, stats = arcface_from_torch(sd, prefix='backbone')
+    return {'backbone': params}, {'backbone': stats}

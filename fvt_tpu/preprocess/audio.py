@@ -1,0 +1,108 @@
+"""Audio feature extraction: wav conversion, log-mel patches, VGGish.
+
+Ports of /root/reference/abaw5_pre_processing/base/audio.py:32-176 with the
+TPU VGGish (flax) doing the embedding.  ffmpeg is invoked when present
+(video -> 16 kHz mono wav, audio.py:32-51); extraction from existing wavs
+works without it.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+from fvt_tpu.preprocess import melspec
+
+
+def has_ffmpeg() -> bool:
+    return shutil.which('ffmpeg') is not None
+
+
+def convert_video_to_wav(input_path: str, output_path: str,
+                         sample_rate: int = 16000) -> str:
+    """ffmpeg -i in -vn -ar 16000 -ac 1 out.wav (idempotent)."""
+    if os.path.isfile(output_path):
+        return output_path
+    assert has_ffmpeg(), 'ffmpeg not available'
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    subprocess.run(
+        ['ffmpeg', '-y', '-loglevel', 'error', '-i', input_path, '-vn',
+         '-ar', str(sample_rate), '-ac', '1', output_path],
+        check=True)
+    return output_path
+
+
+def _pad_to_annotated(matrix: np.ndarray, annotated_idx: np.ndarray
+                      ) -> np.ndarray:
+    """Edge-pad the last element so every annotated index exists
+    (audio.py:162-172)."""
+    length = int(max(annotated_idx))
+    diff = length - len(matrix) + 1
+    if diff > 0:
+        pad = np.repeat(matrix[-1][None], diff, axis=0)
+        matrix = np.concatenate([matrix, pad], axis=0)
+    return matrix
+
+
+def extract_logmel(input_path: str, output_path: str,
+                   window_sec: float = 0.96, hop_sec: float = 0.04,
+                   annotated_idx: Optional[np.ndarray] = None):
+    """wav -> (n_frames, 96, 64) float16 log-mel patches -> .npy
+    (audio.py:151-176); one patch per annotated video frame."""
+    if os.path.isfile(output_path):
+        return
+    patches = melspec.wavfile_to_examples(input_path, window_sec, hop_sec)
+    if annotated_idx is not None:
+        patches = _pad_to_annotated(patches, annotated_idx)
+        patches = np.asarray(patches, dtype=np.float16)[annotated_idx]
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    np.save(output_path, patches)
+
+
+def extract_vggish_embeddings(input_path: str,
+                              params: dict,
+                              window_sec: float,
+                              hop_sec: float,
+                              input_size: int = 500,
+                              annotated_idx: Optional[np.ndarray] = None
+                              ) -> np.ndarray:
+    """wav -> VGGish 128-d embedding per video frame (audio.py:120-148 +
+    base/preprocessing.py:928-1018), batched on device.
+
+    ``params`` are flax VGGish params (weight-ported from vggish.pth via
+    fvt_tpu.models.vggish.vggish_from_torch).
+    """
+    import jax
+    import jax.numpy as jnp
+    from fvt_tpu.models.vggish import VGGish
+
+    examples = melspec.wavfile_to_examples(input_path, window_sec, hop_sec)
+    model = VGGish()
+
+    @jax.jit
+    def forward(x):
+        return model.apply({'params': params}, x, train=False)
+
+    outs = []
+    for start in range(0, len(examples), input_size):
+        chunk = np.asarray(examples[start:start + input_size],
+                           dtype=np.float32)
+        pad = 0
+        if len(chunk) < input_size and start > 0 or True:
+            # pad to the fixed batch for shape-stable jit
+            pad = input_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                     chunk.dtype)], axis=0)
+        out = np.asarray(forward(jnp.asarray(chunk)))
+        outs.append(out[:input_size - pad] if pad else out)
+    embeddings = np.vstack(outs) if outs else np.zeros((0, 128), np.float32)
+
+    if annotated_idx is not None and len(embeddings):
+        embeddings = _pad_to_annotated(embeddings, annotated_idx)
+        embeddings = embeddings[annotated_idx]
+    return embeddings

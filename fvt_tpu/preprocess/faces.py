@@ -1,0 +1,219 @@
+"""Face crop/align video driver + compaction to video.npy.
+
+TPU re-design of /root/reference/abaw5_pre_processing/dlib/c_expr_db.py:
+284-463 and dlib/compact_face_images.py:93-298:
+
+  * per video: frame loop -> detect faces -> 5-point warp to 256x256 ->
+    per-frame jpg store + frame log; on detection failure the previous
+    frame's faces are reused (c_expr_db.py:384-392);
+  * the warp runs as a batched device program (facealign.batched_warp_faces)
+    over chunks of frames instead of per-frame cv2 calls;
+  * compaction gathers the top face per frame into a (n, 256, 256, 3)
+    uint8 ``video.npy`` and asserts the other modality arrays agree on the
+    frame count (truncating them when longer, the reference's fixup
+    compact_face_images.py:245-276).
+
+The detector is pluggable: RetinaFace when its package is installed (as the
+reference uses), else an OpenCV Haar-cascade fallback with geometric
+5-point estimates (lower fidelity, but keeps the pipeline runnable with
+zero external weights).
+"""
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from fvt_tpu import constants
+from fvt_tpu.preprocess.facealign import batched_warp_faces
+from fvt_tpu.utils.logger import log
+
+OUT_SIZE = 256
+
+
+# ------------------------------------------------------------- detectors
+def _box_landmarks(x, y, w, h) -> np.ndarray:
+    """Canonical in-box 5-landmark geometry (fractions of the box)."""
+    return np.array([
+        [x + 0.30 * w, y + 0.40 * h],   # left eye
+        [x + 0.70 * w, y + 0.40 * h],   # right eye
+        [x + 0.50 * w, y + 0.62 * h],   # nose
+        [x + 0.35 * w, y + 0.80 * h],   # left mouth
+        [x + 0.65 * w, y + 0.80 * h],   # right mouth
+    ], dtype=np.float32)
+
+
+class CenterBoxDetector:
+    """Zero-dependency stub: one centered box + geometric landmarks.
+
+    Keeps the pipeline runnable in environments with no detector at all
+    (this image's cv2 lacks objdetect); fidelity is the full-frame
+    fallback the reference itself uses when detection fails."""
+
+    def detect(self, img_rgb: np.ndarray) -> List[dict]:
+        h, w = img_rgb.shape[:2]
+        s = min(h, w) * 0.8
+        x = (w - s) / 2.0
+        y = (h - s) / 2.0
+        return [{'bbox': np.array([x, y, x + s, y + s], float),
+                 'score': 1.0, 'landmarks': _box_landmarks(x, y, s, s)}]
+
+
+class HaarFaceDetector:
+    """cv2 Haar cascade + geometric landmark estimate (fallback)."""
+
+    def __init__(self, confidence_threshold: float = 0.9):
+        import cv2
+        assert hasattr(cv2, 'CascadeClassifier'), \
+            'cv2 built without objdetect'
+        path = join(cv2.data.haarcascades,
+                    'haarcascade_frontalface_default.xml')
+        self.cascade = cv2.CascadeClassifier(path)
+
+    def detect(self, img_rgb: np.ndarray) -> List[dict]:
+        import cv2
+        gray = cv2.cvtColor(img_rgb, cv2.COLOR_RGB2GRAY)
+        boxes = self.cascade.detectMultiScale(gray, 1.1, 4)
+        out = []
+        for (x, y, w, h) in boxes:
+            out.append({'bbox': np.array([x, y, x + w, y + h], float),
+                        'score': float(w * h),
+                        'landmarks': _box_landmarks(x, y, w, h)})
+        out.sort(key=lambda d: d['score'], reverse=True)
+        return out
+
+
+class RetinaFaceDetector:
+    """The reference's detector (retinaface_align.py:64-185); gated on the
+    retinaface package + weights being installed."""
+
+    def __init__(self, confidence_threshold: float = 0.9):
+        from retinaface.pre_trained_models import get_model  # gated import
+        import torch
+        self.threshold = confidence_threshold
+        self.model = get_model('resnet50_2020-07-20', max_size=2048,
+                               device='cpu')
+        self.model.eval()
+
+    def detect(self, img_rgb: np.ndarray) -> List[dict]:
+        preds = self.model.predict_jsons(
+            img_rgb, confidence_threshold=self.threshold,
+            nms_threshold=0.4)
+        out = []
+        for p in preds:
+            if p['score'] == -1:
+                continue
+            out.append({'bbox': np.asarray(p['bbox'], float),
+                        'score': float(p['score']),
+                        'landmarks': np.asarray(p['landmarks'],
+                                                np.float32)})
+        out.sort(key=lambda d: d['score'], reverse=True)
+        return out
+
+
+def default_detector():
+    for cls in (RetinaFaceDetector, HaarFaceDetector, CenterBoxDetector):
+        try:
+            return cls()
+        except Exception:
+            continue
+    raise RuntimeError('no face detector available')
+
+
+# ----------------------------------------------------------- video driver
+def read_video_frames(path: str):
+    """Yield RGB frames via cv2 (c_expr_db.py:344-398)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
+
+
+def process_one_video(video_path: str, out_dir: str, detector=None,
+                      chunk: int = 64, store_jpgs: bool = True
+                      ) -> np.ndarray:
+    """Detect+align every frame; returns (n, 256, 256, 3) uint8 top faces.
+
+    Failure semantics match the reference: frames with no detection reuse
+    the previous frame's landmarks; a leading run of failures falls back to
+    the full (resized) frame.
+    """
+    detector = detector or default_detector()
+    os.makedirs(out_dir, exist_ok=True)
+
+    frames: List[np.ndarray] = []
+    landmarks: List[Optional[np.ndarray]] = []
+    prev_lms: Optional[np.ndarray] = None
+    frame_log = []
+
+    for i, frame in enumerate(read_video_frames(video_path)):
+        dets = detector.detect(frame)
+        if dets:
+            prev_lms = dets[0]['landmarks']
+            frame_log.append((i, len(dets)))
+        else:
+            frame_log.append((i, 0))
+        frames.append(frame)
+        landmarks.append(prev_lms.copy() if prev_lms is not None else None)
+
+    n = len(frames)
+    if n == 0:
+        return np.zeros((0, OUT_SIZE, OUT_SIZE, 3), np.uint8)
+
+    out = np.zeros((n, OUT_SIZE, OUT_SIZE, 3), np.uint8)
+    # batched warp for frames with landmarks; resize-fallback otherwise
+    have = [i for i in range(n) if landmarks[i] is not None]
+    if have:
+        for start in range(0, len(have), chunk):
+            idxs = have[start:start + chunk]
+            sub = np.stack([frames[i] for i in idxs])
+            lms = np.stack([landmarks[i] for i in idxs])
+            out[idxs] = batched_warp_faces(sub, lms, out_size=OUT_SIZE)
+    missing = [i for i in range(n) if landmarks[i] is None]
+    if missing:
+        import cv2
+        for i in missing:
+            out[i] = cv2.resize(frames[i], (OUT_SIZE, OUT_SIZE))
+
+    if store_jpgs:
+        from PIL import Image
+        for i in range(n):
+            fd = join(out_dir, f'frame-{i}')
+            os.makedirs(fd, exist_ok=True)
+            Image.fromarray(out[i]).save(join(fd, 'face-0.jpg'))
+        with open(join(out_dir, 'frames.log'), 'w') as f:
+            for i, k in frame_log:
+                f.write(f'{i},{k}\n')
+
+    return out
+
+
+# ------------------------------------------------------------- compaction
+def compact_video_npy(trial_dir: str, faces: np.ndarray,
+                      features: Tuple[str, ...] = (constants.VGGISH,
+                                                   constants.BERT,
+                                                   constants.EXPR)):
+    """Write video.npy and reconcile other modality lengths
+    (compact_face_images.py:204-292)."""
+    n = faces.shape[0]
+    np.save(join(trial_dir, 'video.npy'), faces)
+    for feature in features:
+        path = join(trial_dir, f'{feature}.npy')
+        if not os.path.isfile(path):
+            continue
+        arr = np.load(path)
+        if arr.shape[0] > n:
+            log(f"truncating {feature} {arr.shape[0]} -> {n} frames "
+                f"({trial_dir})")
+            np.save(path, arr[:n])
+        else:
+            assert arr.shape[0] == n, \
+                f"{feature}: {arr.shape[0]} != {n} frames ({trial_dir})"

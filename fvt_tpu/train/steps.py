@@ -17,6 +17,24 @@ import flax
 from flax import struct
 
 from fvt_tpu import constants
+from fvt_tpu.data.transforms import (train_video_transform,
+                                     eval_video_transform)
+
+
+def _device_transform(inputs: Dict[str, jnp.ndarray], train: bool,
+                      rng: Optional[jax.Array] = None
+                      ) -> Dict[str, jnp.ndarray]:
+    """Raw uint8 video windows get the group transform on device
+    (resize 48 -> crop 40 -> [flip] -> normalize); everything else passes
+    through.  The dtype test is static at trace time."""
+    video = inputs.get(constants.VIDEO)
+    if video is not None and video.dtype in (jnp.uint8, jnp.int8):
+        out = dict(inputs)
+        v = video.astype(jnp.float32)
+        out[constants.VIDEO] = (train_video_transform(v, rng) if train
+                                else eval_video_transform(v))
+        return out
+    return inputs
 
 
 class TrainState(struct.PyTreeNode):
@@ -30,7 +48,11 @@ def create_train_state(model, optimizer, sample_batch: Dict[str, jnp.ndarray],
                        rng: jax.Array) -> TrainState:
     inputs = {k: v for k, v in sample_batch.items()
               if 'continuous_label' not in k}
-    variables = model.init(rng, inputs, train=False)
+    inputs = _device_transform(inputs, train=False)
+    # jit the init: eager init of the 50-block ResNet dispatches thousands
+    # of tiny ops (hundreds of seconds on TPU); compiled it is ~seconds
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False))(rng, inputs)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     opt_state = optimizer.init(params)
@@ -53,6 +75,8 @@ def make_train_step(model, optimizer) -> Callable:
         labels = batch[constants.EXPR]
         inputs = {k: v for k, v in batch.items()
                   if 'continuous_label' not in k}
+        transform_rng, dropout_rng = jax.random.split(dropout_rng)
+        inputs = _device_transform(inputs, train=True, rng=transform_rng)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -86,6 +110,7 @@ def make_eval_step(model, needs_time_mask: bool = False) -> Callable:
     if needs_time_mask:
         @jax.jit
         def eval_step(params, batch_stats, inputs, length):
+            inputs = _device_transform(inputs, train=False)
             t = next(iter(inputs.values())).shape[1]
             mask = jnp.arange(t)[None, :] < length
             return model.apply({'params': params, 'batch_stats': batch_stats},
@@ -93,6 +118,7 @@ def make_eval_step(model, needs_time_mask: bool = False) -> Callable:
     else:
         @jax.jit
         def eval_step(params, batch_stats, inputs, length=None):
+            inputs = _device_transform(inputs, train=False)
             return model.apply({'params': params, 'batch_stats': batch_stats},
                                inputs, train=False)
 

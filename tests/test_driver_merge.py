@@ -1,0 +1,92 @@
+"""Sharded preprocessing driver + merge + face compaction, end to end."""
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+import yaml
+
+from fvt_tpu import constants
+from fvt_tpu.preprocess.driver import PreprocessingDriver
+from fvt_tpu.preprocess.merge import merge_results
+from fvt_tpu.preprocess import faces as faces_mod
+
+
+def _write_video(path, n_frames=12, size=64, fps=25):
+    cv2 = pytest.importorskip('cv2')
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fourcc = cv2.VideoWriter_fourcc(*'MJPG')
+    w = cv2.VideoWriter(path, fourcc, fps, (size, size))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    for _ in range(n_frames):
+        w.write(rng.integers(0, 255, size=(size, size, 3)).astype(np.uint8))
+    w.release()
+
+
+@pytest.fixture(scope='module')
+def video_store(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('videos'))
+    folds = join(root, 'folds', 'split-0')
+    os.makedirs(folds, exist_ok=True)
+    lines = []
+    for i in range(4):
+        trial = f'train/clip{i}'
+        _write_video(join(root, 'raw', trial + '.avi'), n_frames=10 + i)
+        lines.append(f'{trial},{i % 7},hello world clip {i}')
+    with open(join(folds, 'train.txt'), 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+    with open(join(folds, 'class_id.yaml'), 'w') as f:
+        yaml.dump({c: i for i, c in enumerate(
+            ['a', 'b', 'c', 'd', 'e', 'f', 'g'])}, f)
+    return root
+
+
+def test_sharded_driver_and_merge(video_store, tmp_path):
+    out_root = str(tmp_path / 'out')
+    for part in range(2):
+        drv = PreprocessingDriver(
+            constants.MELD, constants.TRAINSET, part=part, nparts=2,
+            video_root=join(video_store, 'raw'),
+            output_root=out_root,
+            folds_dir=join(video_store, 'folds'))
+        records = drv.run()
+        assert len(records) == 2  # 4 trials over 2 parts
+
+    feat = join(out_root, 'features')
+    info = merge_results(feat, constants.MELD, constants.TRAINSET)
+    assert len(info['trial']) == 4
+    assert info['data_folder'] == 'compacted_48'
+    assert sorted(info['trial']) == [f'train/clip{i}' for i in range(4)]
+
+    # per-trial store: labels broadcast + zero-bert alignment
+    tdir = join(feat, 'compacted_48', 'train/clip0')
+    labels = np.load(join(tdir, 'EXPR_continuous_label.npy'))
+    assert labels.shape == (10,) and (labels == 0).all()
+    bert = np.load(join(tdir, 'bert.npy'))
+    assert bert.shape == (10, 768)
+
+    # master pickle is loadable by the Experiment schema
+    from fvt_tpu.data.arranger import DataArranger  # noqa: F401  (smoke)
+
+
+def test_face_pipeline_and_compaction(video_store, tmp_path):
+    vpath = join(video_store, 'raw', 'train/clip0.avi')
+    out_dir = str(tmp_path / 'faces')
+    faces = faces_mod.process_one_video(
+        vpath, out_dir, detector=faces_mod.CenterBoxDetector(),
+        store_jpgs=True)
+    assert faces.shape == (10, 256, 256, 3)
+    assert faces.dtype == np.uint8
+    assert os.path.isfile(join(out_dir, 'frames.log'))
+    assert os.path.isfile(join(out_dir, 'frame-0', 'face-0.jpg'))
+
+    # compaction reconciles longer feature arrays by truncation
+    tdir = str(tmp_path / 'trial')
+    os.makedirs(tdir, exist_ok=True)
+    np.save(join(tdir, 'vggish.npy'), np.zeros((12, 128), np.float32))
+    np.save(join(tdir, 'EXPR_continuous_label.npy'),
+            np.zeros((10,), np.int64))
+    faces_mod.compact_video_npy(tdir, faces)
+    assert np.load(join(tdir, 'video.npy')).shape == (10, 256, 256, 3)
+    assert np.load(join(tdir, 'vggish.npy')).shape[0] == 10
