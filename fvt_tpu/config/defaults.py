@@ -100,6 +100,8 @@ def get_config(ds: str) -> dict:
         'eval_bucket_quantum': 100,   # T padding quantum for eval jits
         'data_parallel': False,       # shard the train step over devices
         'checkpoint_every': 0,        # orbax checkpoint period (0 = off)
+        'profile_epochs': 0,          # jax.profiler trace for first N epochs
+        'nan_guard': False,           # per-step finite-loss assertion
     }
 
 

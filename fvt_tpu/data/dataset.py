@@ -34,12 +34,14 @@ class ExampleBuilder:
                  mean_std: Optional[dict] = None,
                  feature_dimension: Optional[dict] = None,
                  normalized_features: Sequence[str] = (constants.VGGISH,
-                                                      constants.BERT)):
+                                                      constants.BERT),
+                 use_native: bool = True):
         self.modality = list(modality)
         self.window_length = window_length
         self.mean_std = mean_std or {}
         self.feature_dimension = feature_dimension or MC.FEATURE_DIMENSION
         self.normalized_features = set(normalized_features)
+        self.use_native = use_native
 
     def _gather(self, path: str, length: int, index: np.ndarray,
                 feature: str) -> np.ndarray:
@@ -49,8 +51,13 @@ class ExampleBuilder:
             gather_idx = index
 
         if npy_exists(path, feature):
-            data = load_npy(path, feature)[gather_idx]
-            data = np.asarray(data)
+            filename = os.path.join(path, feature + '.npy')
+            data = None
+            if self.use_native:
+                from fvt_tpu.data import native_store
+                data = native_store.gather_rows(filename, gather_idx)
+            if data is None:
+                data = np.asarray(load_npy(path, feature)[gather_idx])
         else:
             # missing modality file -> zeros (base/dataset.py:606-618)
             shape = (len(gather_idx),) + self.feature_dimension[feature]

@@ -1,0 +1,100 @@
+"""ctypes binding for the native feature-store gather (native/fvt_store.cpp).
+
+Parses the .npy v1/v2 header once per file (cached), then gathers window
+rows through the C library (GIL released -> the loader's thread pool gets
+real parallelism).  Falls back to numpy mmap when the library is absent;
+build it with ``make -C native``.
+"""
+from __future__ import annotations
+
+import ast
+import ctypes
+import os
+import struct
+import subprocess
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), 'native', 'libfvt_store.so')
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.isfile(_LIB_PATH):
+        try:  # best-effort build (g++ is in the image)
+            subprocess.run(['make', '-C', os.path.dirname(_LIB_PATH)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.fvt_gather_rows.restype = ctypes.c_int
+    lib.fvt_gather_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    lib.fvt_read_slice.restype = ctypes.c_int
+    lib.fvt_read_slice.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load_lib() is not None
+
+
+@lru_cache(maxsize=4096)
+def npy_header(path: str) -> Tuple[int, Tuple[int, ...], np.dtype, bool]:
+    """(data_offset, shape, dtype, fortran_order) of a .npy file."""
+    with open(path, 'rb') as f:
+        magic = f.read(6)
+        assert magic == b'\x93NUMPY', path
+        major, minor = f.read(2)
+        if major == 1:
+            (hlen,) = struct.unpack('<H', f.read(2))
+            offset = 10 + hlen
+        else:
+            (hlen,) = struct.unpack('<I', f.read(4))
+            offset = 12 + hlen
+        header = f.read(hlen).decode('latin1')
+    meta = ast.literal_eval(header)
+    return (offset, tuple(meta['shape']), np.dtype(meta['descr']),
+            bool(meta['fortran_order']))
+
+
+def gather_rows(path: str, indices: np.ndarray,
+                num_threads: int = 4) -> Optional[np.ndarray]:
+    """Rows ``indices`` of the 2+D array at ``path``; None if the native
+    path is unavailable for this file."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    offset, shape, dtype, fortran = npy_header(path)
+    if fortran or len(shape) < 1:
+        return None
+    row_elems = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 \
+        else 1
+    row_bytes = row_elems * dtype.itemsize
+
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    assert idx.size == 0 or (idx.min() >= 0 and idx.max() < shape[0]), \
+        (path, shape)
+    out = np.empty((idx.size,) + shape[1:], dtype=dtype)
+    rc = lib.fvt_gather_rows(
+        path.encode(), offset, row_bytes,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), idx.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+    if rc != 0:
+        return None
+    return out

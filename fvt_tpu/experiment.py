@@ -155,9 +155,18 @@ class Experiment:
         trainer.init_state(self._sample_batch(loaders))
         if getattr(self.args, 'pretrained_torch_ckpt', None):
             self._load_torch_ckpt(trainer, self.args.pretrained_torch_ckpt)
+
+        checkpointer = None
+        every = getattr(self.args, 'checkpoint_every', 0)
+        if every or getattr(self.args, 'resume', False):
+            from fvt_tpu.train.checkpoint import Checkpointer
+            checkpointer = Checkpointer(self.args.outd, every=every or 1)
+            checkpointer.allow_restore = bool(self.args.resume)
+
         trainer.optimize(loaders[constants.TRAINSET],
                          loaders[constants.VALIDSET],
-                         loaders[constants.TESTSET])
+                         loaders[constants.TESTSET],
+                         checkpointer=checkpointer)
         return trainer
 
     def run_eval(self, path_model: str):

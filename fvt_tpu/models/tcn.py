@@ -45,6 +45,8 @@ class TemporalConvNet(nn.Module):
     num_channels: Sequence[int]
     kernel_size: int = 2
     dropout: float = 0.2
+    attention: int = 0
+    max_length: int = 200
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -52,4 +54,15 @@ class TemporalConvNet(nn.Module):
             x = TemporalBlock(ch, self.kernel_size, dilation=2 ** i,
                               dropout=self.dropout, name=f'block{i}')(
                                   x, train=train)
+            if self.attention == 1:
+                # reference interleaves AttentionBlock(max_length^3) after
+                # every temporal block, applied on the torch (B, C, T)
+                # layout — i.e. attention over CHANNELS with time as the
+                # feature axis (temporal_convolutional_model.py:69-70);
+                # reproduced by transposing around the block
+                from fvt_tpu.models.fusion_extra import TCNAttentionBlock
+                xt = x.transpose(0, 2, 1)
+                xt = TCNAttentionBlock(self.max_length, self.max_length,
+                                       name=f'attn{i}')(xt)
+                x = xt.transpose(0, 2, 1)
         return x

@@ -55,8 +55,17 @@ class Trainer:
         self.scheduler = optim.build_scheduler(
             hp, args.num_epochs, args.min_num_epochs)
 
-        self.train_step = train_step_fn or make_train_step(
-            self.model, self.optimizer)
+        self.mesh = None
+        if getattr(args, 'data_parallel', False) and len(jax.devices()) > 1:
+            from fvt_tpu.parallel.mesh import make_mesh
+            from fvt_tpu.parallel.dp import make_dp_train_step
+            self.mesh = make_mesh()
+            self.train_step = train_step_fn or make_dp_train_step(
+                self.model, self.optimizer, self.mesh)
+            log(fmsg(f"data-parallel over {self.mesh.shape} devices"))
+        else:
+            self.train_step = train_step_fn or make_train_step(
+                self.model, self.optimizer)
         needs_mask = model_name in (constants.JMT, constants.MT)
         self.eval_step = make_eval_step(self.model, needs_time_mask=True) \
             if needs_mask else make_eval_step(self.model)
@@ -80,13 +89,43 @@ class Trainer:
         epoch_key = rng_mod.fold_key(
             rng_mod.root_key(self.args.seed), 'epoch', epoch)
 
+        profiling = epoch < getattr(self.args, 'profile_epochs', 0)
+        if profiling:
+            trace_dir = os.path.join(self.args.outd, 'profile')
+            jax.profiler.start_trace(trace_dir)
+            log(f"jax.profiler tracing epoch {epoch} -> {trace_dir}")
+
+        n_dev = len(self.mesh.devices.flat) if self.mesh is not None else 1
+
         running, count = 0.0, 0
         for i, batch in enumerate(loader.epoch(epoch)):
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            bsz = next(iter(batch.values())).shape[0]
+            if self.mesh is not None:
+                if bsz % n_dev != 0:
+                    # final ragged batch: keep global-batch semantics by
+                    # padding to a device multiple and masking is overkill
+                    # for one batch/epoch — skip it (logged once)
+                    if epoch == 0:
+                        log(f"DP: skipping ragged final batch of {bsz} "
+                            f"(not divisible by {n_dev} devices)")
+                    continue
+                from fvt_tpu.parallel.mesh import shard_batch
+                jbatch = shard_batch(batch, self.mesh)
+            else:
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.state, loss = self.train_step(
                 self.state, jbatch, jax.random.fold_in(epoch_key, i))
-            running += float(loss)
+            loss = float(loss)
+            if getattr(self.args, 'nan_guard', False) and not \
+                    np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at epoch {epoch} step {i} "
+                    f"(lr={optim.get_lr(self.state.opt_state):.3e})")
+            running += loss
             count += 1
+
+        if profiling:
+            jax.profiler.stop_trace()
 
         # next-epoch lr (scheduler stepped after each epoch, trainer.py:694)
         if self.scheduler is not None:
@@ -180,29 +219,44 @@ class Trainer:
 
     # --------------------------------------------------------------- driver
     def optimize(self, train_loader: TrainLoader, valid_loader: EvalLoader,
-                 test_loader: EvalLoader):
+                 test_loader: EvalLoader, checkpointer=None):
         log(fmsg(f"Starting training on {jax.default_backend()} "
                  f"({len(jax.devices())} device(s))"))
         t_start = time.time()
-
-        current_perf, _ = self.inference(valid_loader)
-
-        valid_tracker = M.build_trackers(self.args.dataset_name,
-                                         self.args.use_other_class)
-        test_tracker = copy.deepcopy(valid_tracker)
-        best_params = {}
         host = lambda tree: jax.tree.map(np.asarray, tree)  # noqa: E731
-        for item in valid_tracker:
-            valid_tracker[item].append(current_perf)
-            best_params[item] = (host(self.state.params),
-                                 host(self.state.batch_stats))
-            log(f"{constants.VALIDSET}: "
-                f"{valid_tracker[item].current_status_str}")
-            log(f"{constants.VALIDSET}: "
-                f"{valid_tracker[item].best_status_str}")
 
-        loss_tracker = []
-        for epoch in range(self.args.num_epochs):
+        start_epoch = 0
+        valid_tracker = None
+        restored = None
+        if checkpointer is not None and getattr(checkpointer,
+                                                'allow_restore', True):
+            restored = checkpointer.restore(self.state)
+        if restored is not None:
+            (last_epoch, self.state, valid_tracker, best_params,
+             loss_tracker) = restored
+            start_epoch = last_epoch + 1
+            if self.scheduler is not None:
+                self.state = self.state.replace(opt_state=optim.set_lr(
+                    self.state.opt_state, self.scheduler.lr(start_epoch)))
+        if valid_tracker is None:
+            current_perf, _ = self.inference(valid_loader)
+            valid_tracker = M.build_trackers(self.args.dataset_name,
+                                             self.args.use_other_class)
+            best_params = {}
+            loss_tracker = []
+            for item in valid_tracker:
+                valid_tracker[item].append(current_perf)
+                best_params[item] = (host(self.state.params),
+                                     host(self.state.batch_stats))
+                log(f"{constants.VALIDSET}: "
+                    f"{valid_tracker[item].current_status_str}")
+                log(f"{constants.VALIDSET}: "
+                    f"{valid_tracker[item].best_status_str}")
+
+        test_tracker = M.build_trackers(self.args.dataset_name,
+                                        self.args.use_other_class)
+
+        for epoch in range(start_epoch, self.args.num_epochs):
             epoch_loss = self.train_one_epoch(train_loader, epoch)
             loss_tracker.append(epoch_loss)
 
@@ -216,6 +270,10 @@ class Trainer:
                     f"{valid_tracker[item].current_status_str}")
                 log(f"{constants.VALIDSET}: "
                     f"{valid_tracker[item].best_status_str}")
+
+            if checkpointer is not None and checkpointer.should_save(epoch):
+                checkpointer.save(epoch, self.state, valid_tracker,
+                                  best_params, loss_tracker)
 
         self.fit_finished = True
 

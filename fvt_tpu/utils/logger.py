@@ -45,9 +45,11 @@ class ExperimentLogger:
             if step is not None:
                 rec['step'] = step
             self._json.write(json.dumps(rec, default=str) + '\n')
+            self._json.flush()
         line = f"[{stamp} +{elapsed:9.2f}s] {message}"
         if self._txt is not None:
             self._txt.write(line + '\n')
+            self._txt.flush()
         if self.verbose:
             print(line, flush=True)
 

@@ -18,6 +18,14 @@ import jax  # noqa: E402  (before any other module pulls in jax)
 # knob wins over the env var regardless of import order
 jax.config.update('jax_platforms', 'cpu')
 
+# persistent compilation cache: repeated suite runs skip the expensive
+# ResNet-50 grad compiles (minutes -> seconds)
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          '.jax_cache')
+jax.config.update('jax_compilation_cache_dir', _CACHE_DIR)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)

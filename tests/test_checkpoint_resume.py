@@ -1,0 +1,52 @@
+"""Checkpoint/resume: interrupted training continues with identical
+tracker state and produces the final artifacts."""
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+
+from synth_store import make_meld_store
+
+
+def _args(store, outd, epochs, resume=False):
+    return [
+        '--dataset_name', 'MELD',
+        '--dataset_path', store['dataset_path'],
+        '--folds_dir', store['folds_dir'],
+        '--modality', 'vggish+bert+EXPR_continuous_label',
+        '--model_name', 'LFAN',
+        '--num_epochs', str(epochs),
+        '--train_batch_size', '4',
+        '--num_workers', '1',
+        '--window_length', '12',
+        '--hop_length', '8',
+        '--eval_bucket_quantum', '12',
+        '--outd', outd,
+        '--checkpoint_every', '1',
+        '--resume', 'true' if resume else 'false',
+    ]
+
+
+def test_checkpoint_resume(tmp_path):
+    store = make_meld_store(str(tmp_path / 'store'), n_train=8, n_val=4,
+                            n_test=4, min_len=6, max_len=20)
+    from fvt_tpu.main import main
+
+    # run 1: train 1 epoch with checkpointing
+    outd = str(tmp_path / 'exp')
+    main(_args(store, outd, epochs=1))
+    assert os.path.isdir(join(outd, 'checkpoints'))
+    assert os.path.isfile(join(outd, 'passed.txt'))
+
+    # simulate interruption: remove the pass gate, extend epochs, resume
+    os.remove(join(outd, 'passed.txt'))
+    main(_args(store, outd, epochs=2, resume=True))
+    assert os.path.isfile(join(outd, 'passed.txt'))
+
+    # log contains the restore line
+    with open(join(outd, 'log.txt')) as f:
+        logtxt = f.read()
+    assert 'restored checkpoint from epoch 0' in logtxt
+    # and training continued (epoch 1 ran, epoch 0 NOT re-run post-restore)
+    assert 'Train epoch (1/2)' in logtxt

@@ -1,0 +1,83 @@
+"""Data-parallel training over the virtual 8-device CPU mesh."""
+import os
+from os.path import join
+
+import numpy as np
+import jax
+import pytest
+
+from synth_store import make_meld_store
+
+
+def test_dp_training_end_to_end(tmp_path):
+    assert len(jax.devices()) == 8, jax.devices()
+    store = make_meld_store(str(tmp_path / 'store'), n_train=16, n_val=4,
+                            n_test=4, min_len=6, max_len=20)
+    outd = str(tmp_path / 'exp')
+    from fvt_tpu.main import main
+    main([
+        '--dataset_name', 'MELD',
+        '--dataset_path', store['dataset_path'],
+        '--folds_dir', store['folds_dir'],
+        '--modality', 'vggish+bert+EXPR_continuous_label',
+        '--model_name', 'LFAN',
+        '--num_epochs', '1',
+        '--train_batch_size', '8',
+        '--num_workers', '1',
+        '--window_length', '12',
+        '--hop_length', '8',
+        '--eval_bucket_quantum', '12',
+        '--outd', outd,
+        '--data_parallel', 'true',
+    ])
+    assert os.path.isfile(join(outd, 'passed.txt'))
+    with open(join(outd, 'log.txt')) as f:
+        logtxt = f.read()
+    assert 'data-parallel over' in logtxt
+
+
+def test_dp_step_matches_single_device():
+    """One DP step over 8 shards == one single-device step (same batch)."""
+    import jax.numpy as jnp
+    from fvt_tpu import constants
+    from fvt_tpu.models.models import LFAN
+    from fvt_tpu.parallel.mesh import make_mesh, shard_batch
+    from fvt_tpu.parallel.dp import make_dp_train_step
+    from fvt_tpu.train.steps import create_train_state, make_train_step
+    from fvt_tpu.train import optim
+    from fvt_tpu.config.defaults import get_config
+
+    hp = optim.standardize_opt_params(get_config(constants.MELD))
+    optimizer = optim.build_optimizer(hp)
+    model = LFAN(modality=('vggish', 'bert'), output_dim=7,
+                 tcn_dropout=0.0, fusion_dropout=0.0)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        'vggish': jnp.asarray(rng.normal(size=(8, 16, 128)
+                                         ).astype(np.float32)),
+        'bert': jnp.asarray(rng.normal(size=(8, 16, 768)
+                                       ).astype(np.float32)),
+        constants.EXPR: jnp.asarray(rng.integers(0, 7, size=(8, 16)
+                                                 ).astype(np.int32)),
+    }
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+
+    single = make_train_step(model, optimizer)
+    s1, loss1 = single(state, batch, jax.random.key(1))
+
+    mesh = make_mesh(8)
+    with mesh:
+        dp = make_dp_train_step(model, optimizer, mesh)
+        state2 = create_train_state(model, optimizer, batch,
+                                    jax.random.key(0))
+        s2, loss2 = dp(state2, shard_batch(batch, mesh), jax.random.key(1))
+
+    # loss is identical (same global batch, dropout off)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    # params after one step agree across the data split
+    flat1 = jax.tree.leaves(s1.params)
+    flat2 = jax.tree.leaves(s2.params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

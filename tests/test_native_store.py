@@ -1,0 +1,57 @@
+"""Native C++ feature-store gather: build + parity + performance sanity."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+from fvt_tpu.data import native_store
+
+
+def test_native_gather_parity(tmp_path):
+    if not native_store.available():
+        pytest.skip('native library failed to build')
+    rng = np.random.default_rng(0)
+    for shape, dtype in [((200, 128), np.float32),
+                         ((150, 96, 64), np.float16),
+                         ((64, 256, 256, 3), np.uint8),
+                         ((100,), np.int64)]:
+        arr = (rng.normal(size=shape) * 10).astype(dtype)
+        p = str(tmp_path / f'a_{len(shape)}.npy')
+        np.save(p, arr)
+
+        idx = rng.integers(0, shape[0], size=37)
+        got = native_store.gather_rows(p, idx)
+        assert got is not None
+        np.testing.assert_array_equal(got, arr[idx])
+
+
+def test_npy_header_parse(tmp_path):
+    arr = np.zeros((5, 7), np.float32)
+    p = str(tmp_path / 'h.npy')
+    np.save(p, arr)
+    offset, shape, dtype, fortran = native_store.npy_header(p)
+    assert shape == (5, 7) and dtype == np.float32 and not fortran
+    with open(p, 'rb') as f:
+        f.seek(offset)
+        data = np.frombuffer(f.read(), dtype=np.float32)
+    assert data.size == 35
+
+
+def test_example_builder_uses_native(tmp_path):
+    from fvt_tpu.data.dataset import ExampleBuilder
+    from fvt_tpu import constants
+    rng = np.random.default_rng(1)
+    tdir = str(tmp_path / 'trial')
+    os.makedirs(tdir)
+    vggish = rng.normal(size=(40, 128)).astype(np.float32)
+    np.save(os.path.join(tdir, 'vggish.npy'), vggish)
+    labels = rng.integers(0, 7, size=(40,))
+    np.save(os.path.join(tdir, 'EXPR_continuous_label.npy'), labels)
+
+    for use_native in (True, False):
+        b = ExampleBuilder(['vggish', constants.EXPR], window_length=16,
+                           use_native=use_native)
+        ex = b.build([tdir, 't', 40, np.arange(8, 24)])
+        np.testing.assert_allclose(ex['vggish'], vggish[8:24], atol=0)
+        np.testing.assert_array_equal(ex[constants.EXPR], labels[8:24])

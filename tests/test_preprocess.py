@@ -99,3 +99,28 @@ def test_batched_warp_matches_single():
                                        crop_size=(64, 64))
         np.testing.assert_allclose(batched[t].astype(int),
                                    single.astype(int), atol=1)
+
+
+def test_mfcc_shape_and_deltas(tmp_path):
+    import wave
+    from fvt_tpu.preprocess import mfcc as MF
+    rng = np.random.default_rng(5)
+    sr = 16000
+    wav = (rng.normal(size=(sr * 2,)) * 6000).astype(np.int16)
+    p = str(tmp_path / 'm.wav')
+    with wave.open(p, 'wb') as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(wav.tobytes())
+
+    feats = MF.mfcc(wav / 32768.0)
+    assert feats.shape[1] == 39           # 13 + delta + delta-delta
+    assert abs(feats.shape[0] - 198) <= 2  # ~100 Hz frame rate
+
+    out = str(tmp_path / 'mfcc.npy')
+    MF.extract_mfcc(p, out, annotated_idx=np.arange(50))
+    assert np.load(out).shape == (50, 39)
+
+    with pytest.raises(NotImplementedError):
+        MF.extract_egemaps(p, str(tmp_path / 'ege.npy'))
