@@ -125,3 +125,54 @@ class EvalLoader:
                 if item is not None:
                     pending.append(pool.submit(self._build, item))
                 yield fut.result()
+
+    def batches(self, batch_videos: int = 1,
+                windowed_threshold: Optional[int] = None):
+        """Group same-bucket videos into batches of up to ``batch_videos``.
+
+        Yields (batch(B, bucket, ...), trials, true_lens, bucket).  Videos
+        whose padded length exceeds ``windowed_threshold`` (the model
+        window — they take the stitch path) are yielded as singletons.
+        Outputs are per-video identical to the bs=1 path; only throughput
+        changes.
+        """
+        def bucket_of(item):
+            tl = self.builder.padded_length(item[2])
+            return round_up(tl, self.bucket_quantum)
+
+        singles, groups = [], {}
+        for item in self.work_list:
+            b = bucket_of(item)
+            if windowed_threshold is not None and \
+                    self.builder.padded_length(item[2]) > windowed_threshold:
+                singles.append(item)
+            else:
+                groups.setdefault(b, []).append(item)
+
+        jobs = [[i] for i in singles]
+        for b, items in sorted(groups.items()):
+            for s in range(0, len(items), batch_videos):
+                jobs.append(items[s:s + batch_videos])
+
+        def build_job(job):
+            built = [self._build(i) for i in job]
+            batch = {k: np.concatenate([ex[0][k] for ex in built], axis=0)
+                     for k in built[0][0]}
+            trials = [ex[1] for ex in built]
+            lens = [ex[2] for ex in built]
+            return batch, trials, lens, built[0][3]
+
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            pending = []
+            it = iter(jobs)
+            for _ in range(self.prefetch):
+                job = next(it, None)
+                if job is None:
+                    break
+                pending.append(pool.submit(build_job, job))
+            while pending:
+                fut = pending.pop(0)
+                job = next(it, None)
+                if job is not None:
+                    pending.append(pool.submit(build_job, job))
+                yield fut.result()

@@ -346,6 +346,27 @@ class PerfTracker:
         return '\n'.join(lines) + '\n'
 
 
+def compute_regression_perf(data: dict) -> dict:
+    """rmse / pcc / ccc over concatenated per-video continuous outputs —
+    the legacy regression trainer's metric set
+    (/root/reference/base/trainer.py:232-343, base/logger.py:11-130).
+
+    data: {video_id: {'labels': (T,), 'preds': (T,)}}.
+    """
+    from fvt_tpu.train.losses import ccc_score
+
+    golds = np.concatenate([np.asarray(v['labels'], np.float64).ravel()
+                            for v in data.values()])
+    preds = np.concatenate([np.asarray(v['preds'], np.float64).ravel()
+                            for v in data.values()])
+    rmse = float(np.sqrt(np.mean((golds - preds) ** 2)))
+    if golds.std() > 0 and preds.std() > 0:
+        pcc = float(np.corrcoef(golds, preds)[0, 1])
+    else:
+        pcc = 0.0
+    return {'rmse': rmse, 'pcc': pcc, 'ccc': ccc_score(golds, preds)}
+
+
 def build_trackers(dataset_name: str, use_other_class: bool,
                    other_int: int = 7) -> Dict[object, PerfTracker]:
     """Model-selection tracker set per dataset (trainer.py:636-674)."""

@@ -68,7 +68,8 @@ def cross_entropy_frames(logits: jnp.ndarray, labels: jnp.ndarray
         logits.reshape(b * t, c), labels.reshape(b * t)).mean()
 
 
-def make_train_step(model, optimizer) -> Callable:
+def make_train_step(model, optimizer,
+                    task: str = constants.CLASSIFICATION) -> Callable:
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    dropout_rng: jax.Array):
@@ -84,7 +85,11 @@ def make_train_step(model, optimizer) -> Callable:
                 inputs, train=True,
                 rngs={'dropout': dropout_rng},
                 mutable=['batch_stats'])
-            loss = cross_entropy_frames(out, labels)
+            if task == constants.REGRESSION:
+                from fvt_tpu.train.losses import ccc_loss
+                loss = ccc_loss(labels.astype(jnp.float32), out[..., 0])
+            else:
+                loss = cross_entropy_frames(out, labels)
             return loss, mutated['batch_stats']
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -110,9 +115,11 @@ def make_eval_step(model, needs_time_mask: bool = False) -> Callable:
     if needs_time_mask:
         @jax.jit
         def eval_step(params, batch_stats, inputs, length):
+            # length: scalar or per-row (B,) true frame counts
             inputs = _device_transform(inputs, train=False)
-            t = next(iter(inputs.values())).shape[1]
-            mask = jnp.arange(t)[None, :] < length
+            b, t = next(iter(inputs.values())).shape[:2]
+            length = jnp.broadcast_to(jnp.asarray(length), (b,))
+            mask = jnp.arange(t)[None, :] < length[:, None]
             return model.apply({'params': params, 'batch_stats': batch_stats},
                                inputs, train=False, time_mask=mask)
     else:

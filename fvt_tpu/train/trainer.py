@@ -65,7 +65,7 @@ class Trainer:
             log(fmsg(f"data-parallel over {self.mesh.shape} devices"))
         else:
             self.train_step = train_step_fn or make_train_step(
-                self.model, self.optimizer)
+                self.model, self.optimizer, task=args.task)
         needs_mask = model_name in (constants.JMT, constants.MT)
         self.eval_step = make_eval_step(self.model, needs_time_mask=True) \
             if needs_mask else make_eval_step(self.model)
@@ -148,6 +148,18 @@ class Trainer:
             self.eval_step(self.state.params, self.state.batch_stats, inputs)
         return np.asarray(out[0])
 
+    def _forward_whole_batch(self, inputs: Dict[str, jnp.ndarray],
+                             true_lens) -> np.ndarray:
+        """(B, bucket, C) logits for a same-bucket video batch."""
+        if self.needs_mask:
+            out = self.eval_step(
+                self.state.params, self.state.batch_stats, inputs,
+                jnp.asarray(np.asarray(true_lens, np.int32)))
+        else:
+            out = self.eval_step(self.state.params, self.state.batch_stats,
+                                 inputs)
+        return np.asarray(out)
+
     def _forward_windows(self, batch: Dict[str, np.ndarray], true_len: int
                          ) -> np.ndarray:
         """LFAN window-and-stitch for videos longer than the model window
@@ -184,22 +196,38 @@ class Trainer:
 
     def inference(self, loader: EvalLoader) -> tuple:
         per_video_frame_logits = {}
-        for batch, trial, true_len, bucket in loader:
-            labels = batch.pop(constants.EXPR)[0, :true_len]
-            inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+        win_threshold = (self.args.window_length
+                         if self.model_name == constants.LFAN else None)
+        batch_videos = getattr(self.args, 'eval_video_batch', 8)
+        if self.model_name in (constants.JMT, constants.MT):
+            # JMT/MT's final self-attention runs over the flattened (B*T)
+            # axis (model.py:967-975) — batching videos would mix them;
+            # keep the reference's bs=1 eval semantics
+            batch_videos = 1
 
-            windowed = (true_len > self.args.window_length
-                        and self.model_name == constants.LFAN)
+        for batch, trials, true_lens, bucket in loader.batches(
+                batch_videos, windowed_threshold=win_threshold):
+            labels = batch.pop(constants.EXPR)  # (B, bucket)
+
+            windowed = (win_threshold is not None and len(trials) == 1
+                        and true_lens[0] > win_threshold)
             if windowed:
-                logits = self._forward_windows(batch, true_len)
+                per_trial_logits = [self._forward_windows(
+                    batch, true_lens[0])]
             else:
-                logits = self._forward_whole(inputs, true_len)[:true_len]
+                inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+                out = self._forward_whole_batch(inputs, true_lens)
+                per_trial_logits = [out[j, :true_lens[j]]
+                                    for j in range(len(trials))]
 
-            assert trial not in per_video_frame_logits, trial
-            per_video_frame_logits[trial] = {
-                'labels': np.asarray(labels).flatten(),
-                'logits': np.asarray(logits, dtype=np.float32),
-            }
+            for j, trial in enumerate(trials):
+                assert trial not in per_video_frame_logits, trial
+                per_video_frame_logits[trial] = {
+                    'labels': np.asarray(
+                        labels[j, :true_lens[j]]).flatten(),
+                    'logits': np.asarray(per_trial_logits[j],
+                                         dtype=np.float32),
+                }
 
         perf = M.compute_perf(per_video_frame_logits,
                               self.args.dataset_name,

@@ -20,6 +20,85 @@ CLASSES = [constants.SURPRISE, constants.FEAR, constants.DISGUST,
            constants.SADNESS, constants.HAPPINESS, constants.ANGER,
            constants.NEUTRAL]
 
+COMPOUND_CLASSES = [
+    constants.FEARFULLY_SURPRISED, constants.HAPPILY_SURPRISED,
+    constants.SADLY_SURPRISED, constants.DISGUSTEDLY_SURPRISED,
+    constants.ANGRILY_SURPRISED, constants.SADLY_FEARFUL,
+    constants.SADLY_ANGRY, constants.OTHER,
+]
+
+
+def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
+                     n_train=10, n_val=5, min_len=8, max_len=40,
+                     seed=0, separation=3.0, video_hw=8):
+    """C-EXPR-DB / challenge-shaped store.
+
+    Both datasets require a per-trial video.npy (the arranger trusts its
+    length, base/dataset.py:400-409).  The challenge store has only a
+    'train' dataset_info (aliased to valid/test by the Experiment) and
+    long videos to exercise the window-stitch path.
+    """
+    rng = np.random.default_rng(seed)
+    ncls = 8  # 7 compound + Other
+    feat_dir = join(root, 'features', 'compacted_48')
+    folds_dir = join(root, 'folds', ds, 'split-0')
+    os.makedirs(folds_dir, exist_ok=True)
+
+    centers_v = rng.normal(size=(ncls, 128)) * separation
+    centers_b = rng.normal(size=(ncls, 768)) * separation
+
+    if ds == constants.C_EXPR_DB:
+        counts = {constants.TRAINSET: n_train, constants.VALIDSET: n_val}
+    else:
+        counts = {constants.TRAINSET: n_train}
+
+    for split, n in counts.items():
+        trials, lengths, lines = [], [], []
+        for i in range(n):
+            trial = f"{split}/vid{i}"
+            label = int(rng.integers(0, ncls))
+            length = int(rng.integers(min_len, max_len + 1))
+            tdir = join(feat_dir, trial)
+            os.makedirs(tdir, exist_ok=True)
+
+            np.save(join(tdir, 'video.npy'),
+                    rng.integers(0, 255, size=(length, video_hw, video_hw,
+                                               3)).astype(np.uint8))
+            np.save(join(tdir, 'vggish.npy'),
+                    (centers_v[label] + rng.normal(size=(length, 128))
+                     ).astype(np.float32))
+            np.save(join(tdir, 'bert.npy'),
+                    (centers_b[label] + rng.normal(size=(length, 768))
+                     ).astype(np.float32))
+            np.save(join(tdir, 'EXPR_continuous_label.npy'),
+                    np.full((length,), label, dtype=np.int64))
+
+            trials.append(trial)
+            lengths.append(length)
+            lines.append(f"{trial},{label},compound transcript {i}")
+
+        save_pickle({'data_folder': 'compacted_48', 'trial': trials,
+                     'length': lengths, 'partition': split},
+                    join(root, 'features', f"dataset_info_{ds}_{split}.pkl"))
+        with open(join(folds_dir, f"{split}.txt"), 'w') as f:
+            f.write('\n'.join(lines) + '\n')
+
+    # test.txt == val.txt for C-EXPR-DB; challenge uses train.txt only
+    if ds == constants.C_EXPR_DB:
+        import shutil
+        shutil.copy(join(folds_dir, 'val.txt'),
+                    join(folds_dir, 'test.txt'))
+    else:
+        import shutil
+        for s in (constants.VALIDSET, constants.TESTSET):
+            shutil.copy(join(folds_dir, 'train.txt'),
+                        join(folds_dir, f'{s}.txt'))
+
+    with open(join(folds_dir, 'class_id.yaml'), 'w') as f:
+        yaml.dump({c: i for i, c in enumerate(COMPOUND_CLASSES)}, f)
+
+    return {'dataset_path': root, 'folds_dir': join(root, 'folds', ds)}
+
 
 def make_meld_store(root: str, n_train=12, n_val=6, n_test=6,
                     min_len=8, max_len=40, ncls=7, seed=0,

@@ -1,0 +1,59 @@
+"""Regression task path: tanh head + CCC loss train step + metrics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fvt_tpu import constants
+from fvt_tpu.models.models import LFAN
+from fvt_tpu.train.steps import create_train_state, make_train_step
+from fvt_tpu.train import optim
+from fvt_tpu.train.metrics import compute_regression_perf
+from fvt_tpu.config.defaults import get_config
+
+
+def test_regression_train_step_decreases_ccc_loss():
+    hp = optim.standardize_opt_params(get_config(constants.MELD))
+    hp.lr = 0.05
+    optimizer = optim.build_optimizer(hp)
+    model = LFAN(modality=('vggish',), output_dim=1,
+                 task=constants.REGRESSION,
+                 tcn_dropout=0.0, fusion_dropout=0.0)
+
+    rng = np.random.default_rng(0)
+    T = 32
+    x = rng.normal(size=(4, T, 128)).astype(np.float32)
+    # target correlated with input mean per frame
+    y = np.tanh(x.mean(axis=2))
+    batch = {'vggish': jnp.asarray(x),
+             constants.EXPR: jnp.asarray(y.astype(np.float32))}
+
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    step = make_train_step(model, optimizer, task=constants.REGRESSION)
+
+    losses = []
+    for i in range(12):
+        state, loss = step(state, batch, jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # outputs are tanh-bounded
+    out = model.apply({'params': state.params,
+                       'batch_stats': state.batch_stats},
+                      {'vggish': jnp.asarray(x)}, train=False)
+    assert float(jnp.abs(out).max()) <= 1.0
+
+
+def test_regression_perf_metrics():
+    rng = np.random.default_rng(1)
+    data = {}
+    for i in range(5):
+        g = rng.normal(size=(40,))
+        data[f'v{i}'] = {'labels': g, 'preds': g * 0.9 + 0.05}
+    perf = compute_regression_perf(data)
+    assert perf['rmse'] < 0.3
+    assert perf['pcc'] > 0.95
+    assert 0.9 < perf['ccc'] <= 1.0
+
+    ident = {k: {'labels': v['labels'], 'preds': v['labels']}
+             for k, v in data.items()}
+    p = compute_regression_perf(ident)
+    assert abs(p['ccc'] - 1.0) < 1e-9 and p['rmse'] < 1e-12
