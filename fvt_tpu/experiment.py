@@ -121,14 +121,20 @@ class Experiment:
         return loaders
 
     def _spatial_modules(self):
-        """Frozen backbones for raw-stream modalities."""
+        """Frozen backbones for raw-stream modalities.
+
+        ``--amp true`` (the reference's AMP analogue) runs the backbone
+        convs in bf16 on the MXU with fp32 batch-norm/loss."""
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16 if getattr(self.args, 'amp', False) \
+            else jnp.float32
         spatial_video = spatial_audio = None
         if constants.VIDEO in self.modality:
             from fvt_tpu.models.arcface import VisualBackbone
-            spatial_video = VisualBackbone()
+            spatial_video = VisualBackbone(dtype=dtype)
         if 'logmel' in self.modality:
             from fvt_tpu.models.vggish import VGGish
-            spatial_audio = VGGish()
+            spatial_audio = VGGish(dtype=dtype)
         return spatial_video, spatial_audio
 
     def init_trainer(self) -> Trainer:

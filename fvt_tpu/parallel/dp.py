@@ -19,7 +19,7 @@ from fvt_tpu import constants
 from fvt_tpu.parallel.mesh import (Mesh, batch_sharded, replicated,
                                    DATA_AXIS)
 from fvt_tpu.train.steps import (TrainState, cross_entropy_frames,
-                                 _device_transform)
+                                 _device_transform, split_frozen)
 
 
 def make_dp_train_step(model, optimizer, mesh: Mesh) -> Callable:
@@ -33,10 +33,12 @@ def make_dp_train_step(model, optimizer, mesh: Mesh) -> Callable:
                   if 'continuous_label' not in k}
         transform_rng, dropout_rng = jax.random.split(dropout_rng)
         inputs = _device_transform(inputs, train=True, rng=transform_rng)
+        trainable, frozen = split_frozen(state.params)
 
-        def loss_fn(params):
+        def loss_fn(head):
             out, mutated = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
+                {'params': {**head, **frozen},
+                 'batch_stats': state.batch_stats},
                 inputs, train=True,
                 rngs={'dropout': dropout_rng},
                 mutable=['batch_stats'])
@@ -44,10 +46,11 @@ def make_dp_train_step(model, optimizer, mesh: Mesh) -> Callable:
             return loss, mutated['batch_stats']
 
         (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(trainable)
         updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+            grads, state.opt_state, trainable)
+        new_head = optax.apply_updates(trainable, updates)
+        new_params = {**new_head, **frozen}
         new_state = state.replace(params=new_params,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state,

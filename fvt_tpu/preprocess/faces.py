@@ -113,6 +113,22 @@ class RetinaFaceDetector:
         return out
 
 
+def extract_landmarks_68(img_rgb: np.ndarray) -> np.ndarray:
+    """68-point landmark extraction (dlib/face_landmarks/landmarks.py);
+    gated on the face_alignment package (external model weights)."""
+    try:
+        import face_alignment
+    except ImportError as e:
+        raise NotImplementedError(
+            '68-pt landmarks need the face_alignment package (not in '
+            'this image); the 5-pt detector path covers crop/align') from e
+    fa = face_alignment.FaceAlignment(
+        face_alignment.LandmarksType.TWO_D, device='cpu')
+    preds = fa.get_landmarks(img_rgb)
+    assert preds, 'no face found'
+    return np.asarray(preds[0], dtype=np.float32)
+
+
 def default_detector():
     for cls in (RetinaFaceDetector, HaarFaceDetector, CenterBoxDetector):
         try:

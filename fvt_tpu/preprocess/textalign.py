@@ -96,6 +96,51 @@ def align_word_embedding_new(word_embeddings: np.ndarray,
     return aligned
 
 
+def transcribe(wav_path: str, model_dir: Optional[str] = None) -> dict:
+    """Vosk speech-to-text with word timestamps (speech.py:63-96); gated
+    on the vosk package + a local model directory.
+
+    Returns {'text': str, 'words': [{'word', 'start', 'end', 'conf'}]}.
+    """
+    try:
+        import vosk  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            'transcription needs the vosk package (not in this image); '
+            'fold-file transcripts are consumed directly instead') from e
+    import json
+    import wave
+
+    model = vosk.Model(model_dir) if model_dir else vosk.Model(
+        lang='en-us')
+    wf = wave.open(wav_path, 'rb')
+    rec = vosk.KaldiRecognizer(model, wf.getframerate())
+    rec.SetWords(True)
+    words, texts = [], []
+    while True:
+        data = wf.readframes(4000)
+        if len(data) == 0:
+            break
+        if rec.AcceptWaveform(data):
+            res = json.loads(rec.Result())
+            texts.append(res.get('text', ''))
+            words.extend(res.get('result', []))
+    res = json.loads(rec.FinalResult())
+    texts.append(res.get('text', ''))
+    words.extend(res.get('result', []))
+    return {'text': ' '.join(t for t in texts if t), 'words': words}
+
+
+def add_punctuation(text: str) -> str:
+    """Punctuation restoration (speech.py:99-182); gated on the
+    deepmultilingualpunctuation package, identity fallback otherwise."""
+    try:
+        from deepmultilingualpunctuation import PunctuationModel
+    except ImportError:
+        return text
+    return PunctuationModel().restore_punctuation(text)
+
+
 def load_bert(model_name: str = 'bert-base-uncased'):
     """HF tokenizer+model pair for embedding extraction (gated on weights
     being available locally or downloadable)."""

@@ -44,6 +44,19 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
+FROZEN_PREFIX = 'spatial'  # frozen backbone subtrees (requires_grad=False
+# in the reference, model.py:432-433): excluded from grads AND the
+# optimizer (so weight decay cannot drift them)
+
+
+def split_frozen(params: Dict[str, Any]):
+    trainable = {k: v for k, v in params.items()
+                 if not k.startswith(FROZEN_PREFIX)}
+    frozen = {k: v for k, v in params.items()
+              if k.startswith(FROZEN_PREFIX)}
+    return trainable, frozen
+
+
 def create_train_state(model, optimizer, sample_batch: Dict[str, jnp.ndarray],
                        rng: jax.Array) -> TrainState:
     inputs = {k: v for k, v in sample_batch.items()
@@ -55,7 +68,8 @@ def create_train_state(model, optimizer, sample_batch: Dict[str, jnp.ndarray],
         lambda r, x: model.init(r, x, train=False))(rng, inputs)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
-    opt_state = optimizer.init(params)
+    trainable, _ = split_frozen(params)
+    opt_state = optimizer.init(trainable)
     return TrainState(params=params, batch_stats=batch_stats,
                       opt_state=opt_state, step=jnp.zeros((), jnp.int32))
 
@@ -78,10 +92,12 @@ def make_train_step(model, optimizer,
                   if 'continuous_label' not in k}
         transform_rng, dropout_rng = jax.random.split(dropout_rng)
         inputs = _device_transform(inputs, train=True, rng=transform_rng)
+        trainable, frozen = split_frozen(state.params)
 
-        def loss_fn(params):
+        def loss_fn(head):
             out, mutated = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
+                {'params': {**head, **frozen},
+                 'batch_stats': state.batch_stats},
                 inputs, train=True,
                 rngs={'dropout': dropout_rng},
                 mutable=['batch_stats'])
@@ -93,10 +109,11 @@ def make_train_step(model, optimizer,
             return loss, mutated['batch_stats']
 
         (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(trainable)
         updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+            grads, state.opt_state, trainable)
+        new_head = optax.apply_updates(trainable, updates)
+        new_params = {**new_head, **frozen}
         new_state = state.replace(params=new_params,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state,

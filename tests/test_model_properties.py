@@ -82,3 +82,52 @@ def test_train_mode_runs_with_dropout_and_batchstats():
         rngs={'dropout': jax.random.key(2)},
         mutable=['batch_stats'])
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_frozen_spatial_params_do_not_train():
+    """The spatial backbone must stay bit-identical through train steps
+    (reference freezes it, model.py:432-433) — including no weight decay."""
+    from fvt_tpu import constants
+    from fvt_tpu.train.steps import create_train_state, make_train_step
+    from fvt_tpu.train import optim
+    from fvt_tpu.config.defaults import get_config
+    import flax.linen as nn
+    from fvt_tpu.models.layers import TorchLinear
+
+    class TinySpatial(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            return TorchLinear(16, name='dense')(
+                x.reshape(x.shape[0], -1))
+
+    from fvt_tpu.models.models import LFAN
+    model = LFAN(modality=('video', 'vggish'), output_dim=7,
+                 tcn_channel={'video': [8, 8], 'vggish': [8, 8]},
+                 encoder_dim={'video': 8, 'vggish': 8},
+                 spatial_video=TinySpatial())
+
+    hp = optim.standardize_opt_params(get_config(constants.MELD))
+    optimizer = optim.build_optimizer(hp)
+    rng_np = np.random.default_rng(0)
+    batch = {
+        'video': jnp.asarray(rng_np.integers(
+            0, 255, size=(2, 8, 8, 8, 3)).astype(np.uint8)),
+        'vggish': jnp.asarray(rng_np.normal(size=(2, 8, 128)
+                                            ).astype(np.float32)),
+        constants.EXPR: jnp.asarray(rng_np.integers(
+            0, 7, size=(2, 8)).astype(np.int32)),
+    }
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+    spatial_before = jax.tree.map(np.asarray,
+                                  state.params['spatial_video'])
+    step = make_train_step(model, optimizer)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.key(i))
+    spatial_after = jax.tree.map(np.asarray, state.params['spatial_video'])
+    for a, b in zip(jax.tree.leaves(spatial_before),
+                    jax.tree.leaves(spatial_after)):
+        np.testing.assert_array_equal(a, b)
+    # and the head DID train
+    assert not np.allclose(
+        np.asarray(state.params['regressor']['dense']['kernel']),
+        0, atol=1e-12)
