@@ -15,9 +15,11 @@ from os.path import join
 from fvt_tpu import constants
 from fvt_tpu.config.parse import parse_input
 from fvt_tpu.experiment import Experiment
+from fvt_tpu.utils.logger import enable_jit_cache
 
 
 def main(argv=None):
+    enable_jit_cache()
     args = parse_input(argv)
     assert args.mode == constants.EVALUATION, args.mode
 

@@ -6,9 +6,11 @@ Usage:
 """
 from fvt_tpu.config.parse import parse_input
 from fvt_tpu.experiment import Experiment
+from fvt_tpu.utils.logger import enable_jit_cache
 
 
 def main(argv=None):
+    enable_jit_cache()
     args = parse_input(argv)
     exp = Experiment(args)
     exp.prepare()

@@ -84,3 +84,15 @@ def fmsg(msg: str, sep: str = '=') -> str:
     """Banner formatting, same look as reference tools.fmsg."""
     bar = sep * 80
     return f"\n{bar}\n{msg}\n{bar}"
+
+
+def enable_jit_cache(cache_dir: Optional[str] = None):
+    """Persistent XLA compilation cache: repeat runs skip the 20-40s
+    per-shape TPU compiles (biggest wall-clock win for eval with many
+    length buckets)."""
+    import jax
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser('~'), '.cache', 'fvt_tpu_jit')
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)

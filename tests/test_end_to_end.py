@@ -105,3 +105,33 @@ def test_eval_mode_reloads_frozen_config(store, tmp_path):
     # eval dir created inside the training run dir
     eval_dir = join(outd, 'eval-MELD')
     assert os.path.isdir(eval_dir)
+
+
+def test_train_p_subsampling(store, tmp_path):
+    """--train_p 50 keeps roughly half the train videos, at least one per
+    class, deterministically (base/dataset.py:106-182 semantics)."""
+    from types import SimpleNamespace
+    from fvt_tpu.experiment import Experiment
+    from fvt_tpu.config.defaults import get_config
+
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               modality='vggish+bert+EXPR_continuous_label',
+               train_p=50.0, seed=3, calc_mean_std=False)
+    args = SimpleNamespace(**cfg)
+
+    from fvt_tpu.data.arranger import DataArranger
+    exp = Experiment(args)
+    info = exp.load_dataset_info()
+    arr1 = DataArranger(args, info, args.dataset_path, 0, args.folds_dir)
+    arr2 = DataArranger(args, info, args.dataset_path, 0, args.folds_dir)
+
+    n_full = len(info['train']['trial'])
+    n_sub = len(arr1.data_per_split['train'])
+    assert 1 <= n_sub < n_full
+    # deterministic given the seed
+    assert [t for _, t, _ in arr1.data_per_split['train']] == \
+           [t for _, t, _ in arr2.data_per_split['train']]
+    # val/test untouched at 100%
+    assert len(arr1.data_per_split['val']) == len(info['val']['trial'])

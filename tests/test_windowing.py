@@ -82,3 +82,39 @@ def test_overlap_counts():
     # windows: [0,300), [200,500) -> overlap on [200,300)
     assert (c[:200] == 1).all() and (c[200:300] == 2).all() \
         and (c[300:] == 1).all()
+
+
+def test_eval_loader_batches_grouping(tmp_path):
+    """batches() groups same-bucket videos and isolates windowed ones."""
+    import os
+    from fvt_tpu.data.dataset import ExampleBuilder
+    from fvt_tpu.data.loader import EvalLoader
+    from fvt_tpu import constants
+
+    rng = np.random.default_rng(0)
+    work = []
+    for i, length in enumerate([30, 35, 40, 80, 85, 200]):
+        tdir = str(tmp_path / f't{i}')
+        os.makedirs(tdir)
+        np.save(tdir + '/vggish.npy',
+                rng.normal(size=(length, 128)).astype(np.float32))
+        np.save(tdir + '/EXPR_continuous_label.npy',
+                np.zeros((length,), np.int64))
+        work.append([tdir, f't{i}', length, np.arange(length)])
+
+    builder = ExampleBuilder(['vggish', constants.EXPR], window_length=20)
+    loader = EvalLoader(work, builder, bucket_quantum=50)
+
+    got = list(loader.batches(batch_videos=4, windowed_threshold=100))
+    by_bucket = {}
+    for batch, trials, lens, bucket in got:
+        assert batch['vggish'].shape[0] == len(trials)
+        assert batch['vggish'].shape[1] == bucket
+        by_bucket.setdefault(bucket, []).extend(trials)
+    # 30/35/40 -> bucket 50 grouped; 80/85 -> bucket 100 grouped;
+    # 200 exceeds the windowed threshold -> singleton
+    assert sorted(by_bucket[50]) == ['t0', 't1', 't2']
+    assert sorted(by_bucket[100]) == ['t3', 't4']
+    assert by_bucket[200] == ['t5']
+    singleton = [g for g in got if g[1] == ['t5']]
+    assert len(singleton) == 1
