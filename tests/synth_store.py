@@ -151,3 +151,18 @@ def make_meld_store(root: str, n_train=12, n_val=6, n_test=6,
         yaml.dump({c: i for i, c in enumerate(CLASSES[:ncls])}, f)
 
     return {'dataset_path': root, 'folds_dir': join(root, 'folds', ds)}
+
+
+def add_logmel_features(root: str, ds: str = constants.MELD, seed=0):
+    """Add logmel.npy (T, 96, 64) float16 patches to every trial of an
+    existing store (the raw-audio modality consumed by the VGGish
+    backbone in-model, configs.py:57)."""
+    rng = np.random.default_rng(seed)
+    feat_dir = join(root, 'features', 'compacted_48')
+    for split_dir in os.listdir(feat_dir):
+        sd = join(feat_dir, split_dir)
+        for trial in os.listdir(sd):
+            tdir = join(sd, trial)
+            n = np.load(join(tdir, 'EXPR_continuous_label.npy')).shape[0]
+            logmel = rng.normal(size=(n, 96, 64)).astype(np.float16)
+            np.save(join(tdir, 'logmel.npy'), logmel)

@@ -135,3 +135,27 @@ def test_train_p_subsampling(store, tmp_path):
            [t for _, t, _ in arr2.data_per_split['train']]
     # val/test untouched at 100%
     assert len(arr1.data_per_split['val']) == len(info['val']['trial'])
+
+
+def test_training_is_deterministic(store, tmp_path):
+    """Same seed -> identical loss trajectory and predictions."""
+    import pickle
+    logs = []
+    for run in range(2):
+        outd = str(tmp_path / f'det{run}')
+        _run_training(store, outd, 'LFAN', epochs=1,
+                      extra=('--seed', '17'))
+        import re
+        with open(join(outd, 'log.json')) as f:
+            losses = re.findall(r'loss: ([\d.]+)', f.read())
+        assert losses, 'no loss lines found'
+        with open(join(outd,
+                       'pred-per-frame-test-FRAMES_VOTE-perf.pkl'),
+                  'rb') as f:
+            preds = pickle.load(f)
+        logs.append((losses, preds))
+
+    assert logs[0][0] == logs[1][0], 'loss logs differ'
+    for k in logs[0][1]:
+        np.testing.assert_array_equal(logs[0][1][k]['logits'],
+                                      logs[1][1][k]['logits'])
