@@ -74,6 +74,7 @@ def get_config(ds: str) -> dict:
 
         'opt__lr_scheduler': True,
         'opt__name_lr_scheduler': constants.MYSTEP,
+        'opt__coef': 0.5,           # MYCOSINE coefficient
         'opt__gamma': 0.1,
         'opt__step_size': 40,
         'opt__last_epoch': -1,

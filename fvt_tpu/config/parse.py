@@ -145,8 +145,6 @@ def _parse_eval(args) -> SimpleNamespace:
                                    'valid_p', 'test_p'):
             config[k] = v
 
-    if not config.get('outd'):
-        config['outd'] = make_outd(config)
     outd = join(config['fd_exp'], f"eval-{target_ds}")
     config['outd'] = outd
     os.makedirs(outd, exist_ok=True)

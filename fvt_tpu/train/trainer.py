@@ -160,15 +160,26 @@ class Trainer:
                                  inputs)
         return np.asarray(out)
 
+    def _dp_eval_step(self):
+        """Lazily-built mesh-sharded eval step (window batches of one long
+        video spread over the data axis — the honest context-parallel
+        analogue for this workload, SURVEY §2.4)."""
+        if getattr(self, '_dp_eval', None) is None:
+            from fvt_tpu.parallel.dp import make_dp_eval_step
+            self._dp_eval = make_dp_eval_step(self.model, self.mesh)
+        return self._dp_eval
+
     def _forward_windows(self, batch: Dict[str, np.ndarray], true_len: int
                          ) -> np.ndarray:
         """LFAN window-and-stitch for videos longer than the model window
-        (trainer.py:832-892), as a batched forward + vectorized stitch."""
+        (trainer.py:832-892), as a batched forward + vectorized stitch.
+        With a device mesh, the window batch is sharded across chips."""
         window = self.args.window_length
         hop = self.args.hop_length
         mat = W.window_index_matrix(true_len, window, hop)
         n_win = mat.shape[0]
-        n_pad = round_up(n_win, 4)
+        n_dev = len(self.mesh.devices.flat) if self.mesh is not None else 1
+        n_pad = round_up(n_win, max(4, n_dev))
 
         windows = {}
         for k, v in batch.items():
@@ -180,11 +191,18 @@ class Trainer:
                     [g, np.repeat(g[-1:], n_pad - n_win, axis=0)], axis=0)
             windows[k] = jnp.asarray(g)
 
-        out = self.eval_step(self.state.params, self.state.batch_stats,
-                             windows, jnp.asarray(window)) \
-            if self.needs_mask else \
-            self.eval_step(self.state.params, self.state.batch_stats,
-                           windows)
+        if self.mesh is not None and not self.needs_mask:
+            from fvt_tpu.parallel.mesh import shard_batch
+            with self.mesh:
+                out = self._dp_eval_step()(
+                    self.state.params, self.state.batch_stats,
+                    shard_batch(windows, self.mesh))
+        elif self.needs_mask:
+            out = self.eval_step(self.state.params, self.state.batch_stats,
+                                 windows, jnp.asarray(window))
+        else:
+            out = self.eval_step(self.state.params, self.state.batch_stats,
+                                 windows)
         out = np.asarray(out)[:n_win]  # (n_win, window, C)
 
         ncls = out.shape[-1]
@@ -253,6 +271,21 @@ class Trainer:
         t_start = time.time()
         host = lambda tree: jax.tree.map(np.asarray, tree)  # noqa: E731
 
+        from fvt_tpu.train.steps import split_frozen
+
+        def host_best():
+            """Best-model copy: trainable params + batch stats only (the
+            frozen spatial backbone never changes — don't duplicate its
+            25M params per criterion)."""
+            trainable, _ = split_frozen(self.state.params)
+            return (host(trainable), host(self.state.batch_stats))
+
+        def to_live(best):
+            params, stats = best
+            _, frozen = split_frozen(self.state.params)
+            merged = {**jax.tree.map(jnp.asarray, params), **frozen}
+            return merged, jax.tree.map(jnp.asarray, stats)
+
         start_epoch = 0
         valid_tracker = None
         restored = None
@@ -274,8 +307,7 @@ class Trainer:
             loss_tracker = []
             for item in valid_tracker:
                 valid_tracker[item].append(current_perf)
-                best_params[item] = (host(self.state.params),
-                                     host(self.state.batch_stats))
+                best_params[item] = host_best()
                 log(f"{constants.VALIDSET}: "
                     f"{valid_tracker[item].current_status_str}")
                 log(f"{constants.VALIDSET}: "
@@ -292,8 +324,7 @@ class Trainer:
             for item in valid_tracker:
                 valid_tracker[item].append(current_perf)
                 if valid_tracker[item].is_last_best:
-                    best_params[item] = (host(self.state.params),
-                                         host(self.state.batch_stats))
+                    best_params[item] = host_best()
                 log(f"{constants.VALIDSET}: "
                     f"{valid_tracker[item].current_status_str}")
                 log(f"{constants.VALIDSET}: "
@@ -309,10 +340,9 @@ class Trainer:
         log(fmsg(f"{constants.TESTSET} performance:"))
         live_state = self.state
         for item in best_params:
-            params, stats = best_params[item]
-            self.state = live_state.replace(
-                params=jax.tree.map(jnp.asarray, params),
-                batch_stats=jax.tree.map(jnp.asarray, stats))
+            merged, stats = to_live(best_params[item])
+            self.state = live_state.replace(params=merged,
+                                            batch_stats=stats)
             current_perf, per_video = self.inference(test_loader)
             test_tracker[item].append(current_perf)
             log(f"{constants.TESTSET}: "
@@ -334,15 +364,18 @@ class Trainer:
 
         self.state = live_state
 
-        # persist best models (trainer.py:752-768)
+        # persist best models (trainer.py:752-768); the artifact carries
+        # the FULL param tree (frozen backbone merged back in) so it loads
+        # standalone via load_best_model
         dir_best = join(self.args.outd, 'best-models')
         for item in best_params:
-            params, stats = best_params[item]
+            merged, stats = to_live(best_params[item])
             _dir = join(dir_best, f"{item}")
             os.makedirs(_dir, exist_ok=True)
             with open(join(_dir, 'model.msgpack'), 'wb') as f:
                 f.write(serialization.to_bytes(
-                    {'params': params, 'batch_stats': stats}))
+                    {'params': jax.tree.map(np.asarray, merged),
+                     'batch_stats': jax.tree.map(np.asarray, stats)}))
             self.save_args(join(_dir, 'config.yml'))
 
         self.args.tend = dt.datetime.now()

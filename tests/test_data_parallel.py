@@ -81,3 +81,34 @@ def test_dp_step_matches_single_device():
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_window_sharded_eval_matches_single_device(tmp_path):
+    """Long-video window batch sharded over the mesh == single-device."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from fvt_tpu import constants
+    from fvt_tpu.models.models import LFAN
+    from fvt_tpu.train.trainer import Trainer
+    from fvt_tpu.config.defaults import get_config
+
+    cfg = get_config(constants.MELD)
+    cfg.update(window_length=16, hop_length=8, dataset_path='x',
+               data_parallel=True)
+    args = SimpleNamespace(**cfg)
+
+    model = LFAN(modality=('vggish', 'bert'), output_dim=7)
+    trainer = Trainer(model, constants.LFAN, args, {}, {})
+    assert trainer.mesh is not None
+
+    rng = np.random.default_rng(0)
+    L = 100
+    batch = {'vggish': rng.normal(size=(1, L, 128)).astype(np.float32),
+             'bert': rng.normal(size=(1, L, 768)).astype(np.float32)}
+    trainer.init_state({k: jnp.asarray(v) for k, v in batch.items()})
+
+    sharded = trainer._forward_windows(batch, true_len=L)
+
+    trainer.mesh = None  # single-device path on the same params
+    single = trainer._forward_windows(batch, true_len=L)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
