@@ -104,6 +104,7 @@ def get_config(ds: str) -> dict:
         'checkpoint_every': 0,        # orbax checkpoint period (0 = off)
         'profile_epochs': 0,          # jax.profiler trace for first N epochs
         'nan_guard': False,           # per-step finite-loss assertion
+        'pallas_serving': False,      # fused-TCN Pallas eval path (LFAN)
     }
 
 

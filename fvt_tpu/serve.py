@@ -34,14 +34,10 @@ def _bn_eval(x, params, stats, eps=1e-5):
     return x * inv + (bias - mean * inv)
 
 
-def build_lfan_serving_fn(model, variables: dict,
-                          interpret: Optional[bool] = None):
-    """model: the LFAN module instance; variables: {'params','batch_stats'}.
-
-    Returns a jitted fn(batch dict) -> (B, T, output_dim) logits.
-    """
-    params = variables['params']
-    stats = variables.get('batch_stats', {})
+def build_lfan_serving_step(model, interpret: Optional[bool] = None):
+    """Returns a jitted fn(params, batch_stats, batch) -> (B, T, C) logits
+    usable with a live (changing) train state — same signature as the
+    unmasked eval step from fvt_tpu.train.steps."""
     modality = list(model.modality)
     tcn_channel = model.tcn_channel or MC.TCN_CHANNELS
     encoder_dim = model.encoder_dim or MC.ENCODER_DIM
@@ -51,7 +47,8 @@ def build_lfan_serving_fn(model, variables: dict,
         tuple(modality), {m: encoder_dim[m] for m in modality},
         model.modal_dim, model.num_heads, dropout=0.0)
 
-    def forward(batch: Dict[str, jnp.ndarray]):
+    def forward(params, stats, batch: Dict[str, jnp.ndarray],
+                length=None):
         x = _device_transform(batch, train=False)
 
         # frozen spatial encoders (same flax submodules)
@@ -85,3 +82,13 @@ def build_lfan_serving_fn(model, variables: dict,
         return out
 
     return jax.jit(forward)
+
+
+def build_lfan_serving_fn(model, variables: dict,
+                          interpret: Optional[bool] = None):
+    """Convenience wrapper over a fixed variable tree:
+    fn(batch) -> logits."""
+    step = build_lfan_serving_step(model, interpret=interpret)
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    return lambda batch: step(params, stats, batch)

@@ -67,8 +67,17 @@ class Trainer:
             self.train_step = train_step_fn or make_train_step(
                 self.model, self.optimizer, task=args.task)
         needs_mask = model_name in (constants.JMT, constants.MT)
-        self.eval_step = make_eval_step(self.model, needs_time_mask=True) \
-            if needs_mask else make_eval_step(self.model)
+        if needs_mask:
+            self.eval_step = make_eval_step(self.model,
+                                            needs_time_mask=True)
+        elif model_name == constants.LFAN and \
+                getattr(args, 'pallas_serving', False):
+            # fused-TCN Pallas forward (1.6x on feature workloads);
+            # bf16-noise-level divergence from the XLA path
+            from fvt_tpu.serve import build_lfan_serving_step
+            self.eval_step = build_lfan_serving_step(self.model)
+        else:
+            self.eval_step = make_eval_step(self.model)
         self.needs_mask = needs_mask
 
         self.state: Optional[TrainState] = None
