@@ -59,7 +59,8 @@ class PreprocessingDriver:
                  video_root: str, output_root: str, folds_dir: str,
                  fold: int = 0,
                  vggish_params: Optional[dict] = None,
-                 bert=None):
+                 bert=None,
+                 arcface: Optional[tuple] = None):
         self.ds = ds
         self.split = split
         self.part = part
@@ -70,6 +71,7 @@ class PreprocessingDriver:
         self.fold = fold
         self.vggish_params = vggish_params
         self.bert = bert  # (tokenizer, model) or None
+        self.arcface = arcface  # (params, batch_stats) or None
 
         os.makedirs(join(output_root, 'features', NPY_FOLDER),
                     exist_ok=True)
@@ -140,6 +142,15 @@ class PreprocessingDriver:
         except Exception as e:  # degrade per-sample, keep going
             record['issues'].append(f'audio failed: {e}')
 
+        # 2b. visual: precomputed ArcFace embeddings from compacted faces
+        try:
+            if self.arcface is not None and \
+                    os.path.isfile(join(tdir, 'video.npy')):
+                from fvt_tpu.preprocess.visual import extract_cnn_to_npy
+                extract_cnn_to_npy(tdir, *self.arcface)
+        except Exception as e:
+            record['issues'].append(f'cnn failed: {e}')
+
         # 3. text: BERT embedding + frame alignment
         try:
             bert_path = join(tdir, 'bert.npy')
@@ -197,6 +208,8 @@ def main(argv=None):
     p.add_argument('--fold', type=int, default=0)
     p.add_argument('--vggish_pth', default=None,
                    help='torch vggish.pth to weight-port for embeddings')
+    p.add_argument('--arcface_pth', default=None,
+                   help='torch res50_ir_*.pth to weight-port for cnn.npy')
     p.add_argument('--with_bert', action='store_true')
     args = p.parse_args(argv)
 
@@ -207,12 +220,19 @@ def main(argv=None):
         sd = torch.load(args.vggish_pth, map_location='cpu')
         vggish_params = vggish_from_torch(sd)
 
+    arcface = None
+    if args.arcface_pth:
+        import torch
+        from fvt_tpu.models.arcface import visual_backbone_from_torch
+        sd = torch.load(args.arcface_pth, map_location='cpu')
+        arcface = visual_backbone_from_torch(sd)
+
     bert = textalign.load_bert() if args.with_bert else None
 
     driver = PreprocessingDriver(
         args.dataset_name, args.split, args.part, args.nparts,
         args.video_root, args.output_root, args.folds_dir, args.fold,
-        vggish_params=vggish_params, bert=bert)
+        vggish_params=vggish_params, bert=bert, arcface=arcface)
     driver.run()
 
 
