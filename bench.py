@@ -123,7 +123,16 @@ def bench_torch_reference() -> float:
 
 
 def main():
-    fps = bench_jax()
+    # the axon tunnel occasionally drops a remote_compile mid-flight;
+    # one retry rides it out
+    for attempt in range(2):
+        try:
+            fps = bench_jax()
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(5)
     try:
         base = bench_torch_reference()
         ratio = fps / base
