@@ -48,17 +48,18 @@ class BottleneckIR(nn.Module):
                                name='shortcut_conv')(x)
             shortcut = nn.BatchNorm(use_running_average=not train,
                                     momentum=0.9, epsilon=1e-5,
+                                    dtype=self.dtype,
                                     name='shortcut_bn')(shortcut)
 
         res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name='bn1')(x)
+                           epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         res = nn.Conv(self.depth, (3, 3), strides=1, padding=1,
                       use_bias=False, dtype=self.dtype, name='conv1')(res)
         res = PReLU(self.depth, name='prelu')(res)
         res = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
                       use_bias=False, dtype=self.dtype, name='conv2')(res)
         res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name='bn2')(res)
+                           epsilon=1e-5, dtype=self.dtype, name='bn2')(res)
         return res + shortcut
 
 
@@ -74,7 +75,7 @@ class ArcFaceBackbone(nn.Module):
         x = nn.Conv(64, (3, 3), strides=1, padding=1, use_bias=False,
                     dtype=self.dtype, name='input_conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='input_bn')(x)
+                         epsilon=1e-5, dtype=self.dtype, name='input_bn')(x)
         x = PReLU(64, name='input_prelu')(x)
 
         for i, (in_c, depth, stride) in enumerate(get_blocks_50()):
@@ -82,7 +83,7 @@ class ArcFaceBackbone(nn.Module):
                              name=f'body{i}')(x, train=train)
 
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name='output_bn2d')(x)
+                         epsilon=1e-5, dtype=self.dtype, name='output_bn2d')(x)
         x = nn.Dropout(self.drop_ratio, deterministic=not train)(x)
         x = x.reshape(x.shape[0], -1)  # NHWC flatten
         x = x.astype(jnp.float32)

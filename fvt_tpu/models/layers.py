@@ -84,7 +84,10 @@ class TorchBatchNorm(nn.Module):
 
 
 class PReLU(nn.Module):
-    """Per-channel PReLU (torch nn.PReLU(C), init 0.25), feature-last."""
+    """Per-channel PReLU (torch nn.PReLU(C), init 0.25), feature-last.
+
+    alpha is stored fp32 but applied in the activation dtype — otherwise
+    a bf16 backbone pays a full-activation upcast at every PReLU."""
     channels: int
     init_value: float = 0.25
 
@@ -93,7 +96,7 @@ class PReLU(nn.Module):
         alpha = self.param(
             'alpha', lambda key, shape: jnp.full(shape, self.init_value),
             (self.channels,))
-        return jnp.where(x >= 0, x, x * alpha)
+        return jnp.where(x >= 0, x, x * alpha.astype(x.dtype))
 
 
 class CausalWeightNormConv1d(nn.Module):
