@@ -56,6 +56,8 @@ def get_config(ds: str) -> dict:
         'early_stopping': 50,
         'window_length': 300,
         'hop_length': 200,
+        'window_eval': False,  # window eval splits too (reference keeps
+        # False and stitches long videos at inference instead)
 
         'train_batch_size': 16,
         'eval_batch_size': 1,

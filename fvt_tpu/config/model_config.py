@@ -27,6 +27,7 @@ FEATURE_DIMENSION = {
     'vggish': (128,),
     'logmel': (96, 64),
     'bert': (768,),
+    'landmark': (136,),
 }
 
 MULTIPLIER = {

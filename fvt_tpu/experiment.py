@@ -94,7 +94,7 @@ class Experiment:
             window_length=self.args.window_length,
             hop_length=self.args.hop_length,
             windowing=True,
-            window_eval=False)
+            window_eval=getattr(self.args, 'window_eval', False))
 
         builder = ExampleBuilder(
             modality=self.modality,

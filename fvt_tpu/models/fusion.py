@@ -77,7 +77,7 @@ class MultimodalTransformerEncoder(nn.Module):
             self.modalities, self.input_dim, self.modal_dim,
             self.num_heads, name='self_attn')(x)
         out = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        return nn.LayerNorm(name='norm1')(out)
+        return nn.LayerNorm(epsilon=1e-5, name='norm1')(out)
 
 
 class AttentionFusion(nn.Module):
@@ -107,11 +107,11 @@ class TransformerEncoderLayer(nn.Module):
         attn = TorchMultiheadAttention(self.input_dim, self.num_heads,
                                        name='attention')(
             x, x, x, key_valid_mask=key_valid_mask)
-        x = nn.LayerNorm(name='layer_norm1')(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name='layer_norm1')(x + attn)
         ff = TorchLinear(self.hidden_dim, name='ff1')(x)
         ff = jax.nn.relu(ff)
         ff = TorchLinear(self.input_dim, name='ff2')(ff)
-        return nn.LayerNorm(name='layer_norm2')(x + ff)
+        return nn.LayerNorm(epsilon=1e-5, name='layer_norm2')(x + ff)
 
 
 class TransformerEncoderBlock(nn.Module):

@@ -63,13 +63,13 @@ class IntraEncoderBlock(nn.Module):
         attn = GatedMultiheadAttention(self.input_dim, self.input_dim,
                                        self.num_heads,
                                        name='self_attn')(x, gate=gate)
-        x = nn.LayerNorm(name='norm1')(
+        x = nn.LayerNorm(epsilon=1e-5, name='norm1')(
             x + nn.Dropout(self.dropout, deterministic=not train)(attn))
         ff = TorchLinear(self.dim_feedforward, name='ff1')(x)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
         ff = jax.nn.relu(ff)
         ff = TorchLinear(self.input_dim, name='ff2')(ff)
-        x = nn.LayerNorm(name='norm2')(
+        x = nn.LayerNorm(epsilon=1e-5, name='norm2')(
             x + nn.Dropout(self.dropout, deterministic=not train)(ff))
         return x
 
@@ -108,12 +108,12 @@ class InterModalTransformerEncoder(nn.Module):
             tuple(self.modalities), dict(self.input_dim), self.modal_dim,
             self.num_heads, name='self_attn')(x)
         h = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        h = nn.LayerNorm(name='norm1')(h)
+        h = nn.LayerNorm(epsilon=1e-5, name='norm1')(h)
         ff = TorchLinear(out_dim, name='ff1')(h)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
         ff = jax.nn.relu(ff)
         ff = TorchLinear(out_dim, name='ff2')(ff)
-        return nn.LayerNorm(name='norm2')(ff)
+        return nn.LayerNorm(epsilon=1e-5, name='norm2')(ff)
 
 
 class TCNAttentionBlock(nn.Module):

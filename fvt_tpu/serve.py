@@ -72,8 +72,10 @@ def build_lfan_serving_step(model, interpret: Optional[bool] = None):
             feats[modal] = _bn_eval(h, params[f'bn_{modal}'],
                                     stats[f'bn_{modal}'])
 
-        follower = fusion.apply({'params': params['fusion']}, feats,
-                                train=False)
+        from fvt_tpu.ops.fusion_pallas import fused_multimodal_fusion
+        follower = fused_multimodal_fusion(
+            feats, params['fusion'], tuple(modality), model.modal_dim,
+            model.num_heads, interpret=interpret)
         out = jnp.concatenate([feats[leader], follower], axis=-1)
         k = params['regressor']['dense']
         out = out @ k['kernel'] + k['bias']
