@@ -35,7 +35,6 @@ def bench_jax() -> float:
     import jax.numpy as jnp
     from fvt_tpu.models.models import LFAN
     from fvt_tpu.models.arcface import VisualBackbone
-    from fvt_tpu.train.steps import make_eval_step
 
     model = LFAN(modality=('video', 'vggish', 'bert'), output_dim=7,
                  spatial_video=VisualBackbone(dtype=jnp.bfloat16))
@@ -51,20 +50,22 @@ def bench_jax() -> float:
             size=(BATCH_WINDOWS, WINDOW, 768)).astype(np.float32)),
     }
     from fvt_tpu.train.steps import _device_transform
+    from fvt_tpu.serve import build_lfan_serving_fn
     variables = jax.jit(
         lambda r, x: model.init(r, x, train=False))(
             jax.random.key(0), _device_transform(batch, train=False))
-    eval_step = make_eval_step(model)
-    params, stats = variables['params'], variables.get('batch_stats', {})
+
+    # production serving path: Pallas fused TCN + fusion kernels
+    serve_fn = build_lfan_serving_fn(model, variables, interpret=False)
 
     # warmup/compile, result forced
-    np.asarray(eval_step(params, stats, batch))
-    np.asarray(eval_step(params, stats, batch))
+    np.asarray(serve_fn(batch))
+    np.asarray(serve_fn(batch))
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(eval_step(params, stats, batch)[:, :1, :1])
+        out = np.asarray(serve_fn(batch)[:, :1, :1])
     dt = time.perf_counter() - t0
     return BATCH_WINDOWS * WINDOW * iters / dt
 
