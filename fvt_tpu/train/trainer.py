@@ -106,7 +106,10 @@ class Trainer:
 
         n_dev = len(self.mesh.devices.flat) if self.mesh is not None else 1
 
-        running, count = 0.0, 0
+        # losses accumulate ON DEVICE and sync once per epoch (the
+        # reference keeps running_loss as a GPU tensor too); a per-step
+        # float(loss) would serialize H2D transfers against compute
+        losses = []
         for i, batch in enumerate(loader.epoch(epoch)):
             bsz = next(iter(batch.values())).shape[0]
             if self.mesh is not None:
@@ -124,14 +127,18 @@ class Trainer:
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
             self.state, loss = self.train_step(
                 self.state, jbatch, jax.random.fold_in(epoch_key, i))
-            loss = float(loss)
-            if getattr(self.args, 'nan_guard', False) and not \
-                    np.isfinite(loss):
-                raise FloatingPointError(
-                    f"non-finite loss {loss} at epoch {epoch} step {i} "
-                    f"(lr={optim.get_lr(self.state.opt_state):.3e})")
-            running += loss
-            count += 1
+            losses.append(loss)
+
+        losses = [float(l) for l in losses]
+        count = len(losses)
+        running = sum(losses)
+        if getattr(self.args, 'nan_guard', False) and \
+                not np.isfinite(running):
+            bad = next(i for i, l in enumerate(losses)
+                       if not np.isfinite(l))
+            raise FloatingPointError(
+                f"non-finite loss {losses[bad]} at epoch {epoch} "
+                f"step {bad} (lr={optim.get_lr(self.state.opt_state):.3e})")
 
         if profiling:
             jax.profiler.stop_trace()
