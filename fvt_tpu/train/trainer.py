@@ -156,26 +156,6 @@ class Trainer:
         return epoch_loss
 
     # ------------------------------------------------------------ inference
-    def _forward_whole(self, inputs: Dict[str, jnp.ndarray], true_len: int
-                       ) -> np.ndarray:
-        out = self.eval_step(self.state.params, self.state.batch_stats,
-                             inputs, jnp.asarray(true_len)) \
-            if self.needs_mask else \
-            self.eval_step(self.state.params, self.state.batch_stats, inputs)
-        return np.asarray(out[0])
-
-    def _forward_whole_batch(self, inputs: Dict[str, jnp.ndarray],
-                             true_lens) -> np.ndarray:
-        """(B, bucket, C) logits for a same-bucket video batch."""
-        if self.needs_mask:
-            out = self.eval_step(
-                self.state.params, self.state.batch_stats, inputs,
-                jnp.asarray(np.asarray(true_lens, np.int32)))
-        else:
-            out = self.eval_step(self.state.params, self.state.batch_stats,
-                                 inputs)
-        return np.asarray(out)
-
     def _dp_eval_step(self):
         """Lazily-built mesh-sharded eval step (window batches of one long
         video spread over the data axis — the honest context-parallel
@@ -239,6 +219,23 @@ class Trainer:
             # keep the reference's bs=1 eval semantics
             batch_videos = 1
 
+        # device->host transfers run two batches behind the dispatches so
+        # eval compute overlaps the loader and the transfers (jax arrays
+        # are futures; np.asarray is the sync point)
+        from collections import deque
+        pending = deque()
+
+        def collect(out, labels, trials, true_lens):
+            out = np.asarray(out)
+            for j, trial in enumerate(trials):
+                assert trial not in per_video_frame_logits, trial
+                per_video_frame_logits[trial] = {
+                    'labels': np.asarray(
+                        labels[j, :true_lens[j]]).flatten(),
+                    'logits': np.asarray(out[j][:true_lens[j]],
+                                         dtype=np.float32),
+                }
+
         for batch, trials, true_lens, bucket in loader.batches(
                 batch_videos, windowed_threshold=win_threshold):
             labels = batch.pop(constants.EXPR)  # (B, bucket)
@@ -246,22 +243,25 @@ class Trainer:
             windowed = (win_threshold is not None and len(trials) == 1
                         and true_lens[0] > win_threshold)
             if windowed:
-                per_trial_logits = [self._forward_windows(
-                    batch, true_lens[0])]
-            else:
-                inputs = {k: jnp.asarray(v) for k, v in batch.items()}
-                out = self._forward_whole_batch(inputs, true_lens)
-                per_trial_logits = [out[j, :true_lens[j]]
-                                    for j in range(len(trials))]
+                # stitch path syncs internally (numpy scatter)
+                logits = self._forward_windows(batch, true_lens[0])
+                collect(logits[None], labels, trials, true_lens)
+                continue
 
-            for j, trial in enumerate(trials):
-                assert trial not in per_video_frame_logits, trial
-                per_video_frame_logits[trial] = {
-                    'labels': np.asarray(
-                        labels[j, :true_lens[j]]).flatten(),
-                    'logits': np.asarray(per_trial_logits[j],
-                                         dtype=np.float32),
-                }
+            inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self.needs_mask:
+                out = self.eval_step(
+                    self.state.params, self.state.batch_stats, inputs,
+                    jnp.asarray(np.asarray(true_lens, np.int32)))
+            else:
+                out = self.eval_step(self.state.params,
+                                     self.state.batch_stats, inputs)
+            pending.append((out, labels, trials, true_lens))
+            while len(pending) > 2:
+                collect(*pending.popleft())
+
+        while pending:
+            collect(*pending.popleft())
 
         perf = M.compute_perf(per_video_frame_logits,
                               self.args.dataset_name,
