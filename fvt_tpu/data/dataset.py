@@ -35,13 +35,17 @@ class ExampleBuilder:
                  feature_dimension: Optional[dict] = None,
                  normalized_features: Sequence[str] = (constants.VGGISH,
                                                       constants.BERT),
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 task: str = constants.CLASSIFICATION,
+                 continuous_label_dim: Sequence[int] = (0,)):
         self.modality = list(modality)
         self.window_length = window_length
         self.mean_std = mean_std or {}
         self.feature_dimension = feature_dimension or MC.FEATURE_DIMENSION
         self.normalized_features = set(normalized_features)
         self.use_native = use_native
+        self.task = task
+        self.continuous_label_dim = list(continuous_label_dim)
 
     def _gather(self, path: str, length: int, index: np.ndarray,
                 feature: str) -> np.ndarray:
@@ -70,7 +74,15 @@ class ExampleBuilder:
         for feature in self.modality:
             data = self._gather(path, length, index, feature)
             if 'continuous_label' in feature:
-                out[feature] = data.astype(np.int32).reshape(-1)
+                if self.task == constants.REGRESSION:
+                    # VA-style continuous labels: (T, D) -> selected dim
+                    # (base/dataset.py:621-630)
+                    lab = data.astype(np.float32)
+                    if lab.ndim > 1:
+                        lab = lab[:, self.continuous_label_dim[0]]
+                    out[feature] = lab.reshape(-1)
+                else:
+                    out[feature] = data.astype(np.int32).reshape(-1)
             elif feature == constants.VIDEO and data.ndim == 4:
                 out[feature] = data  # raw frames; device transform later
             else:

@@ -62,6 +62,15 @@ class Experiment:
             return info
         raise NotImplementedError(ds)
 
+    def get_continuous_label_dim(self):
+        """Selected continuous-label dim (experiment.py:360-375): the
+        classification datasets use dim 0; VA regression picks by the
+        configured emotion."""
+        if self.args.task == constants.CLASSIFICATION:
+            return [0]
+        emotion = getattr(self.args, 'emotion', 'valence')
+        return [1] if emotion == 'arousal' else [0]
+
     def get_mean_std_path(self) -> str:
         return join(self.dataset_path,
                     f"mean_std_info_fold-{self.fold_to_run}.pkl")
@@ -100,7 +109,9 @@ class Experiment:
             modality=self.modality,
             window_length=self.args.window_length,
             mean_std=self.mean_std_dict,
-            feature_dimension=MC.FEATURE_DIMENSION)
+            feature_dimension=MC.FEATURE_DIMENSION,
+            task=self.args.task,
+            continuous_label_dim=self.get_continuous_label_dim())
 
         loaders: Dict[str, object] = {}
         for split, data in data_list.items():
