@@ -336,6 +336,13 @@ class Trainer:
             epoch_loss = self.train_one_epoch(train_loader, epoch)
             loss_tracker.append(epoch_loss)
 
+            # metric-driven schedulers (MYWARMUP plateau decay) consume the
+            # epoch loss; pure-epoch schedules ignore step()
+            if isinstance(self.scheduler, optim.MyWarmupSchedule):
+                self.scheduler.step(epoch, epoch_loss)
+                self.state = self.state.replace(opt_state=optim.set_lr(
+                    self.state.opt_state, self.scheduler.lr(epoch + 1)))
+
             current_perf, _ = self.inference(valid_loader)
             for item in valid_tracker:
                 valid_tracker[item].append(current_perf)

@@ -114,3 +114,37 @@ def test_optimizer_single_step_matches_torch(name):
 
     np.testing.assert_allclose(np.asarray(params['w']), want, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_mywarmup_wired_in_trainer(tmp_path):
+    """MYWARMUP plateau decay actually reduces the live lr during a run."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_store import make_meld_store
+    from fvt_tpu.main import main
+    import re
+
+    store = make_meld_store(str(tmp_path / 'store'), n_train=4, n_val=2,
+                            n_test=2, min_len=6, max_len=12,
+                            separation=0.0)  # unlearnable -> plateau
+    outd = str(tmp_path / 'exp')
+    main([
+        '--dataset_name', 'MELD',
+        '--dataset_path', store['dataset_path'],
+        '--folds_dir', store['folds_dir'],
+        '--modality', 'vggish+bert+EXPR_continuous_label',
+        '--model_name', 'LFAN',
+        '--num_epochs', '6',
+        '--min_num_epochs', '1',
+        '--train_batch_size', '4',
+        '--num_workers', '1',
+        '--window_length', '8',
+        '--hop_length', '6',
+        '--eval_bucket_quantum', '8',
+        '--outd', outd,
+        '--opt__name_lr_scheduler', 'MYWARMUP',
+        '--opt__patience', '1',
+        '--opt__factor', '0.5',
+        '--opt__lr', '0.0',  # loss cannot improve -> bad epochs accrue
+    ])
+    assert os.path.isfile(os.path.join(outd, 'passed.txt'))
