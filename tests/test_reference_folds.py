@@ -53,3 +53,18 @@ def test_challenge_fold_counts():
         if os.path.isfile(p):
             fold = load_fold_txt(p)
             assert len(fold) == 56, (split, len(fold))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get('FVT_INTEROP') != '1',
+                    reason='full reference-interop run is opt-in '
+                           '(FVT_INTEROP=1); ~4 min')
+def test_full_reference_interop(tmp_path):
+    """The reference pipeline trains on an fvt_tpu store and its
+    checkpoint reproduces in fvt_tpu at fp32 tolerance."""
+    import sys
+    sys.path.insert(0, join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'tools'))
+    from reference_interop import main as interop_main
+    maxd = interop_main(str(tmp_path / 'interop'))
+    assert maxd < 1e-4
