@@ -1,0 +1,67 @@
+"""Convert reference torch checkpoints to fvt_tpu msgpack artifacts.
+
+Usage:
+  python tools/port_checkpoint.py --model_name LFAN \
+      --modality vggish+bert --num_classes 7 \
+      --in model.pt --out model.msgpack
+  python tools/port_checkpoint.py --backbone arcface \
+      --in res50_ir_0.887.pth --out arcface.msgpack
+  python tools/port_checkpoint.py --backbone vggish \
+      --in vggish.pth --out vggish.msgpack
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--in', dest='inp', required=True)
+    p.add_argument('--out', required=True)
+    p.add_argument('--model_name', default=None,
+                   choices=['LFAN', 'CAN', 'JMT', 'MT'])
+    p.add_argument('--modality', default='vggish+bert')
+    p.add_argument('--backbone', default=None,
+                   choices=['arcface', 'vggish'])
+    args = p.parse_args(argv)
+
+    import torch
+    from flax import serialization
+    from fvt_tpu.config import model_config as MC
+    from fvt_tpu.models import torch_port as port
+
+    sd = torch.load(args.inp, map_location='cpu')
+
+    if args.backbone == 'arcface':
+        from fvt_tpu.models.arcface import visual_backbone_from_torch
+        params, stats = visual_backbone_from_torch(sd)
+    elif args.backbone == 'vggish':
+        from fvt_tpu.models.vggish import vggish_from_torch
+        params, stats = vggish_from_torch(sd), {}
+    else:
+        assert args.model_name, 'need --model_name or --backbone'
+        modality = args.modality.split('+')
+        if args.model_name == 'LFAN':
+            params, stats = port.lfan_from_torch(
+                sd, modality, MC.TCN_CHANNELS, MC.EMBEDDING_DIM)
+        elif args.model_name == 'CAN':
+            params, stats = port.can_from_torch(sd, modality,
+                                                MC.TCN_SETTINGS)
+        else:
+            params, stats = port.jmt_from_torch(
+                sd, modality, MC.TCN_SETTINGS,
+                joint=(args.model_name == 'JMT'))
+
+    with open(args.out, 'wb') as f:
+        f.write(serialization.to_bytes({'params': params,
+                                        'batch_stats': stats}))
+    print(f"ported {args.inp} -> {args.out}")
+
+
+if __name__ == '__main__':
+    main()
