@@ -113,6 +113,47 @@ def dump_fold_files(splits: Dict[int, Dict[str, List[str]]],
     log(f"dumped {len(splits)} fold splits to {folds_dir}")
 
 
+def main(argv=None):
+    """CLI: build stratified k-fold fold files from a labels csv.
+
+    csv columns: video,label_int[,transcript]
+    """
+    import argparse
+    import csv as csv_mod
+
+    p = argparse.ArgumentParser(description='k-fold split creation')
+    p.add_argument('--labels_csv', required=True)
+    p.add_argument('--folds_dir', required=True)
+    p.add_argument('--num_folds', type=int, default=5)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--label_order', choices=['compound', 'basic'],
+                   default='compound')
+    p.add_argument('--include_other', action='store_true')
+    args = p.parse_args(argv)
+
+    clips_per_class: Dict[str, List[str]] = defaultdict(list)
+    labels: Dict[str, int] = {}
+    transcripts: Dict[str, str] = {}
+    with open(args.labels_csv) as f:
+        for row in csv_mod.reader(f):
+            if not row or row[0] == 'video':
+                continue
+            vid, cl = row[0], int(row[1])
+            labels[vid] = cl
+            clips_per_class[str(cl)].append(vid)
+            if len(row) > 2:
+                transcripts[vid] = ','.join(row[2:])
+
+    class_id = dict(COMPOUND_LABEL_ORDER if args.label_order == 'compound'
+                    else BASIC_LABEL_ORDER)
+    if args.include_other:
+        class_id[constants.OTHER] = 7
+
+    splits = kfold_splits(clips_per_class, n=args.num_folds,
+                          seed=args.seed)
+    dump_fold_files(splits, labels, class_id, args.folds_dir, transcripts)
+
+
 def simplify_meld_csv(csv_path: str, out_path: str,
                       corrupted: Sequence[str] = ()) -> List[dict]:
     """MELD csv -> simplified rows, with encoding fixes and corrupted-video
@@ -145,3 +186,7 @@ def simplify_meld_csv(csv_path: str, out_path: str,
         w.writeheader()
         w.writerows(rows)
     return rows
+
+
+if __name__ == '__main__':
+    main()
