@@ -117,7 +117,7 @@ class transforms:
 }
 
 
-def main(workdir: str = '/tmp/fvt_interop'):
+def main(workdir: str = '/tmp/fvt_interop', model_name: str = 'LFAN'):
     sys.path.insert(0, REPO)
     sys.path.insert(0, join(REPO, 'tests'))
     from synth_store import make_meld_store
@@ -152,7 +152,7 @@ def main(workdir: str = '/tmp/fvt_interop'):
         [sys.executable, '_run_cpu.py', '--mode', 'TRAINING',
          '--dataset_name', 'MELD',
          '--modality', 'vggish+bert+EXPR_continuous_label',
-         '--model_name', 'LFAN', '--num_epochs', '2',
+         '--model_name', model_name, '--num_epochs', '2',
          '--train_batch_size', '4', '--num_workers', '0',
          '--opt__lr', '0.01'],
         cwd=refrun, env=env, check=True, timeout=1200)
@@ -172,7 +172,7 @@ def main(workdir: str = '/tmp/fvt_interop'):
     cfg.update(dataset_path=join(data, 'abaw7', 'MELD'),
                folds_dir=join(data, 'abaw7', 'MELD', 'folds', 'MELD'),
                modality='vggish+bert+EXPR_continuous_label',
-               model_name='LFAN', num_workers=1,
+               model_name=model_name, num_workers=1,
                outd=join(workdir, 'fvt_out'), eval_bucket_quantum=300)
     os.makedirs(cfg['outd'], exist_ok=True)
     exp = Experiment(SimpleNamespace(**cfg))
@@ -197,4 +197,7 @@ def main(workdir: str = '/tmp/fvt_interop'):
 if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--workdir', default='/tmp/fvt_interop')
-    main(p.parse_args().workdir)
+    p.add_argument('--model_name', default='LFAN',
+                   choices=['LFAN', 'CAN', 'JMT', 'MT'])
+    a = p.parse_args()
+    main(a.workdir, a.model_name)
