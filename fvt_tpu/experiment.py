@@ -224,8 +224,14 @@ class Experiment:
                 sd, modality, MC.TCN_SETTINGS,
                 joint=(name == constants.JMT))
 
-        # graft converted trees onto the live state (spatial params, if any,
-        # keep their separately-loaded values)
+        # embedded frozen backbones (tri-modal checkpoints carry the
+        # spatial.visual/audio subtrees, model.py:455-463)
+        sp, ss = port.spatial_from_torch(sd)
+        params.update(sp)
+        stats.update(ss)
+
+        # graft converted trees onto the live state (spatial params not in
+        # the checkpoint keep their separately-loaded values)
         new_params = dict(trainer.state.params)
         new_params.update(jax.tree.map(jnp.asarray, params))
         new_stats = dict(trainer.state.batch_stats)

@@ -109,6 +109,31 @@ def encoder_block(sd: dict, prefix: str, num_layers: int = 1) -> dict:
             for i in range(num_layers)}
 
 
+def spatial_from_torch(sd: dict) -> Tuple[dict, dict]:
+    """Port the frozen spatial backbones EMBEDDED in a fusion-model
+    checkpoint (keys 'spatial.visual.backbone.*' for the ArcFace ResNet,
+    'spatial.audio.backbone.*' for VGGish — model.py:455-463).
+
+    Returns (params, batch_stats) with 'spatial_video'/'spatial_audio'
+    roots matching the fvt_tpu model trees; empty when absent.
+    """
+    params: dict = {}
+    stats: dict = {}
+    if any(k.startswith('spatial.visual.') for k in sd):
+        from fvt_tpu.models.arcface import visual_backbone_from_torch
+        sub = {k[len('spatial.visual.'):]: v for k, v in sd.items()
+               if k.startswith('spatial.visual.')}
+        p, s = visual_backbone_from_torch(sub)
+        params['spatial_video'] = p
+        stats['spatial_video'] = s
+    if any(k.startswith('spatial.audio.') for k in sd):
+        from fvt_tpu.models.vggish import vggish_from_torch
+        sub = {k[len('spatial.audio.backbone.'):]: v for k, v in sd.items()
+               if k.startswith('spatial.audio.backbone.')}
+        params['spatial_audio'] = vggish_from_torch(sub)
+    return params, stats
+
+
 def lfan_from_torch(sd: dict, modality: Sequence[str],
                     tcn_channel: Dict[str, Sequence[int]],
                     embedding_dim: Dict[str, int]) -> Tuple[dict, dict]:

@@ -78,12 +78,12 @@ def test_multihead_attention_parity():
     np.testing.assert_allclose(np.asarray(got), want, **TOL)
 
 
-def _ref_lfan(modality):
+def _ref_lfan(modality, example_length=300):
     from models.model import LFAN as RefLFAN
     torch.manual_seed(2)
     model = RefLFAN(backbone_settings=MC.BACKBONE_SETTINGS, output_dim=7,
                     task=constants.CLASSIFICATION, modality=modality,
-                    example_length=300, kernel_size=5,
+                    example_length=example_length, kernel_size=5,
                     tcn_channel=MC.TCN_CHANNELS, modal_dim=32, num_heads=2,
                     root_dir='', device='cpu')
     model.init()
@@ -208,3 +208,48 @@ def test_jmt_mt_parity(model_name):
          'vggish': jnp.asarray(vggish[:, 0])},
         train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=1e-4)
+
+
+def test_lfan_trimodal_with_real_arcface_parity():
+    """FULL tri-modal LFAN — real ArcFace ResNet embedded — parity after
+    porting the whole reference checkpoint (incl. spatial.visual.*)."""
+    from models.model import LFAN as RefLFAN
+    from models.backbone import VisualBackbone as RefVB
+
+    orig = RefLFAN.load_visual_backbone
+    torch.manual_seed(11)
+    ref_vb = RefVB(use_pretrained=False, mode='ir')
+    RefLFAN.load_visual_backbone = lambda self, backbone_settings: ref_vb
+    try:
+        modality = ['video', 'vggish', 'bert']
+        ref = _ref_lfan(modality, example_length=12)
+    finally:
+        RefLFAN.load_visual_backbone = orig
+
+    rng = np.random.default_rng(11)
+    B, T = 1, 12
+    video = rng.normal(size=(B, T, 3, 40, 40)).astype(np.float32)
+    vggish = rng.normal(size=(B, 1, T, 128)).astype(np.float32)
+    bert = rng.normal(size=(B, 1, T, 768)).astype(np.float32)
+    with torch.no_grad():
+        want = ref({'video': torch.from_numpy(video.copy()),
+                    'vggish': torch.from_numpy(vggish.copy()),
+                    'bert': torch.from_numpy(bert.copy())}).numpy()
+
+    sd = _sd(ref)
+    params, stats = port.lfan_from_torch(
+        sd, modality, MC.TCN_CHANNELS, MC.EMBEDDING_DIM)
+    sp, ss = port.spatial_from_torch(sd)
+    params.update(sp)
+    stats.update(ss)
+
+    from fvt_tpu.models.arcface import VisualBackbone
+    model = LFAN(modality=tuple(modality), output_dim=7,
+                 spatial_video=VisualBackbone())
+    got = model.apply(
+        {'params': params, 'batch_stats': stats},
+        {'video': jnp.asarray(video.transpose(0, 1, 3, 4, 2)),
+         'vggish': jnp.asarray(vggish[:, 0]),
+         'bert': jnp.asarray(bert[:, 0])},
+        train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
