@@ -56,6 +56,10 @@ def main(argv=None):
             params, stats = port.jmt_from_torch(
                 sd, modality, MC.TCN_SETTINGS,
                 joint=(args.model_name == 'JMT'))
+        # embedded frozen backbones in tri-modal checkpoints
+        sp, ss = port.spatial_from_torch(sd)
+        params.update(sp)
+        stats.update(ss)
 
     with open(args.out, 'wb') as f:
         f.write(serialization.to_bytes({'params': params,
