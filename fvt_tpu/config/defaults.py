@@ -101,7 +101,9 @@ def get_config(ds: str) -> dict:
 
         # TPU-specific knobs (new framework)
         'eval_bucket_quantum': 100,   # T padding quantum for eval jits
-        'eval_video_batch': 8,        # same-bucket videos per eval step
+        'eval_video_batch': 32,       # same-bucket videos per eval step
+        # (bit-identical to bs=1; larger batches amortize per-step
+        # dispatch, ~45% faster eval at MELD-like length distributions)
         'data_parallel': False,       # shard the train step over devices
         'checkpoint_every': 0,        # orbax checkpoint period (0 = off)
         'profile_epochs': 0,          # jax.profiler trace for first N epochs
