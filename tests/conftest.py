@@ -44,6 +44,99 @@ def add_reference_to_path():
 
     import types
 
+    if 'torchvision' not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            import numpy as _np
+            import torch as _torch
+
+            tv = types.ModuleType('torchvision')
+            tf = types.ModuleType('torchvision.transforms')
+
+            class Compose:
+                def __init__(self, ts):
+                    self.ts = ts
+
+                def __call__(self, x):
+                    for t in self.ts:
+                        x = t(x)
+                    return x
+
+            class ToTensor:
+                def __call__(self, pic):
+                    t = _torch.from_numpy(_np.ascontiguousarray(pic))
+                    if pic.ndim == 2:
+                        t = t.unsqueeze(0)
+                    elif pic.ndim == 3:
+                        t = t.permute(2, 0, 1).contiguous()
+                    if pic.dtype == _np.uint8:
+                        t = t.float().div(255)
+                    return t
+
+            class Normalize:
+                def __init__(self, mean, std):
+                    self.mean = _torch.as_tensor(_np.asarray(mean),
+                                                 dtype=_torch.float32)
+                    self.std = _torch.as_tensor(_np.asarray(std),
+                                                dtype=_torch.float32)
+
+                def __call__(self, t):
+                    return (t - self.mean) / self.std
+
+            class _T:
+                pass
+
+            _T.Compose = Compose
+            _T.ToTensor = ToTensor
+            _T.Normalize = Normalize
+            tf.transforms = _T
+            tf.Compose = Compose
+            tf.ToTensor = ToTensor
+            tf.Normalize = Normalize
+            tv.transforms = tf
+            sys.modules['torchvision'] = tv
+            sys.modules['torchvision.transforms'] = tf
+
+    if 'munch' not in sys.modules:
+        try:
+            import munch  # noqa: F401
+        except ImportError:
+            mod = types.ModuleType('munch')
+
+            class Munch(dict):
+                def __getattr__(self, k):
+                    try:
+                        return self[k]
+                    except KeyError:
+                        raise AttributeError(k)
+
+                def __setattr__(self, k, v):
+                    self[k] = v
+
+            mod.Munch = Munch
+            sys.modules['munch'] = mod
+
+    if 'pynvml' not in sys.modules:
+        try:
+            import pynvml  # noqa: F401
+        except ImportError:
+            mod = types.ModuleType('pynvml')
+            smi = types.ModuleType('pynvml.smi')
+
+            class nvidia_smi:
+                @staticmethod
+                def getInstance():
+                    class _I:
+                        def DeviceQuery(self, *a, **k):
+                            return {}
+                    return _I()
+
+            smi.nvidia_smi = nvidia_smi
+            mod.smi = smi
+            sys.modules['pynvml'] = mod
+            sys.modules['pynvml.smi'] = smi
+
     if 'texttable' not in sys.modules:
         try:
             import texttable  # noqa: F401

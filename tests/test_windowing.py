@@ -118,3 +118,27 @@ def test_eval_loader_batches_grouping(tmp_path):
     assert by_bucket[200] == ['t5']
     singleton = [g for g in got if g[1] == ['t5']]
     assert len(singleton) == 1
+
+
+def test_windowing_matches_reference_functions_directly():
+    """Golden parity against the reference's own windowing implementations
+    (dataset-level strict-> and trainer-level >=)."""
+    from conftest import add_reference_to_path
+    add_reference_to_path()
+    from base.dataset import GenericDataArranger
+    from trainer import Trainer as RefTrainer
+
+    for length in [1, 5, 299, 300, 301, 499, 500, 777, 1234]:
+        x = np.arange(length)
+        ref_ds = GenericDataArranger.windowing(x, 300, 200)
+        got = W.windowing(x, 300, 200)
+        assert len(got) == len(ref_ds)
+        for g, r in zip(got, ref_ds):
+            np.testing.assert_array_equal(g, r)
+
+        if length >= 300:  # trainer variant only used for long videos
+            ref_tr = RefTrainer.windowing(x, 300, 200)
+            mat = W.window_index_matrix(length, 300, 200)
+            assert mat.shape[0] == len(ref_tr)
+            for row, r in zip(mat, ref_tr):
+                np.testing.assert_array_equal(row, r)
