@@ -55,8 +55,7 @@ class Checkpointer:
         self.dir = join(outd, 'checkpoints')
         self.every = max(1, every)
         self.mngr = ocp.CheckpointManager(
-            ocp.test_utils.erase_and_create_empty(self.dir)
-            if False else self.dir,
+            self.dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=keep,
                                                  create=True))
 
@@ -64,7 +63,7 @@ class Checkpointer:
         return (epoch + 1) % self.every == 0
 
     def save(self, epoch: int, state, trackers: Dict[Any, PerfTracker],
-             best_params: dict, loss_tracker: list):
+             best_params: dict, loss_tracker: list, scheduler=None):
         arrays = {
             'params': state.params,
             'batch_stats': state.batch_stats,
@@ -78,25 +77,29 @@ class Checkpointer:
                          for k, t in trackers.items()},
             'tracker_keys': {str(k): k for k in trackers},
             'best_params': best_params,
+            # stateful schedulers (MYWARMUP: current_lr/best/num_bad_epochs)
+            # must resume exactly, not restart from base_lr
+            'scheduler': scheduler.state_dict() if scheduler else {},
         }
         self.mngr.save(epoch, args=ocp.args.StandardSave(arrays))
         self.mngr.wait_until_finished()
         # tracker/meta state sidecar (orbax here has no pickle handler)
         with open(join(self.dir, f'meta_{epoch}.pkl'), 'wb') as f:
             pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+        live = {f'meta_{s}.pkl' for s in self.mngr.all_steps()}
         for old in os.listdir(self.dir):
-            if old.startswith('meta_') and old != f'meta_{epoch}.pkl':
-                old_ep = int(old[5:-4])
-                if self.mngr.latest_step() is not None and \
-                        old_ep not in self.mngr.all_steps():
-                    os.remove(join(self.dir, old))
+            if old.startswith('meta_') and old not in live:
+                os.remove(join(self.dir, old))
         log(f"checkpoint saved at epoch {epoch} -> {self.dir}")
 
     def latest_epoch(self) -> Optional[int]:
         return self.mngr.latest_step()
 
-    def restore(self, state_template) -> Optional[Tuple]:
-        """Returns (epoch, state, trackers, best_params, loss_tracker)."""
+    def restore(self, state_template, scheduler=None) -> Optional[Tuple]:
+        """Returns (epoch, state, trackers, best_params, loss_tracker).
+
+        ``scheduler`` (if given) is restored in place from the saved
+        state_dict, so MYWARMUP continues with its plateau-decayed lr."""
         step = self.mngr.latest_step()
         if step is None:
             return None
@@ -116,6 +119,8 @@ class Checkpointer:
             opt_state=arrays['opt_state'], step=arrays['step'])
         trackers = {meta['tracker_keys'][ks]: _restore_tracker(ts)
                     for ks, ts in meta['trackers'].items()}
+        if scheduler is not None and meta.get('scheduler'):
+            scheduler.load_state_dict(meta['scheduler'])
         log(f"restored checkpoint from epoch {meta['epoch']}")
         return (meta['epoch'], state, trackers, meta['best_params'],
                 meta['loss_tracker'])

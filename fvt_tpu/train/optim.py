@@ -73,6 +73,14 @@ class Scheduler:
     def step(self, epoch: int, metric: Optional[float] = None) -> float:
         return self.lr(epoch + 1)
 
+    # stateless by default; MyWarmupSchedule overrides (its plateau state
+    # must survive checkpoint/resume)
+    def state_dict(self) -> dict:
+        return {}
+
+    def load_state_dict(self, state: dict):
+        pass
+
 
 @dataclass
 class StepSchedule(Scheduler):
@@ -139,7 +147,19 @@ class MyCosineSchedule(Scheduler):
 @dataclass
 class MyWarmupSchedule(Scheduler):
     """Warmup to base lr over num_warmup_epoch, then plateau-decay by
-    ``factor`` after ``patience`` bad epochs (base/scheduler.py:76-164)."""
+    ``factor`` after ``patience`` bad epochs (base/scheduler.py:76-164).
+
+    Warmup semantics: the reference legacy trainer ramps the lr from ~0
+    per *batch* (base/trainer.py:258 -> scheduler.warmup_lr); here the
+    ramp is at epoch granularity — ``lr(e) = base_lr * r / W`` for
+    relative epoch r < W — reaching base_lr exactly when ``step`` would
+    pin it there (base/scheduler.py:149-151).  The reference's *live*
+    ``optimize()`` path cannot actually run MYWARMUP (it calls
+    ``scheduler.step()`` with no args, trainer.py:694, which raises on
+    MyWarmupScheduler), so the live wiring here — plateau metric fed from
+    the validation master metric, see Trainer.optimize — is a defined
+    superset, not a divergence.
+    """
     base_lr: float
     min_lr: float = 1e-7
     mode: str = 'min'
@@ -163,7 +183,19 @@ class MyWarmupSchedule(Scheduler):
             else metric > self.best
 
     def lr(self, epoch):
+        relative_epoch = epoch - self.init_epoch + 1
+        if relative_epoch < self.num_warmup_epoch:
+            return self.base_lr * relative_epoch / self.num_warmup_epoch
         return self.current_lr
+
+    def state_dict(self) -> dict:
+        return {'best': self.best, 'num_bad_epochs': self.num_bad_epochs,
+                'current_lr': self.current_lr}
+
+    def load_state_dict(self, state: dict):
+        self.best = state['best']
+        self.num_bad_epochs = state['num_bad_epochs']
+        self.current_lr = state['current_lr']
 
     def step(self, epoch, metric=None):
         relative_epoch = epoch - self.init_epoch + 1

@@ -307,7 +307,8 @@ class Trainer:
         restored = None
         if checkpointer is not None and getattr(checkpointer,
                                                 'allow_restore', True):
-            restored = checkpointer.restore(self.state)
+            restored = checkpointer.restore(self.state,
+                                            scheduler=self.scheduler)
         if restored is not None:
             (last_epoch, self.state, valid_tracker, best_params,
              loss_tracker) = restored
@@ -332,16 +333,16 @@ class Trainer:
         test_tracker = M.build_trackers(self.args.dataset_name,
                                         self.args.use_other_class)
 
+        if isinstance(self.scheduler, optim.MyWarmupSchedule) and \
+                self.scheduler.mode == 'min' and \
+                self.args.task == constants.CLASSIFICATION:
+            log("WARNING: MYWARMUP plateau metric is the validation master "
+                "(W-F1: higher is better) but opt__mode is MIN — set "
+                "--opt__mode max to count plateaus correctly")
+
         for epoch in range(start_epoch, self.args.num_epochs):
             epoch_loss = self.train_one_epoch(train_loader, epoch)
             loss_tracker.append(epoch_loss)
-
-            # metric-driven schedulers (MYWARMUP plateau decay) consume the
-            # epoch loss; pure-epoch schedules ignore step()
-            if isinstance(self.scheduler, optim.MyWarmupSchedule):
-                self.scheduler.step(epoch, epoch_loss)
-                self.state = self.state.replace(opt_state=optim.set_lr(
-                    self.state.opt_state, self.scheduler.lr(epoch + 1)))
 
             current_perf, _ = self.inference(valid_loader)
             for item in valid_tracker:
@@ -353,9 +354,25 @@ class Trainer:
                 log(f"{constants.VALIDSET}: "
                     f"{valid_tracker[item].best_status_str}")
 
+            # metric-driven schedulers (MYWARMUP plateau decay) consume
+            # the VALIDATION master metric, like the reference legacy path
+            # fed valid CCC (base/trainer.py:275); opt__mode must match
+            # its direction (MAX for F1 metrics).  Pure-epoch schedules
+            # ignore step().
+            if isinstance(self.scheduler, optim.MyWarmupSchedule):
+                try:
+                    first = next(iter(valid_tracker.values()))
+                    metric = first._master_value(current_perf)
+                except (KeyError, StopIteration):
+                    metric = epoch_loss
+                self.scheduler.step(epoch, metric)
+                self.state = self.state.replace(opt_state=optim.set_lr(
+                    self.state.opt_state, self.scheduler.lr(epoch + 1)))
+
             if checkpointer is not None and checkpointer.should_save(epoch):
                 checkpointer.save(epoch, self.state, valid_tracker,
-                                  best_params, loss_tracker)
+                                  best_params, loss_tracker,
+                                  scheduler=self.scheduler)
 
         self.fit_finished = True
 

@@ -50,3 +50,38 @@ def test_checkpoint_resume(tmp_path):
     assert 'restored checkpoint from epoch 0' in logtxt
     # and training continued (epoch 1 ran, epoch 0 NOT re-run post-restore)
     assert 'Train epoch (1/2)' in logtxt
+
+
+def test_mywarmup_scheduler_state_survives_resume(tmp_path):
+    """A plateau-decayed MYWARMUP lr must NOT reset to base_lr on resume."""
+    import jax.numpy as jnp
+    from fvt_tpu.train.checkpoint import Checkpointer
+    from fvt_tpu.train.steps import TrainState
+    from fvt_tpu.train.optim import MyWarmupSchedule
+    from fvt_tpu.train.metrics import PerfTracker
+
+    state = TrainState(params={'w': jnp.zeros((2,))}, batch_stats={},
+                       opt_state={'x': jnp.zeros(())},
+                       step=jnp.zeros((), jnp.int32))
+    sched = MyWarmupSchedule(0.01, patience=0, factor=0.5,
+                             num_warmup_epoch=1)
+    # drive two plateau decays past warmup
+    sched.step(0, metric=1.0)
+    sched.step(1, metric=2.0)
+    sched.step(2, metric=2.0)
+    assert sched.current_lr < 0.01
+
+    tr = PerfTracker()
+    ck = Checkpointer(str(tmp_path), every=1)
+    ck.save(2, state, {'None': tr}, {}, [1.0, 2.0, 2.0], scheduler=sched)
+
+    fresh = MyWarmupSchedule(0.01, patience=0, factor=0.5,
+                             num_warmup_epoch=1)
+    ck2 = Checkpointer(str(tmp_path), every=1)
+    restored = ck2.restore(state, scheduler=fresh)
+    assert restored is not None
+    assert fresh.current_lr == sched.current_lr
+    assert fresh.best == sched.best
+    assert fresh.num_bad_epochs == sched.num_bad_epochs
+    # the lr the trainer would adopt after restore continues the decay
+    assert fresh.lr(3) == sched.current_lr

@@ -74,6 +74,17 @@ def test_mystep_and_mycosine_clamping():
     assert c.lr(11) >= 1e-9
 
 
+def test_mywarmup_epoch_ramp():
+    """lr ramps linearly to base over the warmup epochs (epoch-granular
+    version of the reference's per-batch warmup_lr ramp)."""
+    s = O.MyWarmupSchedule(0.01, num_warmup_epoch=4)
+    assert s.lr(0) == pytest.approx(0.01 * 1 / 4)
+    assert s.lr(1) == pytest.approx(0.01 * 2 / 4)
+    assert s.lr(2) == pytest.approx(0.01 * 3 / 4)
+    assert s.lr(3) == pytest.approx(0.01)   # relative_epoch == warmup
+    assert s.lr(10) == pytest.approx(0.01)  # steady after warmup
+
+
 def test_mywarmup_plateau_decay():
     s = O.MyWarmupSchedule(0.01, min_lr=1e-7, mode='min', patience=2,
                            factor=0.5, num_warmup_epoch=3)
