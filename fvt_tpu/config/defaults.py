@@ -53,11 +53,14 @@ def get_config(ds: str) -> dict:
 
         'num_epochs': 100,
         'min_num_epochs': 5,
-        'early_stopping': 50,
+        'early_stopping': 50,  # stop after N epochs with no validation
+        # improvement (legacy rule trainer.py:264-273; honored here, the
+        # reference's live loop ignores it); 0 disables
         'window_length': 300,
         'hop_length': 200,
-        'window_eval': False,  # window eval splits too (reference keeps
-        # False and stitches long videos at inference instead)
+        'window_eval': False,  # must stay False: eval uses whole videos +
+        # window-stitch inference for long LFAN videos; True is rejected
+        # at parse (the reference eval path assumes no windowing)
 
         'train_batch_size': 16,
         'eval_batch_size': 1,

@@ -73,6 +73,13 @@ def sanity_check(config: dict):
         assert config['dataset_name'] == constants.C_EXPR_DB
     assert config['opt__name_optimizer'] in constants.OPTIMIZERS
     assert config['opt__name_lr_scheduler'] in constants.LR_SCHEDULERS
+    # the reference's eval path assumes whole-video items (trainer.py:447
+    # "# assumes no windowing" — window_eval=True silently overwrites
+    # per-trial logits there); long LFAN videos are stitch-windowed at
+    # inference instead, so the flag is rejected rather than crashing later
+    assert not config.get('window_eval', False), \
+        'window_eval=True is unsupported: eval uses whole videos + the ' \
+        'window-stitch inference path for long LFAN videos'
 
 
 def make_outd(config: dict, base: str = None) -> str:

@@ -40,6 +40,26 @@ from fvt_tpu.utils import rng as rng_mod
 from fvt_tpu.utils.logger import log, fmsg
 
 
+class EarlyStopper:
+    """Early stopping with the reference's legacy semantics
+    (/root/reference/trainer.py:264-273): once past ``min_epochs``, a
+    countdown from ``budget`` that resets to ``budget`` on any
+    validation improvement and decrements otherwise; reaching 0 stops.
+    ``budget`` <= 0 disables.  (The reference's live loop ignores the
+    early_stopping config knob entirely; here it is honored.)"""
+
+    def __init__(self, budget: int, min_epochs: int):
+        self.budget = int(budget or 0)
+        self.min_epochs = min_epochs
+        self.counter = self.budget
+
+    def should_stop(self, epoch: int, improved: bool) -> bool:
+        if self.budget <= 0 or (epoch + 1) <= self.min_epochs:
+            return False
+        self.counter = self.budget if improved else self.counter - 1
+        return self.counter <= 0
+
+
 class Trainer:
     def __init__(self, model, model_name: str, args, cl_to_int: dict,
                  int_to_cl: dict, train_step_fn=None):
@@ -340,15 +360,20 @@ class Trainer:
                 "(W-F1: higher is better) but opt__mode is MIN — set "
                 "--opt__mode max to count plateaus correctly")
 
+        stopper = EarlyStopper(getattr(self.args, 'early_stopping', 0),
+                               self.args.min_num_epochs)
+
         for epoch in range(start_epoch, self.args.num_epochs):
             epoch_loss = self.train_one_epoch(train_loader, epoch)
             loss_tracker.append(epoch_loss)
 
             current_perf, _ = self.inference(valid_loader)
+            improved = False
             for item in valid_tracker:
                 valid_tracker[item].append(current_perf)
                 if valid_tracker[item].is_last_best:
                     best_params[item] = host_best()
+                    improved = True
                 log(f"{constants.VALIDSET}: "
                     f"{valid_tracker[item].current_status_str}")
                 log(f"{constants.VALIDSET}: "
@@ -373,6 +398,11 @@ class Trainer:
                 checkpointer.save(epoch, self.state, valid_tracker,
                                   best_params, loss_tracker,
                                   scheduler=self.scheduler)
+
+            if stopper.should_stop(epoch, improved):
+                log(fmsg(f"Early stopping at epoch {epoch}: no validation "
+                         f"improvement in {stopper.budget} epochs"))
+                break
 
         self.fit_finished = True
 

@@ -159,3 +159,34 @@ def test_training_is_deterministic(store, tmp_path):
     for k in logs[0][1]:
         np.testing.assert_array_equal(logs[0][1][k]['logits'],
                                       logs[1][1][k]['logits'])
+
+
+def test_window_eval_flag_rejected(store, tmp_path):
+    """window_eval=True is a crashing no-op in the reference eval path
+    ('# assumes no windowing', trainer.py:447) — rejected at parse time."""
+    import pytest
+    from fvt_tpu.config.parse import parse_input
+    with pytest.raises(AssertionError, match='window_eval'):
+        parse_input([
+            '--dataset_name', 'MELD',
+            '--dataset_path', store['dataset_path'],
+            '--folds_dir', store['folds_dir'],
+            '--window_eval', 'true',
+            '--outd', str(tmp_path / 'exp_we'),
+        ])
+
+
+def test_early_stopper_semantics():
+    """Countdown resets on improvement, decrements otherwise, gated on
+    min_epochs — the reference legacy rule (trainer.py:264-273)."""
+    from fvt_tpu.train.trainer import EarlyStopper
+
+    s = EarlyStopper(budget=2, min_epochs=1)
+    assert not s.should_stop(0, improved=False)   # within min_epochs
+    assert not s.should_stop(1, improved=False)   # counter 2 -> 1
+    assert not s.should_stop(2, improved=True)    # reset to 2
+    assert not s.should_stop(3, improved=False)   # 2 -> 1
+    assert s.should_stop(4, improved=False)       # 1 -> 0: stop
+
+    off = EarlyStopper(budget=0, min_epochs=0)
+    assert not any(off.should_stop(e, improved=False) for e in range(100))
