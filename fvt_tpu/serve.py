@@ -62,6 +62,19 @@ def build_lfan_serving_step(model, interpret: Optional[bool] = None):
                 frames, train=False)
             x = dict(x)
             x['video'] = feats.reshape(b, t, -1)
+        if 'logmel' in x and x['logmel'].ndim == 4 \
+                and model.spatial_audio is not None:
+            # raw log-mel patches go through VGGish exactly as in
+            # models._maybe_encode_spatial — feeding them straight to the
+            # TCN kernel would be a shape/semantics error
+            b, t = x['logmel'].shape[:2]
+            patches = x['logmel'].reshape((b * t,) + x['logmel'].shape[2:])
+            feats = model.spatial_audio.apply(
+                {'params': params['spatial_audio'],
+                 'batch_stats': stats.get('spatial_audio', {})},
+                patches, train=False)
+            x = dict(x)
+            x['logmel'] = feats.reshape(b, t, -1)
 
         feats = {}
         for modal in modality:

@@ -28,6 +28,31 @@ def test_lfan_serving_matches_model_apply():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_lfan_serving_logmel_rides_vggish():
+    """Raw log-mel patches must pass through the frozen VGGish backbone in
+    the serving path too (not straight into the TCN kernel)."""
+    from fvt_tpu.models.vggish import VGGish
+
+    model = LFAN(modality=('logmel', 'bert'), output_dim=7,
+                 spatial_audio=VGGish())
+    rng = np.random.default_rng(1)
+    batch = {
+        'logmel': jnp.asarray(rng.normal(size=(1, 8, 96, 64)
+                                         ).astype(np.float32)),
+        'bert': jnp.asarray(rng.normal(size=(1, 8, 768)
+                                       ).astype(np.float32)),
+    }
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.key(0), batch)
+
+    want = model.apply(variables, batch, train=False)
+    serve_fn = build_lfan_serving_fn(model, variables, interpret=True)
+    got = serve_fn(batch)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_trainer_pallas_serving_inference(tmp_path):
     """--pallas_serving true eval path through the full CLI matches the
     standard path's predictions within kernel tolerance."""
