@@ -21,18 +21,19 @@ _LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), 'native', 'libfvt_store.so')
 
 _lib = None
+_load_attempted = False
 
 
 def _load_lib():
-    global _lib
-    if _lib is not None:
+    """CDLL an already-built library.  Never shells out — the loader hot
+    path must not have a subprocess side effect; build explicitly with
+    ``ensure_built()`` (CLIs call it at startup)."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
         return _lib
+    _load_attempted = True
     if not os.path.isfile(_LIB_PATH):
-        try:  # best-effort build (g++ is in the image)
-            subprocess.run(['make', '-C', os.path.dirname(_LIB_PATH)],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
-            return None
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -50,13 +51,39 @@ def _load_lib():
     return lib
 
 
+def ensure_built() -> bool:
+    """Explicit one-time build-and-load (g++ is in the image).  Returns
+    True when the native gather is usable."""
+    global _load_attempted
+    if _lib is not None:
+        return True
+    if not os.path.isfile(_LIB_PATH):
+        try:
+            subprocess.run(['make', '-C', os.path.dirname(_LIB_PATH)],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return False
+    _load_attempted = False
+    return _load_lib() is not None
+
+
 def available() -> bool:
     return _load_lib() is not None
 
 
-@lru_cache(maxsize=4096)
 def npy_header(path: str) -> Tuple[int, Tuple[int, ...], np.dtype, bool]:
-    """(data_offset, shape, dtype, fortran_order) of a .npy file."""
+    """(data_offset, shape, dtype, fortran_order) of a .npy file.
+
+    Cached per (path, mtime, size) so in-place rewrites — e.g.
+    faces.compact_video_npy truncating video.npy — invalidate the entry
+    instead of serving a stale shape."""
+    st = os.stat(path)
+    return _npy_header(path, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=4096)
+def _npy_header(path: str, mtime_ns: int, size: int
+                ) -> Tuple[int, Tuple[int, ...], np.dtype, bool]:
     with open(path, 'rb') as f:
         magic = f.read(6)
         assert magic == b'\x93NUMPY', path

@@ -105,6 +105,11 @@ class Experiment:
             windowing=True,
             window_eval=getattr(self.args, 'window_eval', False))
 
+        # build/load the native gather once, up front — the loader hot
+        # path itself never shells out (see native_store._load_lib)
+        from fvt_tpu.data import native_store
+        native_store.ensure_built()
+
         builder = ExampleBuilder(
             modality=self.modality,
             window_length=self.args.window_length,

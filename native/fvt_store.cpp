@@ -58,18 +58,30 @@ extern "C" {
 
 // Gather n rows of row_bytes each from a .npy file (data starts at
 // header_offset) into out.  Returns 0 on success, negative errno-style
-// codes on failure.  Thread-safe; spawns worker threads for large copies.
+// codes on failure (-3: an index would read past the mapped file — e.g.
+// a truncated or header-inconsistent file; the Python caller falls back
+// to numpy instead of faulting).  Thread-safe; spawns worker threads for
+// large copies.
 int fvt_gather_rows(const char* path, int64_t header_offset,
                     int64_t row_bytes, const int64_t* idx, int64_t n,
                     uint8_t* out, int num_threads) {
+    if (header_offset < 0 || row_bytes <= 0 || n < 0) return -2;
     MappedFile mf = map_file(path);
     if (!mf.ok) return -1;
 
     const uint8_t* base = static_cast<const uint8_t*>(mf.data);
     const int64_t total = n * row_bytes;
-    if (header_offset + row_bytes > static_cast<int64_t>(mf.size)) {
+    const int64_t data_bytes = static_cast<int64_t>(mf.size) - header_offset;
+    if (row_bytes > data_bytes) {
         ::munmap(mf.data, mf.size);
         return -2;
+    }
+    const int64_t max_row = data_bytes / row_bytes;  // rows actually on disk
+    for (int64_t i = 0; i < n; ++i) {
+        if (idx[i] < 0 || idx[i] >= max_row) {
+            ::munmap(mf.data, mf.size);
+            return -3;
+        }
     }
 
     int nt = num_threads;
@@ -97,8 +109,14 @@ int fvt_gather_rows(const char* path, int64_t header_offset,
 int fvt_read_slice(const char* path, int64_t header_offset,
                    int64_t row_bytes, int64_t start, int64_t n,
                    uint8_t* out) {
+    if (header_offset < 0 || row_bytes <= 0 || start < 0 || n < 0) return -2;
     MappedFile mf = map_file(path);
     if (!mf.ok) return -1;
+    if (header_offset + (start + n) * row_bytes >
+            static_cast<int64_t>(mf.size)) {
+        ::munmap(mf.data, mf.size);
+        return -3;
+    }
     const uint8_t* base = static_cast<const uint8_t*>(mf.data);
     std::memcpy(out, base + header_offset + start * row_bytes,
                 static_cast<size_t>(n * row_bytes));

@@ -9,7 +9,7 @@ from fvt_tpu.data import native_store
 
 
 def test_native_gather_parity(tmp_path):
-    if not native_store.available():
+    if not native_store.ensure_built():
         pytest.skip('native library failed to build')
     rng = np.random.default_rng(0)
     for shape, dtype in [((200, 128), np.float32),
@@ -55,3 +55,55 @@ def test_example_builder_uses_native(tmp_path):
         ex = b.build([tdir, 't', 40, np.arange(8, 24)])
         np.testing.assert_allclose(ex['vggish'], vggish[8:24], atol=0)
         np.testing.assert_array_equal(ex[constants.EXPR], labels[8:24])
+
+
+def test_header_cache_invalidates_on_rewrite(tmp_path):
+    """compact_video_npy rewrites .npy files in place; a later gather in
+    the same process must see the NEW shape, not a cached header."""
+    if not native_store.ensure_built():
+        pytest.skip('native library failed to build')
+    p = str(tmp_path / 'v.npy')
+    big = np.arange(20 * 4, dtype=np.float32).reshape(20, 4)
+    np.save(p, big)
+    _, shape, _, _ = native_store.npy_header(p)
+    assert shape == (20, 4)
+    got = native_store.gather_rows(p, np.arange(20))
+    np.testing.assert_array_equal(got, big)
+
+    small = big[:5] + 100.0
+    np.save(p, small)  # in-place rewrite, same path
+    _, shape2, _, _ = native_store.npy_header(p)
+    assert shape2 == (5, 4)
+    got2 = native_store.gather_rows(p, np.arange(5))
+    np.testing.assert_array_equal(got2, small)
+
+
+def test_truncated_file_falls_back_not_segfault(tmp_path):
+    """A file whose data section is shorter than its header claims must
+    yield an error/fallback, not an out-of-bounds read."""
+    if not native_store.ensure_built():
+        pytest.skip('native library failed to build')
+    p = str(tmp_path / 't.npy')
+    np.save(p, np.ones((100, 8), np.float32))
+    offset, shape, dtype, _ = native_store.npy_header(p)
+    # truncate: keep the header + 10 rows only
+    keep = offset + 10 * 8 * 4
+    with open(p, 'rb') as f:
+        data = f.read(keep)
+    with open(p, 'wb') as f:
+        f.write(data)
+
+    import ctypes
+    lib = native_store._load_lib()
+    idx = np.asarray([50], np.int64)  # header says valid; disk says no
+    out = np.empty((1, 8), np.float32)
+    rc = lib.fvt_gather_rows(
+        p.encode(), offset, 8 * 4,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 1)
+    assert rc == -3
+
+    rc2 = lib.fvt_read_slice(
+        p.encode(), offset, 8 * 4, 5, 20,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert rc2 == -3
