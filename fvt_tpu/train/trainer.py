@@ -132,20 +132,25 @@ class Trainer:
         losses = []
         for i, batch in enumerate(loader.epoch(epoch)):
             bsz = next(iter(batch.values())).shape[0]
+            step_fn = self.train_step
             if self.mesh is not None:
+                from fvt_tpu.parallel.mesh import shard_batch, replicated
                 if bsz % n_dev != 0:
-                    # final ragged batch: keep global-batch semantics by
-                    # padding to a device multiple and masking is overkill
-                    # for one batch/epoch — skip it (logged once)
-                    if epoch == 0:
-                        log(f"DP: skipping ragged final batch of {bsz} "
-                            f"(not divisible by {n_dev} devices)")
-                    continue
-                from fvt_tpu.parallel.mesh import shard_batch
-                jbatch = shard_batch(batch, self.mesh)
+                    # final ragged batch (at most one per epoch): run it
+                    # REPLICATED through the single-device step — every
+                    # chip computes the same small batch, so the loss and
+                    # batch-norm statistics match the reference exactly
+                    # (it consumes every batch, trainer.py:345-391);
+                    # padding + masking would perturb BN batch stats
+                    repl = replicated(self.mesh)
+                    jbatch = {k: jax.device_put(v, repl)
+                              for k, v in batch.items()}
+                    step_fn = self._ragged_train_step()
+                else:
+                    jbatch = shard_batch(batch, self.mesh)
             else:
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.state, loss = self.train_step(
+            self.state, loss = step_fn(
                 self.state, jbatch, jax.random.fold_in(epoch_key, i))
             losses.append(loss)
 
@@ -174,6 +179,15 @@ class Trainer:
                  f"loss: {epoch_loss:.6f} "
                  f"runtime: {dt.datetime.now() - t0}"))
         return epoch_loss
+
+    def _ragged_train_step(self):
+        """Lazily-built plain (unsharded) train step for the one
+        non-device-divisible batch per epoch under DP; state stays
+        replicated on the mesh, outputs too."""
+        if getattr(self, '_ragged_step', None) is None:
+            self._ragged_step = make_train_step(
+                self.model, self.optimizer, task=self.args.task)
+        return self._ragged_step
 
     # ------------------------------------------------------------ inference
     def _dp_eval_step(self):

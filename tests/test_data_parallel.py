@@ -112,3 +112,106 @@ def test_window_sharded_eval_matches_single_device(tmp_path):
     trainer.mesh = None  # single-device path on the same params
     single = trainer._forward_windows(batch, true_len=L)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_ragged_final_batch_matches_single_device():
+    """An epoch tail batch not divisible by n_devices is consumed (not
+    skipped) with numerics identical to the single-device path — the
+    reference consumes every batch (trainer.py:345-391)."""
+    import jax.numpy as jnp
+    from fvt_tpu import constants
+    from fvt_tpu.models.models import LFAN
+    from fvt_tpu.parallel.mesh import make_mesh, shard_batch, replicated
+    from fvt_tpu.parallel.dp import make_dp_train_step
+    from fvt_tpu.train.steps import create_train_state, make_train_step
+    from fvt_tpu.train import optim
+    from fvt_tpu.config.defaults import get_config
+
+    hp = optim.standardize_opt_params(get_config(constants.MELD))
+    optimizer = optim.build_optimizer(hp)
+    model = LFAN(modality=('vggish', 'bert'), output_dim=7,
+                 tcn_dropout=0.0, fusion_dropout=0.0)
+
+    rng = np.random.default_rng(3)
+
+    def make_batch(b):
+        return {
+            'vggish': rng.normal(size=(b, 16, 128)).astype(np.float32),
+            'bert': rng.normal(size=(b, 16, 768)).astype(np.float32),
+            constants.EXPR: rng.integers(0, 7, size=(b, 16)
+                                         ).astype(np.int32),
+        }
+
+    full, ragged = make_batch(8), make_batch(5)  # 5 % 8 != 0
+
+    single = make_train_step(model, optimizer)
+    s1 = create_train_state(model, optimizer,
+                            {k: jnp.asarray(v) for k, v in full.items()},
+                            jax.random.key(0))
+    s1, l1a = single(s1, {k: jnp.asarray(v) for k, v in full.items()},
+                     jax.random.key(1))
+    s1, l1b = single(s1, {k: jnp.asarray(v) for k, v in ragged.items()},
+                     jax.random.key(2))
+
+    mesh = make_mesh(8)
+    with mesh:
+        dp = make_dp_train_step(model, optimizer, mesh)
+        s2 = create_train_state(model, optimizer,
+                                {k: jnp.asarray(v) for k, v in full.items()},
+                                jax.random.key(0))
+        s2, l2a = dp(s2, shard_batch(full, mesh), jax.random.key(1))
+        # the trainer's ragged path: replicated batch + plain step
+        repl = replicated(mesh)
+        rbatch = {k: jax.device_put(v, repl) for k, v in ragged.items()}
+        s2, l2b = single(s2, rbatch, jax.random.key(2))
+
+    np.testing.assert_allclose(float(l1a), float(l2a), rtol=1e-5)
+    np.testing.assert_allclose(float(l1b), float(l2b), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_dp_trainer_consumes_ragged_batch(tmp_path):
+    """Trainer.train_one_epoch under DP processes the non-divisible tail
+    batch (loss count == batch count, no skip)."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from fvt_tpu import constants
+    from fvt_tpu.models.models import LFAN
+    from fvt_tpu.train.trainer import Trainer
+    from fvt_tpu.config.defaults import get_config
+
+    cfg = get_config(constants.MELD)
+    cfg.update(window_length=16, hop_length=8, dataset_path='x',
+               data_parallel=True, num_epochs=1)
+    args = SimpleNamespace(**cfg)
+    model = LFAN(modality=('vggish', 'bert'), output_dim=7)
+    trainer = Trainer(model, constants.LFAN, args, {}, {})
+    assert trainer.mesh is not None
+
+    rng = np.random.default_rng(0)
+
+    class FakeLoader:
+        def epoch(self, e):
+            for b in (8, 5):  # second batch ragged on the 8-device mesh
+                yield {
+                    'vggish': rng.normal(size=(b, 16, 128)
+                                         ).astype(np.float32),
+                    'bert': rng.normal(size=(b, 16, 768)
+                                       ).astype(np.float32),
+                    constants.EXPR: rng.integers(
+                        0, 7, size=(b, 16)).astype(np.int32),
+                }
+
+    trainer.init_state({
+        'vggish': jnp.zeros((8, 16, 128), jnp.float32),
+        'bert': jnp.zeros((8, 16, 768), jnp.float32),
+        constants.EXPR: jnp.zeros((8, 16), jnp.int32)})
+    step_before = int(trainer.state.step)
+    trainer.train_one_epoch(FakeLoader(), epoch=0)
+    assert int(trainer.state.step) - step_before == 2  # both consumed
