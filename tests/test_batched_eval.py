@@ -1,0 +1,87 @@
+"""Batched same-bucket eval == bs=1 eval, per video.
+
+Identity is at fp32 reduction-order tolerance (different batch shapes
+compile to different XLA programs, so last-ulp differences are expected;
+observed max ~5e-7 abs), NOT bitwise.
+
+Locks the throughput optimization of data/loader.py::EvalLoader.batches
+(eval_video_batch > 1) to the reference's bs=1 eval semantics
+(/root/reference/trainer.py:447-506), including the windowed-singleton
+path for videos longer than the model window (stitch inference) mixed
+with short bucketed videos.
+"""
+import numpy as np
+import pytest
+
+from types import SimpleNamespace
+
+import jax.numpy as jnp
+
+from fvt_tpu import constants
+from fvt_tpu.config.defaults import get_config
+from fvt_tpu.experiment import Experiment
+from synth_store import make_meld_store
+
+
+@pytest.fixture(scope='module')
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('bstore'))
+    # lengths straddle the model window (16): long videos take the
+    # stitch path as singletons, short ones share padded buckets
+    store = make_meld_store(root, n_train=4, n_val=10, n_test=4,
+                            min_len=6, max_len=40)
+
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               modality='vggish+bert+EXPR_continuous_label',
+               window_length=16, hop_length=8, eval_bucket_quantum=8,
+               num_workers=1, calc_mean_std=True, seed=0)
+    args = SimpleNamespace(**cfg)
+
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    return args, trainer, loaders
+
+
+def _logits(trainer, loader, batch_videos):
+    trainer.args.eval_video_batch = batch_videos
+    _, per_video = trainer.inference(loader)
+    return per_video
+
+
+def test_batched_eval_bit_identical_to_bs1(setup):
+    args, trainer, loaders = setup
+    val = loaders[constants.VALIDSET]
+
+    # sanity: the synthetic store actually exercises BOTH paths
+    lens = [trainer.model and item[2] for item in val.work_list]
+    assert any(max(l, args.window_length) > args.window_length
+               for l in lens), 'no windowed (stitch) video in the mix'
+    assert sum(1 for l in lens
+               if max(l, args.window_length) <= args.window_length) >= 2, \
+        'no shared bucket batch in the mix'
+
+    a = _logits(trainer, val, batch_videos=1)
+    b = _logits(trainer, val, batch_videos=32)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k]['labels'], b[k]['labels'])
+        np.testing.assert_allclose(
+            a[k]['logits'], b[k]['logits'], rtol=1e-4, atol=1e-5,
+            err_msg=f'batched eval diverged on {k}')
+
+
+def test_batched_eval_mixed_bucket_sizes(setup):
+    """An in-between batch size that splits buckets unevenly still
+    reproduces bs=1 logits exactly."""
+    args, trainer, loaders = setup
+    val = loaders[constants.VALIDSET]
+    a = _logits(trainer, val, batch_videos=1)
+    c = _logits(trainer, val, batch_videos=3)
+    for k in a:
+        np.testing.assert_allclose(a[k]['logits'], c[k]['logits'],
+                                   rtol=1e-4, atol=1e-5)
