@@ -318,32 +318,35 @@ class PerfTracker:
         self.is_last_best = is_best
 
     def report(self, data: dict, int_to_cl: Dict[int, str]) -> str:
-        """Human-readable report of one perf dict (reference :281-374)."""
-        lines = []
+        """Human-readable report of one perf dict, with texttable-style
+        per-class / confusion tables (reference metrics.py:281-374 +
+        tools.py:18-70)."""
+        from fvt_tpu.utils.tables import print_confusion_mtx, print_vector
+
+        msg = ''
         for ic, metric, level, vp, value in _iter_masters(data):
             head = f"{ic}, {metric}, {level}" + (f", {vp}" if vp else '')
             if metric in (constants.CL_ACC, constants.MACRO_F1,
                           constants.W_F1):
-                msg = f"{head}: {value:.8f}"
+                c_msg = f"{head}: {value:.8f}"
                 if metric == constants.CL_ACC:
-                    msg += '%'
+                    c_msg += '%'
             elif metric == constants.CFUSE_MARIX:
-                msg = f"{head}:\n{np.array2string(value, precision=4)}"
+                c_msg = f"{head}:\n {print_confusion_mtx(value, int_to_cl)}"
             else:
                 continue
             if self.is_master(ic, metric, level, vp):
-                msg = f"Master: {msg}"
-            lines.append(msg)
+                c_msg = f"Master: {c_msg}"
+            msg = f"{msg}\n{c_msg}\n"
 
             node = data[ic][metric][level]
             per_cl = (node['per_cl'] if level == constants.FRAME_LEVEL
                       else node[vp]['per_cl'])
             if metric == constants.MACRO_F1 and isinstance(
                     per_cl, np.ndarray):
-                named = {int_to_cl.get(i, i): round(float(v), 4)
-                         for i, v in enumerate(per_cl)}
-                lines.append(f"{head} per-class:\n{named}")
-        return '\n'.join(lines) + '\n'
+                msg = (f"{msg}\n{head}:\n "
+                       f"{print_vector(per_cl, int_to_cl)}\n")
+        return msg
 
 
 def compute_regression_perf(data: dict) -> dict:

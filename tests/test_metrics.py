@@ -98,3 +98,48 @@ def test_meld_trackers():
     for t in trackers.values():
         t.append(perf)
         assert t.best_value is not None
+
+
+def test_texttable_style_tables():
+    """Report tables carry texttable's default decoration: bordered
+    cells, '=' rule under a centered header, precision-6 floats."""
+    import numpy as np
+    from fvt_tpu.utils.tables import (draw_table, print_confusion_mtx,
+                                      print_vector)
+
+    t = draw_table(['*', 'joy'], [['joy', 0.5]], ['t', 'f'])
+    lines = t.split('\n')
+    assert lines[0].startswith('+-') and lines[0].endswith('-+')
+    assert lines[2].startswith('+=') and '=' in lines[2]
+    assert '| 0.500000' in t
+    # header centered, all rules equal width
+    assert len(set(len(l) for l in lines)) == 1
+
+    int_to_cl = {0: 'neutral', 1: 'joy'}
+    m = print_confusion_mtx(np.asarray([[0.75, 0.25], [0.1, 0.9]]),
+                            int_to_cl)
+    assert 'neutral' in m and '0.750000' in m and m.count('+') >= 12
+
+    v = print_vector(np.asarray([0.1, 0.9]), int_to_cl)
+    assert 'joy' in v and '0.900000' in v
+
+
+def test_perf_report_contains_tables():
+    """PerfTracker.report renders the confusion matrix and per-class F1
+    as tables (the reference's artifact look, tools.py:18-70)."""
+    import numpy as np
+    from fvt_tpu import constants
+    from fvt_tpu.train import metrics as M
+
+    rng = np.random.default_rng(0)
+    data = {f'v{i}': {'labels': np.full(20, i % 7),
+                      'logits': rng.normal(size=(20, 7)).astype(np.float32)}
+            for i in range(6)}
+    perf = M.compute_perf(data, constants.MELD, use_other_class=False)
+    tr = M.build_trackers(constants.MELD, use_other_class=False)
+    item = next(iter(tr))
+    int_to_cl = {i: f'cl{i}' for i in range(7)}
+    rep = tr[item].report(perf, int_to_cl)
+    assert '+=' in rep          # header rule
+    assert rep.count('|') > 20  # bordered cells
+    assert 'Master:' in rep
