@@ -60,7 +60,9 @@ class PreprocessingDriver:
                  fold: int = 0,
                  vggish_params: Optional[dict] = None,
                  bert=None,
-                 arcface: Optional[tuple] = None):
+                 arcface: Optional[tuple] = None,
+                 transcriber=None,
+                 text_embedder=None):
         self.ds = ds
         self.split = split
         self.part = part
@@ -72,6 +74,18 @@ class PreprocessingDriver:
         self.vggish_params = vggish_params
         self.bert = bert  # (tokenizer, model) or None
         self.arcface = arcface  # (params, batch_stats) or None
+        # transcriber: wav_path -> transcript text, run (then punctuation-
+        # restored) for trials with NO fold transcript, like the reference
+        # chain (base/preprocessing.py:381-415 -> base/speech.py:63-182);
+        # injectable (Vosk via textalign.make_vosk_transcriber when its
+        # package is present)
+        self.transcriber = transcriber
+        # text_embedder: transcript -> (n_tokens, 768); defaults to the
+        # BERT sum-last-4 extractor over self.bert
+        if text_embedder is None and bert is not None:
+            text_embedder = lambda tx: textalign.extract_word_embedding(  # noqa: E731
+                tx, bert[0], bert[1])
+        self.text_embedder = text_embedder
 
         os.makedirs(join(output_root, 'features', NPY_FOLDER),
                     exist_ok=True)
@@ -151,14 +165,20 @@ class PreprocessingDriver:
         except Exception as e:
             record['issues'].append(f'cnn failed: {e}')
 
-        # 3. text: BERT embedding + frame alignment
+        # 3. text: [transcribe -> punctuation ->] embedding -> alignment
+        # (chain order of base/preprocessing.py:381-415)
         try:
             bert_path = join(tdir, 'bert.npy')
             if not os.path.isfile(bert_path):
-                if self.bert is not None and info['transcript'].strip():
-                    tokenizer, model = self.bert
-                    emb = textalign.extract_word_embedding(
-                        info['transcript'], tokenizer, model)
+                transcript = info['transcript']
+                if not transcript.strip() and self.transcriber is not None \
+                        and os.path.isfile(wav_path):
+                    transcript = textalign.add_punctuation(
+                        self.transcriber(wav_path))
+                    record['transcript'] = transcript
+                if self.text_embedder is not None and transcript.strip():
+                    emb = np.asarray(self.text_embedder(transcript),
+                                     dtype=np.float32)
                 else:
                     emb = np.zeros((0, 768), dtype=np.float32)
                 aligned = textalign.align_word_embedding_new(emb, ann_idx)
@@ -211,6 +231,10 @@ def main(argv=None):
     p.add_argument('--arcface_pth', default=None,
                    help='torch res50_ir_*.pth to weight-port for cnn.npy')
     p.add_argument('--with_bert', action='store_true')
+    p.add_argument('--transcribe', action='store_true',
+                   help='Vosk-transcribe (+punctuate) trials that have no '
+                        'fold transcript before BERT embedding')
+    p.add_argument('--vosk_model_dir', default=None)
     args = p.parse_args(argv)
 
     vggish_params = None
@@ -228,11 +252,14 @@ def main(argv=None):
         arcface = visual_backbone_from_torch(sd)
 
     bert = textalign.load_bert() if args.with_bert else None
+    transcriber = (textalign.make_vosk_transcriber(args.vosk_model_dir)
+                   if args.transcribe else None)
 
     driver = PreprocessingDriver(
         args.dataset_name, args.split, args.part, args.nparts,
         args.video_root, args.output_root, args.folds_dir, args.fold,
-        vggish_params=vggish_params, bert=bert, arcface=arcface)
+        vggish_params=vggish_params, bert=bert, arcface=arcface,
+        transcriber=transcriber)
     driver.run()
 
 

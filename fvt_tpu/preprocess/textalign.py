@@ -131,6 +131,14 @@ def transcribe(wav_path: str, model_dir: Optional[str] = None) -> dict:
     return {'text': ' '.join(t for t in texts if t), 'words': words}
 
 
+def make_vosk_transcriber(model_dir: Optional[str] = None):
+    """wav_path -> transcript text, the driver-chain transcriber contract
+    (any callable with this signature can be injected instead)."""
+    def _transcribe(wav_path: str) -> str:
+        return transcribe(wav_path, model_dir)['text']
+    return _transcribe
+
+
 def add_punctuation(text: str) -> str:
     """Punctuation restoration (speech.py:99-182); gated on the
     deepmultilingualpunctuation package, identity fallback otherwise."""

@@ -90,3 +90,78 @@ def test_face_pipeline_and_compaction(video_store, tmp_path):
     faces_mod.compact_video_npy(tdir, faces)
     assert np.load(join(tdir, 'video.npy')).shape == (10, 256, 256, 3)
     assert np.load(join(tdir, 'vggish.npy')).shape[0] == 10
+
+
+def test_transcriber_chain_step(video_store, tmp_path):
+    """A trial with NO fold transcript gets transcribed (injectable
+    transcriber), punctuated, embedded and frame-aligned — the reference
+    chain base/preprocessing.py:381-415. Trials WITH fold transcripts
+    never invoke the transcriber."""
+    import yaml as _yaml
+    from fvt_tpu.preprocess import textalign
+
+    root = str(tmp_path / 'nv')
+    folds = join(root, 'folds', 'split-0')
+    os.makedirs(folds, exist_ok=True)
+    _write_video(join(root, 'raw', 'train/silent.avi'), n_frames=10)
+    _write_video(join(root, 'raw', 'train/spoken.avi'), n_frames=10)
+    with open(join(folds, 'train.txt'), 'w') as f:
+        f.write('train/silent,0,\n')          # no transcript
+        f.write('train/spoken,1,from fold\n')  # fold transcript present
+    with open(join(folds, 'class_id.yaml'), 'w') as f:
+        _yaml.dump({c: i for i, c in enumerate('abcdefg')}, f)
+
+    calls = []
+
+    def fake_transcriber(wav_path):
+        calls.append(wav_path)
+        return 'three words here'
+
+    def fake_embedder(transcript):
+        # one distinct embedding per word
+        words = transcript.split()
+        emb = np.zeros((len(words), 768), np.float32)
+        for i in range(len(words)):
+            emb[i, i] = float(i + 1)
+        return emb
+
+    out_root = str(tmp_path / 'nv_out')
+    drv = PreprocessingDriver(
+        constants.MELD, constants.TRAINSET, part=0, nparts=1,
+        video_root=join(root, 'raw'), output_root=out_root,
+        folds_dir=join(root, 'folds'),
+        transcriber=fake_transcriber, text_embedder=fake_embedder)
+
+    # the transcriber contract reads from the wav the driver produced; if
+    # ffmpeg is absent, plant the wav file so the chain step still runs
+    from fvt_tpu.preprocess import audio as audio_mod
+    if not audio_mod.has_ffmpeg():
+        for t in ('train/silent', 'train/spoken'):
+            w = join(out_root, 'features', 'wav', t + '.wav')
+            os.makedirs(os.path.dirname(w), exist_ok=True)
+            open(w, 'wb').close()
+
+    records = drv.run()
+    recs = {r['processing_record']['trial']: r['processing_record']
+            for r in records}
+
+    # only the transcript-less trial was transcribed
+    assert len(calls) == 1 and calls[0].endswith('train/silent.wav')
+    assert recs['train/silent'].get('transcript') == 'three words here'
+    assert 'transcript' not in recs['train/spoken']
+
+    # bert.npy holds the aligned fake embeddings: 10 frames over 3 tokens
+    bert = np.load(join(out_root, 'features', 'compacted_48',
+                        'train/silent', 'bert.npy'))
+    fps = recs['train/silent']['fps']
+    from fvt_tpu.preprocess.sharding import annotated_index
+    ann = annotated_index(10, fps)
+    want = textalign.align_word_embedding_new(fake_embedder(
+        'three words here'), ann)
+    np.testing.assert_array_equal(bert, want)
+    assert bert.any(), 'alignment produced all-zero embeddings'
+
+    # the fold-transcript trial used the embedder on the fold text
+    bert2 = np.load(join(out_root, 'features', 'compacted_48',
+                         'train/spoken', 'bert.npy'))
+    assert bert2.shape == (10, 768) and bert2.any()
