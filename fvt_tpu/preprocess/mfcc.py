@@ -2,10 +2,17 @@
 
 The reference extracts MFCC/eGeMAPS with openSMILE (base/audio.py:73-117),
 an external binary not present in this image.  This module provides a
-native alternative with the same shape contract (MFCC_DIM=39 at the
+native alternative with the same SHAPE contract (MFCC_DIM=39 at the
 100 Hz frame rate the training config expects, configs.py:24) built on
-the same STFT/mel frontend as the VGGish path.  eGeMAPS functionals
-remain openSMILE-gated (see ``extract_egemaps``).
+the same STFT/mel frontend as the VGGish path.
+
+NUMERICS: the native MFCC is shape-compatible but NOT openSMILE-numerics
+(different mel filterbank conventions, lifter, and pre-emphasis); models
+trained on one extractor's features are not transferable to the other.
+eGeMAPS functionals are supported only WITH openSMILE (see
+``extract_egemaps``) — the 88 functionals are defined by its
+implementation.  Neither modality is in the reference's default feature
+set (vggish/bert/video).
 """
 from __future__ import annotations
 
@@ -63,8 +70,18 @@ def extract_mfcc(wav_path: str, output_path: str,
     np.save(output_path, feats)
 
 
-def extract_egemaps(wav_path: str, output_path: str, **kwargs):
-    """eGeMAPS functionals require openSMILE; gated."""
+def extract_egemaps(wav_path: str, output_path: str,
+                    length: int = None, target_frequency: float = None,
+                    **kwargs):
+    """eGeMAPSv02 FUNCTIONALS (88-d), one vector per target frame over a
+    1-second sliding window — the reference's exact windowing scheme
+    (base/audio.py:99-117: starts = arange(length)/fps, ends = starts+1).
+
+    SUPPORTED ONLY WITH openSMILE: the 88 functionals are defined by the
+    openSMILE implementation and have no native numerical equivalent
+    here; this path is feature-complete when the package is installed and
+    raises a clear gate error otherwise.  The eGeMAPS modality is unused
+    by the reference's default feature set (vggish/bert/video)."""
     try:
         import opensmile  # noqa: F401
     except ImportError as e:
@@ -75,8 +92,15 @@ def extract_egemaps(wav_path: str, output_path: str, **kwargs):
     import os
     smile = opensmile.Smile(
         feature_set=opensmile.FeatureSet.eGeMAPSv02,
-        feature_level=opensmile.FeatureLevel.LowLevelDescriptors)
-    feats = smile.process_file(wav_path).values
+        feature_level=opensmile.FeatureLevel.Functionals)
+    if length is not None and target_frequency is not None:
+        starts = np.arange(length) / target_frequency
+        ends = starts + 1.0
+        feats = smile.process_files(
+            files=[wav_path] * int(length), starts=starts,
+            ends=ends).values
+    else:
+        feats = smile.process_file(wav_path).values
     os.makedirs(os.path.dirname(os.path.abspath(output_path)),
                 exist_ok=True)
     np.save(output_path, feats.astype(np.float32))
