@@ -107,11 +107,18 @@ def get_config(ds: str) -> dict:
         'eval_video_batch': 32,       # same-bucket videos per eval step
         # (bit-identical to bs=1; larger batches amortize per-step
         # dispatch, ~45% faster eval at MELD-like length distributions)
+        'host_resize': True,          # pre-scale raw 256^2 faces to 48 on
+        # the host (28x less H2D; same kernel as the device transform)
         'data_parallel': False,       # shard the train step over devices
         'checkpoint_every': 0,        # orbax checkpoint period (0 = off)
         'profile_epochs': 0,          # jax.profiler trace for first N epochs
         'nan_guard': False,           # per-step finite-loss assertion
         'pallas_serving': False,      # fused-TCN Pallas eval path (LFAN)
+        'pallas_train': False,        # fused-TCN Pallas TRAIN path (LFAN):
+        # forward + custom-VJP backward ride the kernel; dropout masks
+        # come from a different (equally valid) rng stream than flax's
+        # layer dropout, so loss trajectories differ run-to-run from the
+        # XLA path at dropout>0 while grads match exactly at dropout=0
     }
 
 

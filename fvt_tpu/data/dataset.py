@@ -15,6 +15,7 @@ import numpy as np
 
 from fvt_tpu import constants
 from fvt_tpu.config import model_config as MC
+from fvt_tpu.data.transforms import SCALE_SIZE
 from fvt_tpu.data.windowing import pad_short_window_indices
 from fvt_tpu.utils.io import load_npy, npy_exists
 
@@ -37,7 +38,8 @@ class ExampleBuilder:
                                                       constants.BERT),
                  use_native: bool = True,
                  task: str = constants.CLASSIFICATION,
-                 continuous_label_dim: Sequence[int] = (0,)):
+                 continuous_label_dim: Sequence[int] = (0,),
+                 host_resize: bool = True):
         self.modality = list(modality)
         self.window_length = window_length
         self.mean_std = mean_std or {}
@@ -46,6 +48,11 @@ class ExampleBuilder:
         self.use_native = use_native
         self.task = task
         self.continuous_label_dim = list(continuous_label_dim)
+        # pre-scale raw 256^2 face frames to the transform's SCALE_SIZE on
+        # the host: 28x less H2D volume; same antialiased-bilinear kernel
+        # as the device transform, uint8-rounded like the reference's
+        # GroupScale (see data/host_resize.py)
+        self.host_resize = host_resize
 
     def _gather(self, path: str, length: int, index: np.ndarray,
                 feature: str) -> np.ndarray:
@@ -84,6 +91,9 @@ class ExampleBuilder:
                 else:
                     out[feature] = data.astype(np.int32).reshape(-1)
             elif feature == constants.VIDEO and data.ndim == 4:
+                if self.host_resize and data.shape[1] != SCALE_SIZE:
+                    from fvt_tpu.data.host_resize import resize_frames_uint8
+                    data = resize_frames_uint8(data, SCALE_SIZE)
                 out[feature] = data  # raw frames; device transform later
             else:
                 data = data.astype(np.float32)

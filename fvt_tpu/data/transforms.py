@@ -23,8 +23,13 @@ CROP_SIZE = 40
 
 
 def _resize_frames(video: jnp.ndarray, size: int) -> jnp.ndarray:
-    """(B, T, H, W, 3) -> (B, T, size, size, 3), bilinear."""
+    """(B, T, H, W, 3) -> (B, T, size, size, 3), bilinear.
+
+    No-op when the loader already host-resized to ``size`` (the shape
+    test is static at trace time)."""
     b, t, h, w, c = video.shape
+    if h == size and w == size:
+        return video
     return jax.image.resize(video, (b, t, size, size, c), method='bilinear')
 
 

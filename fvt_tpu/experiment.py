@@ -116,7 +116,8 @@ class Experiment:
             mean_std=self.mean_std_dict,
             feature_dimension=MC.FEATURE_DIMENSION,
             task=self.args.task,
-            continuous_label_dim=self.get_continuous_label_dim())
+            continuous_label_dim=self.get_continuous_label_dim(),
+            host_resize=getattr(self.args, 'host_resize', True))
 
         loaders: Dict[str, object] = {}
         for split, data in data_list.items():

@@ -113,7 +113,10 @@ class CausalWeightNormConv1d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, materialize_only: bool = False):
+        """materialize_only=True declares the same params but returns
+        (kernel, bias) instead of convolving — used by the fused Pallas
+        train path, which runs the conv inside its own kernel."""
         in_features = x.shape[-1]
         k = self.kernel_size
 
@@ -134,6 +137,14 @@ class CausalWeightNormConv1d(nn.Module):
             jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True) + 0.0)
         kernel = v * (g[None, None, :] / jnp.maximum(norm, 1e-12))
 
+        b = None
+        if self.use_bias:
+            fan_in = in_features * k
+            b = self.param('bias', torch_bias_init_from_fan_in(fan_in),
+                           (self.features,))
+        if materialize_only:
+            return kernel, b
+
         pad = (k - 1) * self.dilation
         y = jax.lax.conv_general_dilated(
             x, kernel,
@@ -141,10 +152,7 @@ class CausalWeightNormConv1d(nn.Module):
             padding=[(pad, 0)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=('NWC', 'WIO', 'NWC'))
-        if self.use_bias:
-            fan_in = in_features * k
-            b = self.param('bias', torch_bias_init_from_fan_in(fan_in),
-                           (self.features,))
+        if b is not None:
             y = y + b
         return y
 

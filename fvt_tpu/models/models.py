@@ -64,6 +64,7 @@ class LFAN(nn.Module):
     num_heads: int = 2
     tcn_dropout: float = 0.1
     fusion_dropout: float = 0.1
+    tcn_fused: bool = False  # fused Pallas TCN blocks (fwd + custom VJP)
     spatial_video: Optional[nn.Module] = None
     spatial_audio: Optional[nn.Module] = None
 
@@ -79,6 +80,7 @@ class LFAN(nn.Module):
             h = TemporalConvNet(tcn_channel[modal],
                                 kernel_size=self.kernel_size,
                                 dropout=self.tcn_dropout,
+                                fused=self.tcn_fused,
                                 name=f'temporal_{modal}')(
                 x[modal], train=train)
             feats[modal] = TorchBatchNorm(

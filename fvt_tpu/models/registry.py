@@ -33,6 +33,7 @@ def init_model(args, spatial_video: Optional[nn.Module] = None,
                     tcn_channel=MC.TCN_CHANNELS,
                     modal_dim=args.modal_dim,
                     num_heads=args.num_heads,
+                    tcn_fused=getattr(args, 'pallas_train', False),
                     spatial_video=spatial_video,
                     spatial_audio=spatial_audio)
     if name == constants.CAN:
