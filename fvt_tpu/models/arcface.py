@@ -20,6 +20,46 @@ import flax.linen as nn
 from fvt_tpu.models.layers import PReLU
 
 
+class Conv3x3(nn.Module):
+    """3x3 'same' conv with a selectable compute path.
+
+    Param tree ({'kernel': (3, 3, Cin, Cout)}) and initialization match
+    ``nn.Conv(use_bias=False)`` exactly, so torch-ported checkpoints and
+    existing orbax checkpoints load unchanged.  ``impl``:
+
+      * ``'xla'``             — lax direct convolution (default).
+      * ``'winograd'``        — F(2x2,3x3) transform-domain matmuls
+                                (ops/winograd.py), stride-1 only.
+      * ``'winograd_pallas'`` — fused-VMEM Winograd kernel.
+
+    Winograd reorders additions (2.25x fewer multiplies); parity vs the
+    direct conv is pinned in tests/test_winograd.py.
+    """
+    features: int
+    stride: int = 1
+    impl: str = 'xla'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if self.stride == 1 and self.impl != 'xla':
+            from fvt_tpu.ops import winograd
+            if self.impl == 'winograd':
+                return winograd.conv3x3_winograd(x, kernel)
+            if self.impl == 'winograd_pallas':
+                return winograd.conv3x3_winograd_pallas(x, kernel)
+            raise ValueError(f'unknown conv impl: {self.impl!r}')
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 def get_blocks_50() -> List[Tuple[int, int, int]]:
     """(in_channel, depth, stride) per bottleneck (arcface_model.py:91-102)."""
     blocks = []
@@ -37,6 +77,7 @@ class BottleneckIR(nn.Module):
     depth: int
     stride: int
     dtype: Any = jnp.float32
+    conv_impl: str = 'xla'
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -53,11 +94,11 @@ class BottleneckIR(nn.Module):
 
         res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
-        res = nn.Conv(self.depth, (3, 3), strides=1, padding=1,
-                      use_bias=False, dtype=self.dtype, name='conv1')(res)
+        res = Conv3x3(self.depth, stride=1, impl=self.conv_impl,
+                      dtype=self.dtype, name='conv1')(res)
         res = PReLU(self.depth, name='prelu')(res)
-        res = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False, dtype=self.dtype, name='conv2')(res)
+        res = Conv3x3(self.depth, stride=self.stride, impl=self.conv_impl,
+                      dtype=self.dtype, name='conv2')(res)
         res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype, name='bn2')(res)
         return res + shortcut
@@ -68,10 +109,12 @@ class ArcFaceBackbone(nn.Module):
     (backbone.py:99-103): 40x40 input -> 512-d l2-normed embedding."""
     drop_ratio: float = 0.4
     dtype: Any = jnp.float32
+    conv_impl: str = 'xla'
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = x.astype(self.dtype)
+        # input conv keeps the direct path: Cin=3 is a terrible matmul K
         x = nn.Conv(64, (3, 3), strides=1, padding=1, use_bias=False,
                     dtype=self.dtype, name='input_conv')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -80,6 +123,7 @@ class ArcFaceBackbone(nn.Module):
 
         for i, (in_c, depth, stride) in enumerate(get_blocks_50()):
             x = BottleneckIR(in_c, depth, stride, dtype=self.dtype,
+                             conv_impl=self.conv_impl,
                              name=f'body{i}')(x, train=train)
 
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -98,11 +142,12 @@ class ArcFaceBackbone(nn.Module):
 class VisualBackbone(nn.Module):
     """Wrapper matching backbone.py:69-130 (extract() == forward())."""
     dtype: Any = jnp.float32
+    conv_impl: str = 'xla'
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        return ArcFaceBackbone(dtype=self.dtype, name='backbone')(
-            x, train=train)
+        return ArcFaceBackbone(dtype=self.dtype, conv_impl=self.conv_impl,
+                               name='backbone')(x, train=train)
 
 
 # --------------------------------------------------------------- weight port
