@@ -107,6 +107,10 @@ def get_config(ds: str) -> dict:
         'eval_video_batch': 32,       # same-bucket videos per eval step
         # (bit-identical to bs=1; larger batches amortize per-step
         # dispatch, ~45% faster eval at MELD-like length distributions)
+        'eval_window_batch': 8,       # window-stitch inference pools the
+        # windows of ALL long videos into fixed batches of this many
+        # windows (one compile shape, cross-video; bit-identical to the
+        # per-video stitch — each window's forward is sample-independent)
         'host_resize': True,          # pre-scale raw 256^2 faces to 48 on
         # the host (28x less H2D; same kernel as the device transform)
         'data_parallel': False,       # shard the train step over devices

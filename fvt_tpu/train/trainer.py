@@ -253,13 +253,94 @@ class Trainer:
             # keep the reference's bs=1 eval semantics
             batch_videos = 1
 
+        window = self.args.window_length
+        hop = self.args.hop_length
+        n_dev = len(self.mesh.devices.flat) if self.mesh is not None else 1
+        wb = int(getattr(self.args, 'eval_window_batch', 8) or 8)
+        wb = round_up(max(wb, n_dev), n_dev)
+
         # device->host transfers run two batches behind the dispatches so
         # eval compute overlaps the loader and the transfers (jax arrays
         # are futures; np.asarray is the sync point)
         from collections import deque
         pending = deque()
 
-        def collect(out, labels, trials, true_lens):
+        # ---- pooled window-stitch machinery (LFAN long videos): the
+        # windows of ALL long videos ride fixed (wb, window, ...) batches —
+        # one compile shape, no per-video pad waste, no per-video sync.
+        # Per-window forwards are sample-independent (eval-mode BN uses
+        # running stats), so outputs are bit-identical to the per-video
+        # path (tests/test_batched_eval.py).
+        wstate: Dict[str, dict] = {}
+        wqueue: list = []  # (trial, window_row)
+
+        def enqueue_windowed(batch, labels, trial, true_len):
+            mat = W.window_index_matrix(true_len, window, hop)
+            n_win = mat.shape[0]
+            arrs = {}
+            for k, v in batch.items():
+                arr = v[0]  # (bucket, ...)
+                arrs[k] = arr[mat.reshape(-1)].reshape(
+                    (n_win, window) + arr.shape[1:])
+            wstate[trial] = dict(
+                mat=mat, n_win=n_win, true_len=true_len,
+                labels=np.asarray(labels[0, :true_len]).flatten(),
+                arrs=arrs, outs=None, done=np.zeros(n_win, bool))
+            wqueue.extend((trial, r) for r in range(n_win))
+
+        def dispatch_window_batches(flush=False):
+            while len(wqueue) >= wb or (flush and wqueue):
+                take = wqueue[:wb]
+                del wqueue[:wb]
+                rows = take + [take[-1]] * (wb - len(take))  # tail pad
+                inputs = {
+                    k: jnp.asarray(np.stack(
+                        [wstate[t]['arrs'][k][r] for (t, r) in rows]))
+                    for k in wstate[rows[0][0]]['arrs']}
+                if self.mesh is not None:
+                    from fvt_tpu.parallel.mesh import shard_batch
+                    with self.mesh:
+                        out = self._dp_eval_step()(
+                            self.state.params, self.state.batch_stats,
+                            shard_batch(inputs, self.mesh))
+                else:
+                    out = self.eval_step(self.state.params,
+                                         self.state.batch_stats, inputs)
+                pending.append(('win', out, tuple(rows)))
+
+        def finish_windowed(trial):
+            """Stitch-average overlaps exactly like the reference's
+            Counter division (trainer.py:870-890)."""
+            st = wstate.pop(trial)
+            ncls = st['outs'].shape[-1]
+            summed = np.zeros((st['true_len'], ncls), np.float32)
+            counts = np.zeros((st['true_len'],), np.float32)
+            flat = st['mat'].reshape(-1)
+            np.add.at(summed, flat, st['outs'].reshape(-1, ncls))
+            np.add.at(counts, flat, 1.0)
+            per_video_frame_logits[trial] = {
+                'labels': st['labels'],
+                'logits': (summed / counts[:, None]).astype(np.float32)}
+
+        def collect(entry):
+            if entry[0] == 'win':
+                _, out, rows = entry
+                out = np.asarray(out)
+                for i, (trial, r) in enumerate(rows):
+                    st = wstate.get(trial)
+                    if st is None or st['done'][r]:
+                        continue  # tail-padding duplicate
+                    if st['outs'] is None:
+                        st['outs'] = np.empty(
+                            (st['n_win'], window, out.shape[-1]),
+                            np.float32)
+                    st['outs'][r] = out[i]
+                    st['done'][r] = True
+                for trial in [t for t in wstate
+                              if wstate[t]['done'].all()]:
+                    finish_windowed(trial)
+                return
+            _, out, labels, trials, true_lens = entry
             out = np.asarray(out)
             for j, trial in enumerate(trials):
                 assert trial not in per_video_frame_logits, trial
@@ -277,25 +358,30 @@ class Trainer:
             windowed = (win_threshold is not None and len(trials) == 1
                         and true_lens[0] > win_threshold)
             if windowed:
-                # stitch path syncs internally (numpy scatter)
-                logits = self._forward_windows(batch, true_lens[0])
-                collect(logits[None], labels, trials, true_lens)
-                continue
-
-            inputs = {k: jnp.asarray(v) for k, v in batch.items()}
-            if self.needs_mask:
-                out = self.eval_step(
-                    self.state.params, self.state.batch_stats, inputs,
-                    jnp.asarray(np.asarray(true_lens, np.int32)))
+                enqueue_windowed(batch, labels, trials[0], true_lens[0])
+                dispatch_window_batches()
             else:
-                out = self.eval_step(self.state.params,
-                                     self.state.batch_stats, inputs)
-            pending.append((out, labels, trials, true_lens))
+                inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.needs_mask:
+                    out = self.eval_step(
+                        self.state.params, self.state.batch_stats, inputs,
+                        jnp.asarray(np.asarray(true_lens, np.int32)))
+                else:
+                    out = self.eval_step(self.state.params,
+                                         self.state.batch_stats, inputs)
+                pending.append(('bucket', out, labels, trials, true_lens))
             while len(pending) > 2:
-                collect(*pending.popleft())
+                collect(pending.popleft())
 
+        dispatch_window_batches(flush=True)
         while pending:
-            collect(*pending.popleft())
+            collect(pending.popleft())
+        assert not wstate and not wqueue, (list(wstate), len(wqueue))
+
+        # canonical (work-list) order for the artifact contract
+        per_video_frame_logits = {
+            item[1]: per_video_frame_logits[item[1]]
+            for item in loader.work_list}
 
         perf = M.compute_perf(per_video_frame_logits,
                               self.args.dataset_name,

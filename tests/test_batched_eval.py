@@ -85,3 +85,40 @@ def test_batched_eval_mixed_bucket_sizes(setup):
     for k in a:
         np.testing.assert_allclose(a[k]['logits'], c[k]['logits'],
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('wb', [1, 3, 8])
+def test_pooled_window_batches_match_per_video_stitch(setup, wb):
+    """The cross-video pooled window pipeline (eval_window_batch) is
+    bit-identical per video to the standalone per-video stitch
+    (_forward_windows), including odd batch sizes that split one video's
+    windows across dispatches and tail batches padded with duplicate
+    windows."""
+    args, trainer, loaders = setup
+    val = loaders[constants.VALIDSET]
+
+    trainer.args.eval_window_batch = wb
+    try:
+        _, per_video = trainer.inference(val)
+    finally:
+        trainer.args.eval_window_batch = 8
+
+    checked = 0
+    for batch, trials, true_lens, _ in val.batches(
+            1, windowed_threshold=args.window_length):
+        batch.pop(constants.EXPR)
+        if true_lens[0] <= args.window_length:
+            continue
+        ref = trainer._forward_windows(batch, true_lens[0])
+        got = per_video[trials[0]]['logits']
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=f'wb={wb} trial={trials[0]}')
+        checked += 1
+    assert checked >= 2, 'needs >=2 windowed videos to cross batches'
+
+
+def test_inference_artifact_order_is_work_list_order(setup):
+    args, trainer, loaders = setup
+    val = loaders[constants.VALIDSET]
+    _, per_video = trainer.inference(val)
+    assert list(per_video) == [item[1] for item in val.work_list]
