@@ -66,6 +66,14 @@ class ExampleBuilder:
             data = None
             if self.use_native:
                 from fvt_tpu.data import native_store
+                if feature == constants.VIDEO and self.host_resize:
+                    # fused gather+resize in C (band-limited kernel, no
+                    # float frame materialized, GIL released); returns
+                    # None for non-256-contract stores -> normal path
+                    data = native_store.gather_resize_rows(
+                        filename, gather_idx, SCALE_SIZE)
+                    if data is not None and data.shape[1] == SCALE_SIZE:
+                        return data
                 data = native_store.gather_rows(filename, gather_idx)
             if data is None:
                 data = np.asarray(load_npy(path, feature)[gather_idx])

@@ -47,6 +47,16 @@ def _load_lib():
     lib.fvt_read_slice.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    try:
+        lib.fvt_gather_resize_u8.restype = ctypes.c_int
+        lib.fvt_gather_resize_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    except AttributeError:
+        pass  # stale pre-resize build on disk; gather_resize_rows -> None
     _lib = lib
     return lib
 
@@ -121,6 +131,47 @@ def gather_rows(path: str, indices: np.ndarray,
     rc = lib.fvt_gather_rows(
         path.encode(), offset, row_bytes,
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), idx.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+    if rc != 0:
+        return None
+    return out
+
+
+def gather_resize_rows(path: str, indices: np.ndarray, size: int,
+                       num_threads: int = 1) -> Optional[np.ndarray]:
+    """Fused frame gather + antialiased-bilinear resize to (size, size)
+    for a (N, H, W, C) uint8 .npy — the challenge-inference hot path.
+
+    Same triangle kernel as data/host_resize.py (weights shared), walked
+    band-limited in C straight off the mmap with the GIL released; the
+    uint8 rounding matches resize_frames_uint8 up to fp32 summation
+    order (<= 1 lsb on exact .5 ties).  None -> caller falls back to
+    gather + resize_frames_uint8.
+    """
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, 'fvt_gather_resize_u8'):
+        return None
+    offset, shape, dtype, fortran = npy_header(path)
+    if fortran or len(shape) != 4 or dtype != np.uint8:
+        return None
+    n_disk, h, w, c = shape
+    if h == size and w == size:
+        return None  # already at target size: plain gather is cheaper
+
+    from fvt_tpu.data.host_resize import resize_weights
+    wh = np.ascontiguousarray(resize_weights(h, size))
+    ww = np.ascontiguousarray(resize_weights(w, size))
+
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    assert idx.size == 0 or (idx.min() >= 0 and idx.max() < n_disk), \
+        (path, shape)
+    out = np.empty((idx.size, size, size, c), dtype=np.uint8)
+    rc = lib.fvt_gather_resize_u8(
+        path.encode(), offset,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), idx.size,
+        h, w, c, size,
+        wh.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ww.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
     if rc != 0:
         return None

@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <cerrno>
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -104,6 +105,141 @@ int fvt_gather_rows(const char* path, int64_t header_offset,
     ::munmap(mf.data, mf.size);
     return 0;
 }
+
+}  // extern "C"
+
+// Fused gather + separable antialiased resize for uint8 video frames.
+//
+// Reads frames (rows of a (N, H, W, C) uint8 .npy) straight from the
+// mmap and resizes each to (S, S, C) with caller-provided dense weight
+// matrices wh (S*H) / ww (S*W) — the exact triangle kernel the Python /
+// device paths use (fvt_tpu/data/host_resize.py).  Only the non-zero
+// band of each weight row is walked (the 256->48 kernel is ~11 of 256
+// taps), the uint8->float conversion happens inside the FMA loop (no
+// H*W*C float frame is ever materialized), and the whole call runs
+// without the GIL.  Values are rounded to uint8 exactly like
+// resize_frames_uint8 (rint, clip to [0, 255]).
+//
+// This exists because challenge-inference is host-bound on 1-core
+// machines: the dense sgemm formulation costs 22 MFLOP/frame where the
+// band walk costs ~1.3 MFLOP/frame.
+namespace {
+
+struct Band { int64_t start; int64_t len; };
+
+std::vector<Band> bands_of(const float* w, int64_t s, int64_t n) {
+    std::vector<Band> bands(static_cast<size_t>(s));
+    for (int64_t o = 0; o < s; ++o) {
+        const float* row = w + o * n;
+        int64_t b = 0, e = n;
+        while (b < n && row[b] == 0.0f) ++b;
+        while (e > b && row[e - 1] == 0.0f) --e;
+        bands[static_cast<size_t>(o)] = {b, e - b};
+    }
+    return bands;
+}
+
+void resize_frames_range(const uint8_t* base, int64_t header,
+                         int64_t row_bytes, const int64_t* idx,
+                         int64_t begin, int64_t end,
+                         int64_t h, int64_t w, int64_t c, int64_t s,
+                         const float* wh, const float* ww,
+                         const std::vector<Band>& hb,
+                         const std::vector<Band>& wb,
+                         uint8_t* out) {
+    const int64_t wc = w * c;
+    std::vector<float> acc(static_cast<size_t>(s * wc));
+    std::vector<float> col(static_cast<size_t>(c));
+    for (int64_t i = begin; i < end; ++i) {
+        const uint8_t* frame = base + header + idx[i] * row_bytes;
+        // rows: acc[o, :] = sum_k wh[o, k] * frame[k, :]
+        for (int64_t o = 0; o < s; ++o) {
+            float* dst = acc.data() + o * wc;
+            std::memset(dst, 0, static_cast<size_t>(wc) * sizeof(float));
+            const Band& b = hb[static_cast<size_t>(o)];
+            for (int64_t k = 0; k < b.len; ++k) {
+                const float wk = wh[o * h + b.start + k];
+                const uint8_t* src = frame + (b.start + k) * wc;
+                for (int64_t j = 0; j < wc; ++j)
+                    dst[j] += wk * static_cast<float>(src[j]);
+            }
+        }
+        // cols: out[i, o, p, :] = sum_k ww[p, k] * acc[o, k, :]
+        uint8_t* dst = out + i * s * s * c;
+        for (int64_t o = 0; o < s; ++o) {
+            const float* row = acc.data() + o * wc;
+            for (int64_t p = 0; p < s; ++p) {
+                const Band& b = wb[static_cast<size_t>(p)];
+                for (int64_t ch = 0; ch < c; ++ch) col[
+                    static_cast<size_t>(ch)] = 0.0f;
+                for (int64_t k = 0; k < b.len; ++k) {
+                    const float wk = ww[p * w + b.start + k];
+                    const float* src = row + (b.start + k) * c;
+                    for (int64_t ch = 0; ch < c; ++ch)
+                        col[static_cast<size_t>(ch)] += wk * src[ch];
+                }
+                for (int64_t ch = 0; ch < c; ++ch) {
+                    float v = std::nearbyintf(col[static_cast<size_t>(ch)]);
+                    v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+                    dst[(o * s + p) * c + ch] = static_cast<uint8_t>(v);
+                }
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int fvt_gather_resize_u8(const char* path, int64_t header_offset,
+                         const int64_t* idx, int64_t n,
+                         int64_t h, int64_t w, int64_t c, int64_t s,
+                         const float* wh, const float* ww,
+                         uint8_t* out, int num_threads) {
+    if (header_offset < 0 || n < 0 || h <= 0 || w <= 0 || c <= 0 || s <= 0)
+        return -2;
+    const int64_t row_bytes = h * w * c;  // uint8
+    MappedFile mf = map_file(path);
+    if (!mf.ok) return -1;
+    const int64_t data_bytes = static_cast<int64_t>(mf.size) - header_offset;
+    if (row_bytes > data_bytes) { ::munmap(mf.data, mf.size); return -2; }
+    const int64_t max_row = data_bytes / row_bytes;
+    for (int64_t i = 0; i < n; ++i) {
+        if (idx[i] < 0 || idx[i] >= max_row) {
+            ::munmap(mf.data, mf.size);
+            return -3;
+        }
+    }
+    const uint8_t* base = static_cast<const uint8_t*>(mf.data);
+    const std::vector<Band> hb = bands_of(wh, s, h);
+    const std::vector<Band> wb = bands_of(ww, s, w);
+
+    int nt = num_threads;
+    if (nt <= 1 || n < 32) {
+        resize_frames_range(base, header_offset, row_bytes, idx, 0, n,
+                            h, w, c, s, wh, ww, hb, wb, out);
+    } else {
+        if (nt > 16) nt = 16;
+        std::vector<std::thread> workers;
+        int64_t chunk = (n + nt - 1) / nt;
+        for (int t = 0; t < nt; ++t) {
+            int64_t b = t * chunk;
+            int64_t e = b + chunk < n ? b + chunk : n;
+            if (b >= e) break;
+            workers.emplace_back(resize_frames_range, base, header_offset,
+                                 row_bytes, idx, b, e, h, w, c, s, wh, ww,
+                                 std::cref(hb), std::cref(wb), out);
+        }
+        for (auto& wk : workers) wk.join();
+    }
+    ::munmap(mf.data, mf.size);
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // Contiguous slice [start, start+n) — the common eval whole-video read.
 int fvt_read_slice(const char* path, int64_t header_offset,

@@ -107,3 +107,64 @@ def test_truncated_file_falls_back_not_segfault(tmp_path):
         p.encode(), offset, 8 * 4, 5, 20,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     assert rc2 == -3
+
+
+# ------------------------------------------------- fused gather + resize
+def test_gather_resize_matches_python_resize(tmp_path):
+    """C band-walk resize == host_resize.resize_frames_uint8 up to fp32
+    summation-order rounding (<= 1 lsb), incl. rectangular frames and
+    pad-by-repeat duplicate indices."""
+    if not native_store.ensure_built():
+        pytest.skip('native library failed to build')
+    from fvt_tpu.data.host_resize import resize_frames, resize_frames_uint8
+
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 256, size=(12, 64, 40, 3)).astype(np.uint8)
+    p = str(tmp_path / 'video.npy')
+    np.save(p, video)
+
+    idx = np.asarray([0, 3, 3, 11, 7, 11, 11], np.int64)
+    got = native_store.gather_resize_rows(p, idx, 48)
+    assert got is not None and got.shape == (7, 48, 48, 3)
+    want_u8 = resize_frames_uint8(video[idx], 48)
+    diff = np.abs(got.astype(np.int32) - want_u8.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    # in float space both must sit within the rounding radius
+    want_f = resize_frames(video[idx], 48)
+    assert np.abs(got.astype(np.float32) - want_f).max() <= 0.5 + 1e-3
+
+
+def test_gather_resize_declines_non_contract_inputs(tmp_path):
+    if not native_store.ensure_built():
+        pytest.skip('native library failed to build')
+    f32 = str(tmp_path / 'f.npy')
+    np.save(f32, np.zeros((4, 64, 64, 3), np.float32))
+    assert native_store.gather_resize_rows(f32, np.arange(2), 48) is None
+    # already at target size: plain gather is the cheaper path
+    sized = str(tmp_path / 's.npy')
+    np.save(sized, np.zeros((4, 48, 48, 3), np.uint8))
+    assert native_store.gather_resize_rows(sized, np.arange(2), 48) is None
+
+
+def test_builder_uses_fused_resize_when_available(tmp_path):
+    """ExampleBuilder's video branch produces identical output whether
+    the fused C path or the python fallback runs."""
+    if not native_store.ensure_built():
+        pytest.skip('native library failed to build')
+    from fvt_tpu.data.dataset import ExampleBuilder
+
+    rng = np.random.default_rng(1)
+    tdir = str(tmp_path / 'trial')
+    os.makedirs(tdir)
+    video = rng.integers(0, 256, size=(10, 256, 256, 3)).astype(np.uint8)
+    np.save(os.path.join(tdir, 'video.npy'), video)
+    np.save(os.path.join(tdir, 'EXPR_continuous_label.npy'),
+            np.zeros((10,), np.int64))
+    item = [tdir, 't', 10, np.arange(10)]
+
+    native_b = ExampleBuilder(['video'], window_length=8, use_native=True)
+    python_b = ExampleBuilder(['video'], window_length=8, use_native=False)
+    a = native_b.build(item)['video']
+    b = python_b.build(item)['video']
+    assert a.shape == b.shape == (10, 48, 48, 3)
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
