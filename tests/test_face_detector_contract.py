@@ -1,0 +1,120 @@
+"""Pluggable face-detector contract for the crop/align pipeline.
+
+The reference runs RetinaFace (retinaface_align.py:64-284); that package
+is absent here, so fvt_tpu defines a detector CONTRACT — ``detect(rgb)
+-> [{'bbox', 'score', 'landmarks'(5,2)}, ...] sorted by score desc`` —
+with RetinaFace/Haar/center-box implementations selected at runtime
+(preprocess/faces.py:36-138).  These tests pin the contract with an
+injected fake detector so any implementation (including a future
+weight-ported one) slots in: landmark consumption by the 5-pt warp,
+previous-frame carry on detection failure (c_expr_db.py:384-392), and
+the leading-failure full-frame fallback.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from fvt_tpu.preprocess import faces
+
+cv2 = pytest.importorskip('cv2')
+
+
+def _write_video(path, frames, fps=5):
+    h, w = frames[0].shape[:2]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'MJPG'), fps, (w, h))
+    assert vw.isOpened(), 'cv2 VideoWriter unavailable'
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+def _frames(n=6, size=96):
+    rng = np.random.default_rng(0)
+    out = []
+    for i in range(n):
+        f = np.full((size, size, 3), 30 + 20 * i, np.uint8)
+        f[20:70, 25:75] = [200, 150 + 5 * i, 100]  # the "face"
+        f += rng.integers(0, 8, f.shape).astype(np.uint8)
+        out.append(f)
+    return out
+
+
+def _box_lms():
+    return faces._box_landmarks(25, 20, 50, 50)
+
+
+class FakeDetector:
+    """Minimal contract implementation; records every call."""
+
+    def __init__(self, hit_frames):
+        self.hit_frames = set(hit_frames)
+        self.calls = 0
+
+    def detect(self, img_rgb):
+        i, self.calls = self.calls, self.calls + 1
+        if i not in self.hit_frames:
+            return []
+        return [{'bbox': np.array([25, 20, 75, 70], np.float32),
+                 'score': 0.99, 'landmarks': _box_lms()}]
+
+
+@pytest.fixture()
+def video(tmp_path):
+    frames = _frames()
+    path = str(tmp_path / 'clip.avi')
+    _write_video(path, frames)
+    return path, frames
+
+
+def test_injected_detector_drives_the_warp(video, tmp_path):
+    path, frames = video
+    det = FakeDetector(hit_frames=range(len(frames)))
+    out = faces.process_one_video(path, str(tmp_path / 'crops'),
+                                  detector=det)
+    assert det.calls == len(frames)
+    assert out.shape == (len(frames), faces.OUT_SIZE, faces.OUT_SIZE, 3)
+    assert out.dtype == np.uint8
+    # the warp output must be dominated by the detected face region's
+    # color, not the dark background
+    assert out.reshape(len(frames), -1, 3).mean(axis=1)[0][0] > 90
+    # per-frame jpgs + frame log: one detection per frame
+    log = open(str(tmp_path / 'crops' / 'frames.log')).read().splitlines()
+    assert [line.split(',')[1] for line in log] == ['1'] * len(frames)
+    assert os.path.isfile(str(tmp_path / 'crops' / 'frame-0' / 'face-0.jpg'))
+
+
+def test_prev_frame_carry_on_detection_failure(video, tmp_path):
+    path, frames = video
+    det = FakeDetector(hit_frames={0, 1})  # frames 2.. fail
+    out = faces.process_one_video(path, str(tmp_path / 'c'), detector=det,
+                                  store_jpgs=False)
+    ref = faces.process_one_video(path, str(tmp_path / 'c2'),
+                                  detector=FakeDetector(
+                                      hit_frames=range(len(frames))),
+                                  store_jpgs=False)
+    # frame 3 reuses frame-1's landmarks == frame-3's own (static face):
+    # carry must reproduce the full-detection crop
+    np.testing.assert_array_equal(out[3], ref[3])
+
+
+def test_leading_failures_fall_back_to_full_frame(video, tmp_path):
+    path, frames = video
+    det = FakeDetector(hit_frames=())
+    out = faces.process_one_video(path, str(tmp_path / 'c'), detector=det,
+                                  store_jpgs=False)
+    # decode round-trip (MJPG) is lossy; compare against the decoded frame
+    decoded = list(faces.read_video_frames(path))
+    want = cv2.resize(decoded[0], (faces.OUT_SIZE, faces.OUT_SIZE))
+    np.testing.assert_array_equal(out[0], want)
+
+
+def test_default_detector_satisfies_the_contract():
+    det = faces.default_detector()
+    rgb = _frames(1)[0]
+    dets = det.detect(rgb)
+    for d in dets:
+        assert set(d) >= {'bbox', 'score', 'landmarks'}
+        assert np.asarray(d['landmarks']).shape == (5, 2)
+    scores = [d['score'] for d in dets]
+    assert scores == sorted(scores, reverse=True)
