@@ -107,6 +107,12 @@ def get_config(ds: str) -> dict:
         'eval_video_batch': 32,       # same-bucket videos per eval step
         # (bit-identical to bs=1; larger batches amortize per-step
         # dispatch, ~45% faster eval at MELD-like length distributions)
+        'train_bucketed': False,      # pad short train clips by repeat to
+        # the next train_bucket_quantum multiple instead of the full
+        # window: 3-4x less repeated-frame compute on MELD-length clips.
+        # DIVERGES from the reference's loss semantics (per-frame weights
+        # change when fewer frames are repeated) - off by default
+        'train_bucket_quantum': 100,
         'eval_window_batch': 8,       # window-stitch inference pools the
         # windows of ALL long videos into fixed batches of this many
         # windows (one compile shape, cross-video; bit-identical to the

@@ -55,9 +55,10 @@ class ExampleBuilder:
         self.host_resize = host_resize
 
     def _gather(self, path: str, length: int, index: np.ndarray,
-                feature: str) -> np.ndarray:
-        if length < self.window_length:
-            gather_idx = pad_short_window_indices(length, self.window_length)
+                feature: str, pad_to: Optional[int] = None) -> np.ndarray:
+        target = self.window_length if pad_to is None else pad_to
+        if length < target:
+            gather_idx = pad_short_window_indices(length, target)
         else:
             gather_idx = index
 
@@ -83,11 +84,15 @@ class ExampleBuilder:
             data = np.zeros(shape, dtype=np.float32)
         return data
 
-    def build(self, item) -> Dict[str, np.ndarray]:
+    def build(self, item, pad_to: Optional[int] = None
+              ) -> Dict[str, np.ndarray]:
+        """``pad_to`` overrides the pad-by-repeat target for short trials
+        (train-time bucketing, --train_bucketed); None keeps the
+        reference's pad-to-window semantics."""
         path, trial, length, index = item
         out: Dict[str, np.ndarray] = {}
         for feature in self.modality:
-            data = self._gather(path, length, index, feature)
+            data = self._gather(path, length, index, feature, pad_to=pad_to)
             if 'continuous_label' in feature:
                 if self.task == constants.REGRESSION:
                     # VA-style continuous labels: (T, D) -> selected dim

@@ -132,7 +132,11 @@ class Experiment:
                     data, builder,
                     batch_size=self.args.train_batch_size,
                     seed=self.args.seed,
-                    num_threads=max(1, min(self.args.num_workers, 2 * cpu)))
+                    num_threads=max(1, min(self.args.num_workers, 2 * cpu)),
+                    bucket_quantum=(
+                        getattr(self.args, 'train_bucket_quantum', 100)
+                        if getattr(self.args, 'train_bucketed', False)
+                        else None))
             else:
                 loaders[split] = EvalLoader(
                     data, builder,
