@@ -63,50 +63,81 @@ class TrainLoader:
             return window
         return min(round_up(length, self.bucket_quantum), window)
 
-    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+    def _plan(self, epoch_idx: int) -> list:
+        """Deterministic per-epoch batch plan: [(bucket, idx_array)].
+        A pure function of (seed, epoch) — every host of a multi-process
+        job derives the identical plan."""
         order = rng_mod.np_rng(
             rng_mod.epoch_seed(self.seed, epoch_idx),
             'train_order').permutation(len(self.work_list))
 
         if self.bucket_quantum is None:
-            batches = [(None, order[i:i + self.batch_size])
-                       for i in range(0, len(order), self.batch_size)]
-        else:
-            groups: Dict[int, list] = {}
-            for i in order:  # shuffled order preserved inside buckets
-                groups.setdefault(self._bucket(self.work_list[i]),
-                                  []).append(i)
-            batches = []
-            for b in sorted(groups):
-                idxs = groups[b]
-                batches.extend(
-                    (b, np.asarray(idxs[s:s + self.batch_size]))
-                    for s in range(0, len(idxs), self.batch_size))
-            perm = rng_mod.np_rng(
-                rng_mod.epoch_seed(self.seed, epoch_idx),
-                'train_bucket_order').permutation(len(batches))
-            batches = [batches[j] for j in perm]
+            return [(None, order[i:i + self.batch_size])
+                    for i in range(0, len(order), self.batch_size)]
+        groups: Dict[int, list] = {}
+        for i in order:  # shuffled order preserved inside buckets
+            groups.setdefault(self._bucket(self.work_list[i]), []).append(i)
+        batches = []
+        for b in sorted(groups):
+            idxs = groups[b]
+            batches.extend(
+                (b, np.asarray(idxs[s:s + self.batch_size]))
+                for s in range(0, len(idxs), self.batch_size))
+        perm = rng_mod.np_rng(
+            rng_mod.epoch_seed(self.seed, epoch_idx),
+            'train_bucket_order').permutation(len(batches))
+        return [batches[j] for j in perm]
 
-        def build_batch(job) -> Dict[str, np.ndarray]:
+    def _pump(self, jobs, build):
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            pending = []
+            it = iter(jobs)
+            for _ in range(self.prefetch):
+                job = next(it, None)
+                if job is None:
+                    break
+                pending.append(pool.submit(build, job))
+            while pending:
+                fut = pending.pop(0)
+                job = next(it, None)
+                if job is not None:
+                    pending.append(pool.submit(build, job))
+                yield fut.result()
+
+    def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
+        def build(job) -> Dict[str, np.ndarray]:
             bucket, idxs = job
             return _stack([self.builder.build(self.work_list[i],
                                               pad_to=bucket)
                            for i in idxs])
 
-        with cf.ThreadPoolExecutor(self.num_threads) as pool:
-            pending = []
-            it = iter(batches)
-            for _ in range(self.prefetch):
-                job = next(it, None)
-                if job is None:
-                    break
-                pending.append(pool.submit(build_batch, job))
-            while pending:
-                fut = pending.pop(0)
-                job = next(it, None)
-                if job is not None:
-                    pending.append(pool.submit(build_batch, job))
-                yield fut.result()
+        return self._pump(self._plan(epoch_idx), build)
+
+    def epoch_local(self, epoch_idx: int, divisor: Optional[int] = None,
+                    process_index: Optional[int] = None,
+                    process_count: Optional[int] = None):
+        """Multi-host variant: yields (local_batch, global_rows) where
+        local_batch is THIS process's contiguous row-slice of each
+        global batch — only those examples are read/built here.  Batches
+        whose size is not divisible by ``divisor`` (the global device
+        count) or by the process count are built in FULL on every host
+        (global_rows == local rows) for the replicated ragged path.
+        process_count == 1 degenerates to epoch() + sizes."""
+        from fvt_tpu.parallel.multihost import host_slice
+
+        def build(job):
+            bucket, idxs = job
+            rows = len(idxs)
+            sl = None
+            if divisor is None or rows % divisor == 0:
+                sl = host_slice(rows, process_index, process_count)
+            local = idxs if sl is None else idxs[sl[0]:sl[1]]
+            batch = _stack([self.builder.build(self.work_list[i],
+                                               pad_to=bucket)
+                            for i in local])
+            return batch, rows
+
+        return self._pump(self._plan(epoch_idx), build)
 
 
 def round_up(n: int, quantum: int) -> int:

@@ -129,22 +129,42 @@ class Trainer:
         # losses accumulate ON DEVICE and sync once per epoch (the
         # reference keeps running_loss as a GPU tensor too); a per-step
         # float(loss) would serialize H2D transfers against compute
+        multihost = self.mesh is not None and jax.process_count() > 1
+        if multihost:
+            # each host builds only its row-slice of every global batch
+            # (parallel/multihost.py); the plan is seed-deterministic so
+            # all hosts agree on batch boundaries
+            source = loader.epoch_local(epoch, divisor=n_dev)
+        else:
+            source = ((b, None) for b in loader.epoch(epoch))
+
         losses = []
-        for i, batch in enumerate(loader.epoch(epoch)):
-            bsz = next(iter(batch.values())).shape[0]
+        for i, (batch, global_rows) in enumerate(source):
+            local_rows = next(iter(batch.values())).shape[0]
+            bsz = local_rows if global_rows is None else global_rows
             step_fn = self.train_step
             if self.mesh is not None:
                 from fvt_tpu.parallel.mesh import shard_batch, replicated
-                if bsz % n_dev != 0:
-                    # final ragged batch (at most one per epoch): run it
-                    # REPLICATED through the single-device step — every
-                    # chip computes the same small batch, so the loss and
-                    # batch-norm statistics match the reference exactly
-                    # (it consumes every batch, trainer.py:345-391);
-                    # padding + masking would perturb BN batch stats
+                if multihost and local_rows != bsz:
+                    from fvt_tpu.parallel import multihost as mh
+                    jbatch = mh.global_batch(self.mesh, batch)
+                elif bsz % n_dev != 0 or multihost:
+                    # ragged batch (the loader yields it in FULL on every
+                    # host): run it REPLICATED through the single-device
+                    # step — every chip computes the same small batch, so
+                    # the loss and batch-norm statistics match the
+                    # reference exactly (it consumes every batch,
+                    # trainer.py:345-391); padding + masking would
+                    # perturb BN batch stats
                     repl = replicated(self.mesh)
-                    jbatch = {k: jax.device_put(v, repl)
-                              for k, v in batch.items()}
+                    if multihost:
+                        jbatch = {
+                            k: jax.make_array_from_process_local_data(
+                                repl, v)
+                            for k, v in batch.items()}
+                    else:
+                        jbatch = {k: jax.device_put(v, repl)
+                                  for k, v in batch.items()}
                     step_fn = self._ragged_train_step()
                 else:
                     jbatch = shard_batch(batch, self.mesh)
