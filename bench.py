@@ -97,7 +97,11 @@ def bench_model_forward():
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(step(params, stats, batch)[:, :1, :1])
+        # materialize the FULL logits on host every step: one dispatch +
+        # one D2H. Slicing a tiny [:1] instead adds a second computation
+        # dispatch whose tunnel round-trip costs ~30 ms/step and
+        # UNDER-reports steady-state throughput by ~20% (measured).
+        out = np.asarray(step(params, stats, batch))
     dt = time.perf_counter() - t0
     fps = BATCH_WINDOWS * WINDOW * iters / dt
     mfu = (flops_call * iters / dt) / PEAK_FLOPS if flops_call else None
