@@ -1,0 +1,179 @@
+"""AU ellipsoid attention maps vs the reference implementation.
+
+The reference module (abaw5_pre_processing/dlib/face_landmarks/
+action_units.py) is imported directly — its ROI geometry is the spec.
+Note the published reference tree itself lacks ``dlib.configure`` and
+several display-only deps; they are stubbed here exactly as its own
+environment would provide them.  Rasterizers differ by design (cv2
+polygonal ellipse + INTER_LINEAR vs analytic fill + antialiased
+bilinear), so maps are compared by ROI overlap and mass center, while
+flags, AU sets and control flow are compared exactly.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from fvt_tpu import constants
+from fvt_tpu.preprocess import au_ellipsoids as au
+
+
+def _load_reference_au():
+    import conftest
+    conftest.add_reference_to_path()
+    path = '/root/reference/abaw5_pre_processing'
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    if 'skimage' not in sys.modules:
+        sk = types.ModuleType('skimage')
+        sk.__path__ = []
+        skf = types.ModuleType('skimage.filters')
+        skf.threshold_otsu = lambda *a, **k: 0.0
+        skf.gaussian = lambda *a, **k: a[0]
+        skm = types.ModuleType('skimage.morphology')
+        skm.binary_dilation = lambda x, *a, **k: x
+        skm.disk = lambda r: None
+        sk.filters, sk.morphology = skf, skm
+        sys.modules['skimage'] = sk
+        sys.modules['skimage.filters'] = skf
+        sys.modules['skimage.morphology'] = skm
+    if 'dlib.configure' not in sys.modules:
+        cfg = types.ModuleType('dlib.configure')
+        cc = types.ModuleType('dlib.configure.constants')
+        for k in dir(constants):
+            if not k.startswith('_'):
+                setattr(cc, k, getattr(constants, k))
+        cc.HEATMAP_AUNITS_LNMKS = au.HEATMAP_AUNITS_LNMKS
+        cc.HEATMAP_GENERIC_AUNITS_LNMKS = au.HEATMAP_GENERIC_AUNITS_LNMKS
+        cfg.constants = cc
+        sys.modules['dlib.configure'] = cfg
+        sys.modules['dlib.configure.constants'] = cc
+    from dlib.face_landmarks import action_units as ref_au
+    return ref_au
+
+
+ref_au = pytest.importorskip('cv2') and _load_reference_au()
+
+
+def _landmarks_256():
+    """Plausible iBUG-68 layout on a 256^2 face crop."""
+    lms = []
+    # 0-16 jaw arc
+    for i in range(17):
+        t = i / 16.0
+        lms.append((int(48 + 160 * t),
+                    int(120 + 100 * np.sin(np.pi * t))))
+    # 17-26 brows
+    for i in range(5):
+        lms.append((70 + i * 15, 86 - (i % 3)))
+    for i in range(5):
+        lms.append((140 + i * 15, 84 + (i % 3)))
+    # 27-35 nose
+    for i in range(4):
+        lms.append((128, 100 + i * 12))
+    for i in range(5):
+        lms.append((112 + i * 8, 150))
+    # 36-47 eyes
+    for base_x in (78, 148):
+        lms.extend([(base_x, 104), (base_x + 10, 98), (base_x + 22, 98),
+                    (base_x + 32, 104), (base_x + 22, 110),
+                    (base_x + 10, 110)])
+    # 48-67 mouth
+    for i in range(12):
+        ang = 2 * np.pi * i / 12
+        lms.append((int(128 + 34 * np.cos(ang)),
+                    int(188 + 14 * np.sin(ang))))
+    for i in range(8):
+        ang = 2 * np.pi * i / 8
+        lms.append((int(128 + 20 * np.cos(ang)),
+                    int(188 + 7 * np.sin(ang))))
+    assert len(lms) == 68
+    return lms
+
+
+def _mass_center(m):
+    ys, xs = np.nonzero(m)
+    return np.array([xs.mean(), ys.mean()])
+
+
+def _weighted_center(m):
+    w = np.clip(m - m.min(), 0, None)
+    ys, xs = np.mgrid[:m.shape[0], :m.shape[1]]
+    s = w.sum()
+    return np.array([(xs * w).sum() / s, (ys * w).sum() / s])
+
+
+def test_au_tables_match_reference():
+    assert au.EXP2AU == {k: v for k, v in ref_au.EXP2AU.items()}
+    assert au.GENERIC_AUS == ref_au.GENERIC_AUS
+    assert au.AU == ref_au.AU
+
+
+@pytest.mark.parametrize('unit', sorted(au.AU))
+def test_roi_geometry_matches_reference(unit):
+    lms = _landmarks_256()
+    got, got_ok = au.plot_action_units_ellipsoid(unit, 256, 256, lms)
+    want, want_ok = ref_au.plot_action_units_ellipsoid(
+        au=unit, h=256, w=256, lndmks=lms)
+    assert got_ok == want_ok
+    assert got.shape == want.shape == (28, 28)
+    # the rasterizers differ on purpose: cv2 point-samples on downscale
+    # (keeps 255 peaks), the antialiased kernel preserves MASS (peaks of
+    # sub-pixel ROIs drop).  Binarize each map adaptively, and for ROIs
+    # that shrink to a few pixels at 28^2 compare weighted centroids.
+    a = got > 0.5 * got.max()
+    b = want > 127
+    assert b.any(), unit
+    ca = _weighted_center(got)
+    cb = _weighted_center(want)
+    assert np.linalg.norm(ca - cb) <= 2.0, (unit, ca, cb)
+    if b.sum() >= 20:  # large ROI: shapes must overlap too
+        iou = (a & b).sum() / max((a | b).sum(), 1)
+        assert iou >= 0.4, (unit, iou)
+
+
+def test_out_of_image_roi_is_flagged():
+    lms = _landmarks_256()
+    # push the mouth landmarks far outside: mouth-based AU 15 has no
+    # in-image pixels
+    lms = [(x, y) for x, y in lms[:48]] + \
+          [(x + 4000, y + 4000) for x, y in lms[48:]]
+    got, got_ok = au.plot_action_units_ellipsoid(15, 256, 256, lms)
+    want, want_ok = ref_au.plot_action_units_ellipsoid(
+        au=15, h=256, w=256, lndmks=lms)
+    assert got_ok is False and bool(want_ok) is False
+    assert np.isinf(got).all() and np.isinf(want).all()
+
+
+@pytest.mark.parametrize('cl,aus_type', [
+    (constants.ANGER, au.HEATMAP_AUNITS_LNMKS),
+    (constants.HAPPINESS, au.HEATMAP_AUNITS_LNMKS),
+    (constants.SURPRISE, au.HEATMAP_GENERIC_AUNITS_LNMKS),
+])
+def test_build_all_matches_reference_stack(cl, aus_type):
+    lms = _landmarks_256()
+    got = au.build_all_action_units(lms, 128, 128, cl, aus_type)
+    want = ref_au.build_all_action_units(
+        lndmks=lms, h=128, w=128, cl=cl, aus_type=aus_type)
+    assert got.shape == want.shape
+    assert got.dtype == np.float32
+    for i in range(got.shape[0]):
+        a, b = got[i], want[i]
+        if not (b > 50).any():
+            continue
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr >= 0.75, (cl, i, corr)
+
+
+def test_invalid_and_neutral_semantics():
+    lms = [(np.inf, np.inf)] * 68
+    for aus_type in (au.HEATMAP_AUNITS_LNMKS,
+                     au.HEATMAP_GENERIC_AUNITS_LNMKS):
+        out = au.build_all_action_units(lms, 64, 64, constants.ANGER,
+                                        aus_type)
+        assert out.shape == (1, 64, 64) and np.isinf(out).all()
+    out = au.build_all_action_units(_landmarks_256(), 64, 64,
+                                    constants.NEUTRAL,
+                                    au.HEATMAP_AUNITS_LNMKS)
+    assert out.shape == (1, 64, 64) and np.isinf(out).all()
