@@ -348,6 +348,49 @@ class PerfTracker:
                        f"{print_vector(per_cl, int_to_cl)}\n")
         return msg
 
+    def master_series(self) -> list:
+        """Master-metric value per appended epoch."""
+        return [float(self._master_value(d)) for d in self.holder_list]
+
+    def plot(self, wfp: str, loss_tracker=None) -> bool:
+        """Master-metric-vs-epoch curve with the best epoch marked
+        (+ optional train loss on a twin axis) — the classification
+        analogue of the reference's tracker plots (tools.py:148-241,
+        unused in its live path).  No-ops without matplotlib."""
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return False
+        vals = self.master_series()
+        if not vals:
+            return False
+        fig, ax1 = plt.subplots(1, 1, figsize=(5, 2.5), dpi=200)
+        xs = list(range(len(vals)))
+        ax1.plot(xs, vals, color='tab:blue', linewidth=1.0,
+                 label='valid master')
+        ax1.scatter([self.best_value_idx], [vals[self.best_value_idx]],
+                    color='tab:red', s=12, zorder=3,
+                    label=f'best (ep {self.best_value_idx - 1})')
+        ax1.set_xlabel('epoch (+1: index 0 is the pre-train eval)',
+                       fontsize=7)
+        ax1.set_ylabel(f'{self.master_metric} @ {self.master_level}',
+                       fontsize=7)
+        ax1.tick_params(labelsize=6)
+        if loss_tracker:
+            ax2 = ax1.twinx()
+            ax2.plot(range(1, len(loss_tracker) + 1), loss_tracker,
+                     color='tab:gray', linewidth=0.6, linestyle='dashed',
+                     alpha=0.6, label='train loss')
+            ax2.set_ylabel('train loss', fontsize=7)
+            ax2.tick_params(labelsize=6)
+        ax1.legend(fontsize=6, loc='best')
+        fig.tight_layout()
+        fig.savefig(wfp)
+        plt.close(fig)
+        return True
+
 
 def compute_regression_perf(data: dict) -> dict:
     """rmse / pcc / ccc over concatenated per-video continuous outputs —

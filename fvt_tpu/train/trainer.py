@@ -568,6 +568,14 @@ class Trainer:
                      'batch_stats': jax.tree.map(np.asarray, stats)}))
             self.save_args(join(_dir, 'config.yml'))
 
+        if getattr(self.args, 'save_plot', False):
+            # honor the reference's save_plot knob (its live loop never
+            # uses it): one master-metric curve per selection criterion
+            for item in valid_tracker:
+                valid_tracker[item].plot(
+                    join(self.args.outd, f'tracker-{item}.png'),
+                    loss_tracker)
+
         self.args.tend = dt.datetime.now()
         self.save_args(join(self.args.outd, 'config.yml'))
         self.bye(t_start)

@@ -1,4 +1,6 @@
 """Metric-engine parity: vs sklearn and vs the reference implementation."""
+import os
+
 import numpy as np
 import pytest
 
@@ -143,3 +145,20 @@ def test_perf_report_contains_tables():
     assert '+=' in rep          # header rule
     assert rep.count('|') > 20  # bordered cells
     assert 'Master:' in rep
+
+
+def test_tracker_plot_writes_png(tmp_path):
+    """save_plot surface: master curve + best marker + loss twin axis."""
+    pytest.importorskip('matplotlib')
+    from fvt_tpu.train.metrics import PerfTracker
+    from fvt_tpu import constants as C
+
+    tr = PerfTracker(master_metric=C.W_F1, master_level=C.FRAME_LEVEL)
+    rng = np.random.default_rng(0)
+    for v in (0.2, 0.5, 0.4, 0.7):
+        tr.append({None: {C.W_F1: {C.FRAME_LEVEL: {
+            'master': v, 'per_cl': rng.random(7)}}}})
+    assert tr.master_series() == [0.2, 0.5, 0.4, 0.7]
+    wfp = str(tmp_path / 'tracker.png')
+    assert tr.plot(wfp, loss_tracker=[2.0, 1.5, 1.2])
+    assert os.path.getsize(wfp) > 1000
