@@ -64,6 +64,24 @@ class ExampleBuilder:
 
         if npy_exists(path, feature):
             filename = os.path.join(path, feature + '.npy')
+            if feature == constants.VIDEO and self.host_resize and \
+                    npy_exists(path, f'{feature}_{SCALE_SIZE}'):
+                # pre-recompacted store (preprocess/recompact.py): the
+                # 48^2 frames on disk ARE the resize output — plain rows.
+                # Guarded on frame-count equality so a stale file (e.g.
+                # video.npy truncated by compaction afterwards) is
+                # ignored rather than served.
+                small = os.path.join(path,
+                                     f'{feature}_{SCALE_SIZE}.npy')
+                from fvt_tpu.data import native_store
+                try:
+                    same = (native_store.npy_header(small)[1][0]
+                            == native_store.npy_header(filename)[1][0])
+                except Exception:
+                    same = False
+                if same:
+                    feature = f'{feature}_{SCALE_SIZE}'
+                    filename = small
             data = None
             if self.use_native:
                 from fvt_tpu.data import native_store

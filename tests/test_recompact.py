@@ -1,0 +1,69 @@
+"""Re-compaction of raw video stores to transform scale (video_48.npy)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fvt_tpu.data.dataset import ExampleBuilder
+from fvt_tpu.preprocess import recompact
+
+
+def _trial(tmp_path, n=12, hw=256, name='t0'):
+    d = str(tmp_path / name)
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(hash(name) % 2**32)
+    video = rng.integers(0, 256, size=(n, hw, hw, 3)).astype(np.uint8)
+    np.save(os.path.join(d, 'video.npy'), video)
+    np.save(os.path.join(d, 'EXPR_continuous_label.npy'),
+            np.zeros((n,), np.int64))
+    return d, video
+
+
+def test_recompact_then_build_is_identical(tmp_path):
+    d, video = _trial(tmp_path)
+    item = [d, 't0', 12, np.arange(12)]
+    builder = ExampleBuilder(['video'], window_length=8)
+    before = builder.build(item)['video']
+
+    dst = recompact.recompact_trial(d)
+    assert dst and dst.endswith('video_48.npy')
+    small = np.load(dst)
+    assert small.shape == (12, 48, 48, 3) and small.dtype == np.uint8
+
+    after = builder.build(item)['video']
+    np.testing.assert_array_equal(before, after)
+
+    # idempotent: second run skips
+    assert recompact.recompact_trial(d) is None
+
+
+def test_stale_recompacted_file_is_ignored(tmp_path):
+    d, video = _trial(tmp_path, name='t1')
+    recompact.recompact_trial(d)
+    # truncate the source afterwards (compaction-style rewrite)
+    np.save(os.path.join(d, 'video.npy'), video[:7])
+    item = [d, 't1', 7, np.arange(7)]
+    out = ExampleBuilder(['video'], window_length=4).build(item)['video']
+    assert out.shape == (7, 48, 48, 3)  # served from the big file
+
+
+def test_cli_shards_and_reports(tmp_path):
+    for k in range(3):
+        _trial(tmp_path, n=6, name=f'vid{k}')
+    env = dict(os.environ)
+    env['PYTHONPATH'] = '/root/repo:' + env.get('PYTHONPATH', '')
+    env['JAX_PLATFORMS'] = 'cpu'
+    outs = []
+    for part in range(2):
+        r = subprocess.run(
+            [sys.executable, '-m', 'fvt_tpu.preprocess.recompact',
+             '--features_path', str(tmp_path),
+             '--part', str(part), '--nparts', '2'],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert r.returncode == 0, r.stderr[-500:]
+        outs.append(r.stdout)
+    assert sum(int(o.split()[1]) for o in outs) == 3
+    for k in range(3):
+        assert os.path.isfile(str(tmp_path / f'vid{k}' / 'video_48.npy'))
