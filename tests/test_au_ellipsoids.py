@@ -22,6 +22,9 @@ from fvt_tpu.preprocess import au_ellipsoids as au
 def _load_reference_au():
     import conftest
     conftest.add_reference_to_path()
+    # NOTE: abaw5_pre_processing contains its OWN 'base' package which
+    # would shadow the reference's top-level 'base' for every later
+    # golden-parity test; the path is removed again after the import.
     path = '/root/reference/abaw5_pre_processing'
     if path not in sys.path:
         sys.path.insert(0, path)
@@ -49,7 +52,11 @@ def _load_reference_au():
         cfg.constants = cc
         sys.modules['dlib.configure'] = cfg
         sys.modules['dlib.configure.constants'] = cc
-    from dlib.face_landmarks import action_units as ref_au
+    try:
+        from dlib.face_landmarks import action_units as ref_au
+    finally:
+        if path in sys.path:
+            sys.path.remove(path)
     return ref_au
 
 
