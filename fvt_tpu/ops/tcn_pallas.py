@@ -197,6 +197,23 @@ def _block_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     def dleaky(z):
         return jnp.where(z >= 0, 1.0, NEG_SLOPE)
 
+    def add_shifted(acc, contrib, offset, total):
+        """acc + contrib placed at rows [offset, offset+t): built from
+        static zero-block concatenation — a value-level .at[].add lowers
+        to scatter-add, which Mosaic cannot compile (caught on real TPU;
+        interpret-mode tests do not exercise the lowering)."""
+        parts = []
+        if offset:
+            parts.append(jnp.zeros((offset, contrib.shape[1]),
+                                   contrib.dtype))
+        parts.append(contrib)
+        tail = total - offset - contrib.shape[0]
+        if tail:
+            parts.append(jnp.zeros((tail, contrib.shape[1]),
+                                   contrib.dtype))
+        return acc + (parts[0] if len(parts) == 1
+                      else jnp.concatenate(parts, axis=0))
+
     # ---- backward
     g = g_ref[0].astype(jnp.float32)
     gz = g * dleaky(net + res_ref[0])
@@ -215,9 +232,11 @@ def _block_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dw2_ref[k] += jnp.dot(
             hp[k * dilation:k * dilation + t].T, d_a2,
             preferred_element_type=jnp.float32)
-        d_hp = d_hp.at[k * dilation:k * dilation + t].add(
+        d_hp = add_shifted(
+            d_hp,
             jnp.dot(d_a2, w2_ref[k].T,
-                    preferred_element_type=jnp.float32))
+                    preferred_element_type=jnp.float32),
+            k * dilation, pad + t)
 
     d_a1 = d_hp[pad:] * m1 * dleaky(a1)
     db1_ref[0] += jnp.sum(d_a1, axis=0)
@@ -226,9 +245,11 @@ def _block_bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dw1_ref[k] += jnp.dot(
             x[k * dilation:k * dilation + t].T, d_a1,
             preferred_element_type=jnp.float32)
-        dx = dx.at[k * dilation:k * dilation + t].add(
+        dx = add_shifted(
+            dx,
             jnp.dot(d_a1, w1_ref[k].T,
-                    preferred_element_type=jnp.float32))
+                    preferred_element_type=jnp.float32),
+            k * dilation, pad + t)
 
     dx_ref[0] = dx[pad:].astype(dx_ref.dtype)
     dres_ref[0] = gz.astype(dres_ref.dtype)
