@@ -116,7 +116,10 @@ def get_config(ds: str) -> dict:
         'eval_window_batch': 8,       # window-stitch inference pools the
         # windows of ALL long videos into fixed batches of this many
         # windows (one compile shape, cross-video; bit-identical to the
-        # per-video stitch — each window's forward is sample-independent)
+        # per-video stitch — each window's forward is sample-independent).
+        # 16 is +12% raw device throughput on v5e but loses end-to-end on
+        # small eval sets (tail padding + delayed first dispatch); raise
+        # it for large challenge sets with many long videos
         'host_resize': True,          # pre-scale raw 256^2 faces to 48 on
         # the host (28x less H2D; same kernel as the device transform)
         'data_parallel': False,       # shard the train step over devices

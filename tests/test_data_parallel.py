@@ -215,3 +215,47 @@ def test_dp_trainer_consumes_ragged_batch(tmp_path):
     step_before = int(trainer.state.step)
     trainer.train_one_epoch(FakeLoader(), epoch=0)
     assert int(trainer.state.step) - step_before == 2  # both consumed
+
+def test_pooled_window_inference_on_mesh_matches_single_device(tmp_path):
+    """The pooled cross-video window pipeline under --data_parallel
+    (window batches sharded over the mesh, wb rounded to the device
+    count) produces the same per-video logits as the mesh-less path."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from fvt_tpu import constants
+    from fvt_tpu.config.defaults import get_config
+    from fvt_tpu.experiment import Experiment
+    from synth_store import make_meld_store
+
+    root = str(tmp_path / 'dpstore')
+    store = make_meld_store(root, n_train=4, n_val=6, n_test=2,
+                            min_len=20, max_len=40)
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               modality='vggish+bert+EXPR_continuous_label',
+               window_length=16, hop_length=8, eval_bucket_quantum=8,
+               eval_window_batch=3,  # rounds up to 8 devices
+               num_workers=1, calc_mean_std=True, seed=0,
+               data_parallel=True)
+    args = SimpleNamespace(**cfg)
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    assert trainer.mesh is not None
+
+    val = loaders[constants.VALIDSET]
+    _, dp = trainer.inference(val)
+
+    trainer.mesh = None  # same params, single-device pooled path
+    _, single = trainer.inference(val)
+
+    assert set(dp) == set(single)
+    n_long = sum(1 for item in val.work_list
+                 if max(item[2], args.window_length) > args.window_length)
+    assert n_long >= 2, 'store must exercise the windowed path'
+    for k in dp:
+        np.testing.assert_allclose(dp[k]['logits'], single[k]['logits'],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
