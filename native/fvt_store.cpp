@@ -139,6 +139,55 @@ std::vector<Band> bands_of(const float* w, int64_t s, int64_t n) {
     return bands;
 }
 
+// Column pass with the channel count as a compile-time constant: the
+// c=3 inner loops fully unroll and keep the accumulators in registers
+// (a runtime c defeated unrolling and dominated the per-frame cost).
+template <int64_t C>
+void col_pass(const float* acc, int64_t w, int64_t s, const float* ww,
+              const std::vector<Band>& wb, uint8_t* dst) {
+    for (int64_t o = 0; o < s; ++o) {
+        const float* row = acc + o * w * C;
+        for (int64_t p = 0; p < s; ++p) {
+            const Band& b = wb[static_cast<size_t>(p)];
+            float col[C] = {};
+            for (int64_t k = 0; k < b.len; ++k) {
+                const float wk = ww[p * w + b.start + k];
+                const float* src = row + (b.start + k) * C;
+                for (int64_t ch = 0; ch < C; ++ch)
+                    col[ch] += wk * src[ch];
+            }
+            for (int64_t ch = 0; ch < C; ++ch) {
+                float v = std::nearbyintf(col[ch]);
+                v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+                dst[(o * s + p) * C + ch] = static_cast<uint8_t>(v);
+            }
+        }
+    }
+}
+
+void col_pass_generic(const float* acc, int64_t w, int64_t c, int64_t s,
+                      const float* ww, const std::vector<Band>& wb,
+                      uint8_t* dst, float* col) {
+    for (int64_t o = 0; o < s; ++o) {
+        const float* row = acc + o * w * c;
+        for (int64_t p = 0; p < s; ++p) {
+            const Band& b = wb[static_cast<size_t>(p)];
+            for (int64_t ch = 0; ch < c; ++ch) col[ch] = 0.0f;
+            for (int64_t k = 0; k < b.len; ++k) {
+                const float wk = ww[p * w + b.start + k];
+                const float* src = row + (b.start + k) * c;
+                for (int64_t ch = 0; ch < c; ++ch)
+                    col[ch] += wk * src[ch];
+            }
+            for (int64_t ch = 0; ch < c; ++ch) {
+                float v = std::nearbyintf(col[ch]);
+                v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+                dst[(o * s + p) * c + ch] = static_cast<uint8_t>(v);
+            }
+        }
+    }
+}
+
 void resize_frames_range(const uint8_t* base, int64_t header,
                          int64_t row_bytes, const int64_t* idx,
                          int64_t begin, int64_t end,
@@ -166,24 +215,13 @@ void resize_frames_range(const uint8_t* base, int64_t header,
         }
         // cols: out[i, o, p, :] = sum_k ww[p, k] * acc[o, k, :]
         uint8_t* dst = out + i * s * s * c;
-        for (int64_t o = 0; o < s; ++o) {
-            const float* row = acc.data() + o * wc;
-            for (int64_t p = 0; p < s; ++p) {
-                const Band& b = wb[static_cast<size_t>(p)];
-                for (int64_t ch = 0; ch < c; ++ch) col[
-                    static_cast<size_t>(ch)] = 0.0f;
-                for (int64_t k = 0; k < b.len; ++k) {
-                    const float wk = ww[p * w + b.start + k];
-                    const float* src = row + (b.start + k) * c;
-                    for (int64_t ch = 0; ch < c; ++ch)
-                        col[static_cast<size_t>(ch)] += wk * src[ch];
-                }
-                for (int64_t ch = 0; ch < c; ++ch) {
-                    float v = std::nearbyintf(col[static_cast<size_t>(ch)]);
-                    v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
-                    dst[(o * s + p) * c + ch] = static_cast<uint8_t>(v);
-                }
-            }
+        if (c == 3) {
+            col_pass<3>(acc.data(), w, s, ww, wb, dst);
+        } else if (c == 1) {
+            col_pass<1>(acc.data(), w, s, ww, wb, dst);
+        } else {
+            col_pass_generic(acc.data(), w, c, s, ww, wb, dst,
+                             col.data());
         }
     }
 }
