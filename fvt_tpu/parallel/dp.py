@@ -27,7 +27,11 @@ def make_dp_train_step(model, optimizer, mesh: Mesh) -> Callable:
     bsh = batch_sharded(mesh)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
-             dropout_rng: jax.Array):
+             rng_key: jax.Array):
+        # same in-jit (epoch key, step counter) fold as the single-chip
+        # step — keeps DP == single-device stream-for-stream and avoids
+        # the measured 67 ms/step host fold_in dispatch
+        dropout_rng = jax.random.fold_in(rng_key, state.step)
         labels = batch[constants.EXPR]
         inputs = {k: v for k, v in batch.items()
                   if 'continuous_label' not in k}

@@ -86,7 +86,12 @@ def make_train_step(model, optimizer,
                     task: str = constants.CLASSIFICATION) -> Callable:
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   dropout_rng: jax.Array):
+                   rng_key: jax.Array):
+        # per-step stream derived INSIDE the jit from (epoch key, step
+        # counter): a host-side jax.random.fold_in per step is its own
+        # tiny device dispatch, measured at 67 ms/step of tunnel
+        # round-trip on axon (201 -> 134 ms/step when hoisted)
+        dropout_rng = jax.random.fold_in(rng_key, state.step)
         labels = batch[constants.EXPR]
         inputs = {k: v for k, v in batch.items()
                   if 'continuous_label' not in k}

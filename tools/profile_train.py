@@ -69,7 +69,9 @@ def main():
 
     t0 = time.perf_counter()
     for i in range(args.iters):
-        state, loss = step(state, batch, jax.random.fold_in(key, i))
+        # constant key: the step folds (key, state.step) internally — a
+        # host-side fold_in here would add a 67 ms dispatch round-trip
+        state, loss = step(state, batch, key)
         loss_f = float(loss)  # per-step host sync
     dt = (time.perf_counter() - t0) / args.iters
 
