@@ -132,9 +132,11 @@ def get_config(ds: str) -> dict:
         # come from a different (equally valid) rng stream than flax's
         # layer dropout, so loss trajectories differ run-to-run from the
         # XLA path at dropout>0 while grads match exactly at dropout=0.
-        # Measured on v5e tri-modal: 293 ms/step vs 249 XLA (the frozen
-        # backbone dominates; keep this off unless the workload is
-        # feature-only) — tools/profile_train.py
+        # Measured on v5e tri-modal: ~226 ms/step vs 133 XLA (both
+        # net of the harness's old 67 ms host fold_in dispatch; the
+        # frozen backbone dominates and the kernel's recompute-in-bwd
+        # loses) — keep this off unless the workload is feature-only.
+        # tools/profile_train.py
     }
 
 

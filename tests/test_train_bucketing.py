@@ -101,3 +101,28 @@ def test_bucketed_training_epoch_runs(setup):
     trainer.init_state(exp._sample_batch(loaders))
     loss = trainer.train_one_epoch(loaders[constants.TRAINSET], epoch=0)
     assert np.isfinite(loss)
+
+
+def test_bucketed_epoch_under_data_parallel(setup):
+    """Bucketed batches + DP: per-bucket tails are ragged (replicated
+    path), divisible batches shard — one epoch runs and counts every
+    batch."""
+    import jax
+    from types import SimpleNamespace
+
+    args, exp, loaders = setup
+    assert len(jax.devices()) == 8
+    cfg = vars(args).copy()
+    cfg.update(data_parallel=True, train_batch_size=8)
+    dp_args = SimpleNamespace(**cfg)
+    exp2 = Experiment(dp_args)
+    exp2.prepare()
+    dp_loaders = exp2.init_loaders()
+    trainer = exp2.init_trainer()
+    assert trainer.mesh is not None
+    trainer.init_state(exp2._sample_batch(dp_loaders))
+    train = dp_loaders[constants.TRAINSET]
+    n_batches = len(list(train.epoch(0)))
+    loss = trainer.train_one_epoch(train, epoch=0)
+    assert np.isfinite(loss)
+    assert n_batches == len(train._plan(0))
