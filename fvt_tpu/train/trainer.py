@@ -138,8 +138,9 @@ class Trainer:
         else:
             source = ((b, None) for b in loader.epoch(epoch))
 
-        losses = []
-        for i, (batch, global_rows) in enumerate(source):
+        def to_device(batch, global_rows):
+            """(jbatch, step_fn) for one host batch — async device_put,
+            so the transfer queues while the previous step computes."""
             local_rows = next(iter(batch.values())).shape[0]
             bsz = local_rows if global_rows is None else global_rows
             step_fn = self.train_step
@@ -169,10 +170,26 @@ class Trainer:
                 else:
                     jbatch = shard_batch(batch, self.mesh)
             else:
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-            # the per-step stream is folded INSIDE the jitted step from
-            # (epoch_key, state.step) — a host-side fold_in here costs a
-            # tiny extra dispatch per step (67 ms over the axon tunnel)
+                jbatch = {k: jax.device_put(v) for k, v in batch.items()}
+            return jbatch, step_fn
+
+        # one-batch H2D lookahead: batch i+1's transfer is queued before
+        # step i is dispatched, so the (tunnel-expensive) host->device
+        # copies overlap device compute instead of serializing with it
+        losses = []
+        prepared = None
+        for batch, global_rows in source:
+            nxt = to_device(batch, global_rows)
+            if prepared is not None:
+                jbatch, step_fn = prepared
+                # per-step stream folded INSIDE the jitted step from
+                # (epoch_key, state.step) — a host-side fold_in here is
+                # an extra 67 ms dispatch over the axon tunnel
+                self.state, loss = step_fn(self.state, jbatch, epoch_key)
+                losses.append(loss)
+            prepared = nxt
+        if prepared is not None:
+            jbatch, step_fn = prepared
             self.state, loss = step_fn(self.state, jbatch, epoch_key)
             losses.append(loss)
 
@@ -316,7 +333,7 @@ class Trainer:
                 del wqueue[:wb]
                 rows = take + [take[-1]] * (wb - len(take))  # tail pad
                 inputs = {
-                    k: jnp.asarray(np.stack(
+                    k: jax.device_put(np.stack(
                         [wstate[t]['arrs'][k][r] for (t, r) in rows]))
                     for k in wstate[rows[0][0]]['arrs']}
                 if self.mesh is not None:
@@ -383,7 +400,8 @@ class Trainer:
                 enqueue_windowed(batch, labels, trials[0], true_lens[0])
                 dispatch_window_batches()
             else:
-                inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+                # async H2D (jnp.asarray can block on the transfer)
+                inputs = {k: jax.device_put(v) for k, v in batch.items()}
                 if self.needs_mask:
                     out = self.eval_step(
                         self.state.params, self.state.batch_stats, inputs,
