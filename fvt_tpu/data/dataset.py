@@ -68,15 +68,18 @@ class ExampleBuilder:
                     npy_exists(path, f'{feature}_{SCALE_SIZE}'):
                 # pre-recompacted store (preprocess/recompact.py): the
                 # 48^2 frames on disk ARE the resize output — plain rows.
-                # Guarded on frame-count equality so a stale file (e.g.
-                # video.npy truncated by compaction afterwards) is
+                # Guarded on frame-count equality AND mtime ordering so a
+                # stale file (video.npy truncated OR rewritten in place
+                # with the same frame count after recompaction) is
                 # ignored rather than served.
                 small = os.path.join(path,
                                      f'{feature}_{SCALE_SIZE}.npy')
                 from fvt_tpu.data import native_store
                 try:
                     same = (native_store.npy_header(small)[1][0]
-                            == native_store.npy_header(filename)[1][0])
+                            == native_store.npy_header(filename)[1][0]
+                            and os.path.getmtime(small)
+                            >= os.path.getmtime(filename))
                 except Exception:
                     same = False
                 if same:

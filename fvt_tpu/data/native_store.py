@@ -62,17 +62,25 @@ def _load_lib():
 
 
 def ensure_built() -> bool:
-    """Explicit one-time build-and-load (g++ is in the image).  Returns
-    True when the native gather is usable."""
-    global _load_attempted
-    if _lib is not None:
+    """Explicit build-and-load (g++ is in the image).  Returns True when
+    the native gather is usable.  Rebuilds when the C source is newer
+    than the library — a stale .so from an older checkout would
+    otherwise silently lack newer entry points (gather_resize_rows
+    degrades to None) forever."""
+    global _lib, _load_attempted
+    src = os.path.join(os.path.dirname(_LIB_PATH), 'fvt_store.cpp')
+    stale = (not os.path.isfile(_LIB_PATH)
+             or (os.path.isfile(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if _lib is not None and not stale:
         return True
-    if not os.path.isfile(_LIB_PATH):
+    if stale:
         try:
             subprocess.run(['make', '-C', os.path.dirname(_LIB_PATH)],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return False
+            return _lib is not None  # keep whatever already loaded
+        _lib = None  # force a fresh dlopen of the rebuilt library
     _load_attempted = False
     return _load_lib() is not None
 

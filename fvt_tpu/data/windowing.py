@@ -90,6 +90,22 @@ def stitch_windows(window_outputs: jnp.ndarray, index_matrix: jnp.ndarray,
     return summed / counts[:, None]
 
 
+def stitch_windows_np(window_outputs: np.ndarray,
+                      index_matrix: np.ndarray, length: int) -> np.ndarray:
+    """Numpy twin of :func:`stitch_windows` for the trainer's host-side
+    stitch paths (the single scatter-average that reproduces the
+    reference's Counter division, trainer.py:870-890) — ONE shared
+    implementation so the pooled and per-video paths cannot drift."""
+    n, w, ncls = window_outputs.shape
+    flat = index_matrix.reshape(-1)
+    summed = np.zeros((length, ncls), np.float32)
+    counts = np.zeros((length,), np.float32)
+    np.add.at(summed, flat, window_outputs.reshape(-1, ncls)
+              .astype(np.float32))
+    np.add.at(counts, flat, 1.0)
+    return summed / counts[:, None]
+
+
 def pad_index_matrix(index_matrix: np.ndarray, num_windows_padded: int
                      ) -> tuple[np.ndarray, np.ndarray]:
     """Pad the window axis to a fixed bucket size for shape-stable jits.

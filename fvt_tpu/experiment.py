@@ -119,9 +119,11 @@ class Experiment:
             continuous_label_dim=self.get_continuous_label_dim(),
             host_resize=getattr(self.args, 'host_resize', True))
 
-        # threads beyond the core count actively hurt CPU-bound example
-        # builds (GIL ping-pong + cache thrash measured 5x slower than
-        # serial on a 1-core host); cap by the hardware
+        # GIL-holding python builds beyond the core count actively hurt
+        # (measured 5x slower than serial on a 1-core host); 2*cpu is
+        # safe because the heavy build steps are GIL-free native C
+        # (gather/resize), and one extra thread overlaps the main
+        # thread's dispatch work
         cpu = os.cpu_count() or 1
         loaders: Dict[str, object] = {}
         for split, data in data_list.items():

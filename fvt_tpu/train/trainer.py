@@ -273,13 +273,7 @@ class Trainer:
             out = self.eval_step(self.state.params, self.state.batch_stats,
                                  windows)
         out = np.asarray(out)[:n_win]  # (n_win, window, C)
-
-        ncls = out.shape[-1]
-        summed = np.zeros((true_len, ncls), dtype=np.float32)
-        counts = np.zeros((true_len,), dtype=np.float32)
-        np.add.at(summed, mat.reshape(-1), out.reshape(-1, ncls))
-        np.add.at(counts, mat.reshape(-1), 1.0)
-        return summed / counts[:, None]
+        return W.stitch_windows_np(out, mat, true_len)
 
     def inference(self, loader: EvalLoader) -> tuple:
         per_video_frame_logits = {}
@@ -348,18 +342,11 @@ class Trainer:
                 pending.append(('win', out, tuple(rows)))
 
         def finish_windowed(trial):
-            """Stitch-average overlaps exactly like the reference's
-            Counter division (trainer.py:870-890)."""
             st = wstate.pop(trial)
-            ncls = st['outs'].shape[-1]
-            summed = np.zeros((st['true_len'], ncls), np.float32)
-            counts = np.zeros((st['true_len'],), np.float32)
-            flat = st['mat'].reshape(-1)
-            np.add.at(summed, flat, st['outs'].reshape(-1, ncls))
-            np.add.at(counts, flat, 1.0)
             per_video_frame_logits[trial] = {
                 'labels': st['labels'],
-                'logits': (summed / counts[:, None]).astype(np.float32)}
+                'logits': W.stitch_windows_np(st['outs'], st['mat'],
+                                              st['true_len'])}
 
         def collect(entry):
             if entry[0] == 'win':
