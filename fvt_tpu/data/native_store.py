@@ -66,21 +66,37 @@ def ensure_built() -> bool:
     the native gather is usable.  Rebuilds when the C source is newer
     than the library — a stale .so from an older checkout would
     otherwise silently lack newer entry points (gather_resize_rows
-    degrades to None) forever."""
+    degrades to None) forever.
+
+    The rebuild goes to a per-pid temp name and is atomically RENAMED
+    over the library: an in-place relink would truncate the inode other
+    running processes have mapped (SIGBUS), concurrent rebuilds from a
+    --part/--nparts job array would corrupt a shared output, and glibc
+    dedupes dlopen by inode so an in-place rewrite could never be
+    re-loaded by this process anyway.  If the build fails, whatever
+    loadable library already exists on disk is still used."""
     global _lib, _load_attempted
-    src = os.path.join(os.path.dirname(_LIB_PATH), 'fvt_store.cpp')
+    lib_dir = os.path.dirname(_LIB_PATH)
+    src = os.path.join(lib_dir, 'fvt_store.cpp')
     stale = (not os.path.isfile(_LIB_PATH)
              or (os.path.isfile(src)
                  and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
     if _lib is not None and not stale:
         return True
     if stale:
+        tmp = f'libfvt_store.{os.getpid()}.tmp.so'
         try:
-            subprocess.run(['make', '-C', os.path.dirname(_LIB_PATH)],
+            subprocess.run(['make', '-C', lib_dir, f'TARGET={tmp}'],
                            check=True, capture_output=True, timeout=120)
+            os.replace(os.path.join(lib_dir, tmp), _LIB_PATH)
+            _lib = None  # fresh inode at the path -> CDLL loads it anew
         except Exception:
-            return _lib is not None  # keep whatever already loaded
-        _lib = None  # force a fresh dlopen of the rebuilt library
+            pass  # fall through: load whatever usable library exists
+        finally:
+            try:
+                os.remove(os.path.join(lib_dir, tmp))
+            except OSError:
+                pass
     _load_attempted = False
     return _load_lib() is not None
 

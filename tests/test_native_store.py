@@ -168,3 +168,29 @@ def test_builder_uses_fused_resize_when_available(tmp_path):
     b = python_b.build(item)['video']
     assert a.shape == b.shape == (10, 48, 48, 3)
     assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+
+
+def test_ensure_built_rebuilds_stale_library(tmp_path):
+    """A fvt_store.cpp newer than the .so triggers an atomic
+    temp-build-and-rename rebuild, after which the loaded library serves
+    the full entry-point surface (a stale .so from an older checkout
+    must not silently disable gather_resize_rows forever)."""
+    import subprocess
+    if not native_store.ensure_built():
+        pytest.skip('native library failed to build')
+    lib_dir = os.path.dirname(native_store._LIB_PATH)
+    src = os.path.join(lib_dir, 'fvt_store.cpp')
+    # age the library below the source
+    os.utime(native_store._LIB_PATH,
+             (os.path.getmtime(src) - 10, os.path.getmtime(src) - 10))
+    assert native_store.ensure_built()
+    assert os.path.getmtime(native_store._LIB_PATH) >= \
+        os.path.getmtime(src)
+    assert hasattr(native_store._load_lib(), 'fvt_gather_resize_u8')
+    # no temp artifacts left behind
+    assert not [f for f in os.listdir(lib_dir) if f.endswith('.tmp.so')]
+    # functional after the rebuild
+    p = str(tmp_path / 'v.npy')
+    np.save(p, np.zeros((4, 64, 64, 3), np.uint8))
+    out = native_store.gather_resize_rows(p, np.arange(2), 48)
+    assert out is not None and out.shape == (2, 48, 48, 3)
