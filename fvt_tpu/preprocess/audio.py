@@ -38,8 +38,13 @@ def convert_video_to_wav(input_path: str, output_path: str,
 def _pad_to_annotated(matrix: np.ndarray, annotated_idx: np.ndarray
                       ) -> np.ndarray:
     """Edge-pad the last element so every annotated index exists
-    (audio.py:162-172)."""
+    (audio.py:162-172).  A fully-empty matrix (audio shorter than one
+    patch even after the 1 s edge pad, i.e. a zero-length wav) degrades
+    to zeros instead of the reference's IndexError — the driver records
+    the issue per sample."""
     length = int(max(annotated_idx))
+    if len(matrix) == 0:
+        return np.zeros((length + 1,) + matrix.shape[1:], matrix.dtype)
     diff = length - len(matrix) + 1
     if diff > 0:
         pad = np.repeat(matrix[-1][None], diff, axis=0)
@@ -90,19 +95,25 @@ def extract_vggish_embeddings(input_path: str,
     for start in range(0, len(examples), input_size):
         chunk = np.asarray(examples[start:start + input_size],
                            dtype=np.float32)
-        pad = 0
-        if len(chunk) < input_size and start > 0 or True:
-            # pad to the fixed batch for shape-stable jit
-            pad = input_size - len(chunk)
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:],
-                                     chunk.dtype)], axis=0)
+        # pad to the fixed batch for shape-stable jit
+        pad = input_size - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                 chunk.dtype)], axis=0)
         out = np.asarray(forward(jnp.asarray(chunk)))
         outs.append(out[:input_size - pad] if pad else out)
     embeddings = np.vstack(outs) if outs else np.zeros((0, 128), np.float32)
 
-    if annotated_idx is not None and len(embeddings):
+    # the reference pipeline loses the FIRST embedding row: np.savetxt
+    # writes no header (base/audio.py:148) and compact_audio_feature
+    # reads the csv back with pandas' default header='infer'
+    # (base/preprocessing.py:1003-1005), which consumes row 0 as column
+    # names.  Reference vggish.npy[i] therefore holds patch i+1; this
+    # quirk DEFINES the disk contract, so it is reproduced here.
+    embeddings = embeddings[1:]
+
+    if annotated_idx is not None:
         embeddings = _pad_to_annotated(embeddings, annotated_idx)
         embeddings = embeddings[annotated_idx]
     return embeddings

@@ -95,8 +95,11 @@ class PreprocessingDriver:
         path_fold = join(self.folds_dir, f'split-{self.fold}',
                          f'{self.split}.txt')
         fold = load_fold_txt(path_fold)
-        trials = [{'trial': t, 'label': v['cl'], 'transcript': v['txt']}
-                  for t, v in fold.items()]
+        trials = [{'trial': t, 'label': v['cl'], 'transcript': v['txt'],
+                   'subject_no': i}  # GLOBAL id, assigned before the
+                  # shard split so merged dataset_info stays unique
+                  # (reference preprocessing.py numbers then divides)
+                  for i, (t, v) in enumerate(fold.items())]
         shard = divide(self.nparts, trials)[self.part]
         log(f"shard {self.part}/{self.nparts}: {len(shard)} of "
             f"{len(trials)} trials")
@@ -202,7 +205,8 @@ class PreprocessingDriver:
             if 'length' in record:
                 dataset_info['trial'].append(record['trial'])
                 dataset_info['trial_no'].append(1)
-                dataset_info['subject_no'].append(i)
+                dataset_info['subject_no'].append(
+                    info.get('subject_no', i))
                 dataset_info['length'].append(record['length'])
                 dataset_info['partition'].append(self.split)
                 dataset_info['pseudo_partition'].append(self.split)

@@ -158,46 +158,68 @@ def process_one_video(video_path: str, out_dir: str, detector=None,
                       ) -> np.ndarray:
     """Detect+align every frame; returns (n, 256, 256, 3) uint8 top faces.
 
-    Failure semantics match the reference: frames with no detection reuse
-    the previous frame's landmarks; a leading run of failures falls back to
-    the full (resized) frame.
+    Failure semantics match the reference exactly: a frame with no
+    detection stores a COPY of the previous frame's cropped face
+    (c_expr_db.py:384-392 does ``faces = previous_faces`` — the stale
+    LANDMARKS are not re-applied to the new frame); a leading run of
+    failures falls back to the full (resized) frame.
+
+    Raw decoded frames are held only for the current warp chunk (and
+    leading-failure fallbacks), not the whole video — a long 1080p clip
+    would otherwise buffer tens of GB before the first warp.
     """
     detector = detector or default_detector()
     os.makedirs(out_dir, exist_ok=True)
 
-    frames: List[np.ndarray] = []
-    landmarks: List[Optional[np.ndarray]] = []
-    prev_lms: Optional[np.ndarray] = None
     frame_log = []
+    warped: dict = {}            # frame idx -> 256^2 crop
+    fallback: dict = {}          # leading-failure idx -> raw frame
+    pending: List[np.ndarray] = []
+    pend_lms: List[np.ndarray] = []
+    pend_idx: List[int] = []
 
+    def flush():
+        if not pending:
+            return
+        crops = batched_warp_faces(np.stack(pending), np.stack(pend_lms),
+                                   out_size=OUT_SIZE)
+        for j, idx in enumerate(pend_idx):
+            warped[idx] = crops[j]
+        pending.clear()
+        pend_lms.clear()
+        pend_idx.clear()
+
+    n = 0
+    seen_detection = False
     for i, frame in enumerate(read_video_frames(video_path)):
+        n = i + 1
         dets = detector.detect(frame)
+        frame_log.append((i, len(dets)))
         if dets:
-            prev_lms = dets[0]['landmarks']
-            frame_log.append((i, len(dets)))
-        else:
-            frame_log.append((i, 0))
-        frames.append(frame)
-        landmarks.append(prev_lms.copy() if prev_lms is not None else None)
+            seen_detection = True
+            pending.append(frame)
+            pend_lms.append(np.asarray(dets[0]['landmarks']))
+            pend_idx.append(i)
+            if len(pending) >= chunk:
+                flush()
+        elif not seen_detection:
+            fallback[i] = frame
+        # else: carry — filled from out[i-1] at assembly
+    flush()
 
-    n = len(frames)
     if n == 0:
         return np.zeros((0, OUT_SIZE, OUT_SIZE, 3), np.uint8)
 
     out = np.zeros((n, OUT_SIZE, OUT_SIZE, 3), np.uint8)
-    # batched warp for frames with landmarks; resize-fallback otherwise
-    have = [i for i in range(n) if landmarks[i] is not None]
-    if have:
-        for start in range(0, len(have), chunk):
-            idxs = have[start:start + chunk]
-            sub = np.stack([frames[i] for i in idxs])
-            lms = np.stack([landmarks[i] for i in idxs])
-            out[idxs] = batched_warp_faces(sub, lms, out_size=OUT_SIZE)
-    missing = [i for i in range(n) if landmarks[i] is None]
-    if missing:
+    if fallback:
         import cv2
-        for i in missing:
-            out[i] = cv2.resize(frames[i], (OUT_SIZE, OUT_SIZE))
+        for i, frame in fallback.items():
+            out[i] = cv2.resize(frame, (OUT_SIZE, OUT_SIZE))
+    for i in range(n):
+        if i in warped:
+            out[i] = warped[i]
+        elif i not in fallback:
+            out[i] = out[i - 1]  # previous frame's faces, verbatim
 
     if store_jpgs:
         from PIL import Image

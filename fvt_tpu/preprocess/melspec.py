@@ -70,14 +70,14 @@ def spectrogram_to_mel_matrix(num_mel_bins=20, num_spectrogram_bins=129,
     return weights
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _stft_mel_log(frames: jnp.ndarray, fft_length: int, window_length: int,
-                  num_mel_bins: int, window: jnp.ndarray,
+                  num_mel_bins: int, log_offset: float, window: jnp.ndarray,
                   mel_matrix: jnp.ndarray) -> jnp.ndarray:
     windowed = frames * window
     mag = jnp.abs(jnp.fft.rfft(windowed, fft_length))
     mel = mag @ mel_matrix
-    return jnp.log(mel + LOG_OFFSET)
+    return jnp.log(mel + log_offset)
 
 
 def log_mel_spectrogram(data: np.ndarray,
@@ -111,8 +111,8 @@ def log_mel_spectrogram(data: np.ndarray,
         upper_edge_hertz=upper_edge_hertz)
 
     out = _stft_mel_log(jnp.asarray(frames), fft_length, window_length,
-                        num_mel_bins, jnp.asarray(window),
-                        jnp.asarray(mel_matrix))
+                        num_mel_bins, float(log_offset),
+                        jnp.asarray(window), jnp.asarray(mel_matrix))
     return np.asarray(out)
 
 
@@ -175,4 +175,9 @@ def wavfile_to_examples(wav_file: str, window_sec: float, hop_sec: float
                         ) -> np.ndarray:
     data, sr = read_wav(wav_file)
     samples = data / 32768.0
+    # the reference edge-pads ONE SECOND of samples before framing
+    # (vggish_input.py:97) — without it the tail patches diverge and a
+    # clip shorter than the window yields zero patches
+    pad = ((0, sr),) + ((0, 0),) * (samples.ndim - 1)
+    samples = np.pad(samples, pad, 'edge')
     return waveform_to_examples(samples, sr, window_sec, hop_sec)

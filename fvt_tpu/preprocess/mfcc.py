@@ -57,7 +57,10 @@ def extract_mfcc(wav_path: str, output_path: str,
     if os.path.isfile(output_path):
         return
     data, sr = melspec.read_wav(wav_path)
-    feats = mfcc(data / 32768.0, sample_rate=sr)
+    samples = data / 32768.0
+    if samples.ndim > 1:  # stereo wav -> mono, like waveform_to_examples
+        samples = np.mean(samples, axis=1)
+    feats = mfcc(samples, sample_rate=sr)
     if annotated_idx is not None:
         length = int(max(annotated_idx))
         diff = length - len(feats) + 1

@@ -146,8 +146,12 @@ def main(argv=None):
 
     class_id = dict(COMPOUND_LABEL_ORDER if args.label_order == 'compound'
                     else BASIC_LABEL_ORDER)
-    if args.include_other:
-        class_id[constants.OTHER] = 7
+    # ALWAYS present, like the reference (c_expr_db.py:780-782 writes
+    # full_labels[OTHER] = 7 unconditionally): the DataArranger requires
+    # the 'Other' key even when use_other_class is False (it filters BY
+    # looking the id up), so omitting it crashed C-EXPR-DB training on
+    # repo-generated folds.  --include_other remains accepted (no-op).
+    class_id[constants.OTHER] = 7
 
     splits = kfold_splits(clips_per_class, n=args.num_folds,
                           seed=args.seed)

@@ -90,7 +90,10 @@ def align_word_embedding_new(word_embeddings: np.ndarray,
     pos = {}
     for j, block in enumerate(blocks):
         for i in block:
-            pos[i] = j
+            # FIRST block containing a duplicated index wins — the
+            # reference scans blocks in order and breaks on the first
+            # hit (speech.py:724-731)
+            pos.setdefault(i, j)
     for k, i in enumerate(idxs):
         aligned[i] = word_embeddings[pos[i]]
     return aligned

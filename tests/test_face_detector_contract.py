@@ -85,17 +85,17 @@ def test_injected_detector_drives_the_warp(video, tmp_path):
 
 
 def test_prev_frame_carry_on_detection_failure(video, tmp_path):
+    """Reference semantics (c_expr_db.py:384-392): a failed frame stores
+    a COPY of the previous frame's cropped face — not a re-warp of the
+    current frame with stale landmarks."""
     path, frames = video
     det = FakeDetector(hit_frames={0, 1})  # frames 2.. fail
     out = faces.process_one_video(path, str(tmp_path / 'c'), detector=det,
                                   store_jpgs=False)
-    ref = faces.process_one_video(path, str(tmp_path / 'c2'),
-                                  detector=FakeDetector(
-                                      hit_frames=range(len(frames))),
-                                  store_jpgs=False)
-    # frame 3 reuses frame-1's landmarks == frame-3's own (static face):
-    # carry must reproduce the full-detection crop
-    np.testing.assert_array_equal(out[3], ref[3])
+    for i in range(2, len(frames)):
+        np.testing.assert_array_equal(out[i], out[1])
+    assert not np.array_equal(out[0], out[1]) or \
+        np.array_equal(frames[0], frames[1])
 
 
 def test_leading_failures_fall_back_to_full_frame(video, tmp_path):
