@@ -52,16 +52,60 @@ class TorchLinear(nn.Module):
     features: int
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
         kernel_init = self.kernel_init or torch_linear_kernel_init
+        bias_init = (self.bias_init
+                     or torch_bias_init_from_fan_in(in_features))
         dense = nn.Dense(self.features, use_bias=self.use_bias,
                          kernel_init=kernel_init,
-                         bias_init=torch_bias_init_from_fan_in(in_features),
+                         bias_init=bias_init,
                          name='dense')
         return dense(x)
+
+
+class _TorchBNCore(nn.Module):
+    """The actual norm, named 'bn' so the param/stat tree matches the
+    earlier nn.BatchNorm wrapper and the torch-port converters.
+
+    Differences vs flax nn.BatchNorm, matching torch BatchNorm1d:
+    normalization uses the BIASED batch variance, but the running_var
+    EMA accumulates the UNBIASED (n/(n-1)) estimator
+    (torch/nn/modules/batchnorm.py) — flax stores the biased one, which
+    drifts train-path running stats from the reference."""
+    use_running_average: bool
+    momentum_torch: float
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,))
+        bias = self.param('bias', nn.initializers.zeros, (c,))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            n = 1
+            for d in red:
+                n *= x.shape[d]
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum_torch
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(x.dtype)
 
 
 class TorchBatchNorm(nn.Module):
@@ -76,11 +120,8 @@ class TorchBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        bn = nn.BatchNorm(use_running_average=self.use_running_average,
-                          momentum=1.0 - self.momentum_torch,
-                          epsilon=self.eps,
-                          use_bias=True, use_scale=True, name='bn')
-        return bn(x)
+        return _TorchBNCore(self.use_running_average, self.momentum_torch,
+                            self.eps, name='bn')(x)
 
 
 class PReLU(nn.Module):
@@ -160,10 +201,14 @@ class CausalWeightNormConv1d(nn.Module):
 class Conv1d1x1(nn.Module):
     """Pointwise conv1d (the TCN residual downsample), feature-last."""
     features: int
+    kernel_init: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
-        return TorchLinear(self.features, name='proj')(x)
+        kw = {}
+        if self.kernel_init is not None:
+            kw['kernel_init'] = self.kernel_init
+        return TorchLinear(self.features, name='proj', **kw)(x)
 
 
 def scaled_dot_product(q, k, v):
@@ -214,8 +259,10 @@ class TorchMultiheadAttention(nn.Module):
         b, _, l, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, e)
 
+        # torch MHA._reset_parameters: out_proj KERNEL keeps the Linear
+        # kaiming-uniform default; out_proj BIAS is zero-initialized
         out = TorchLinear(e, name='out_proj',
-                          kernel_init=xavier_uniform_gain(1.0))(out)
+                          bias_init=nn.initializers.zeros)(out)
         return out
 
 

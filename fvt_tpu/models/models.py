@@ -34,15 +34,19 @@ def _maybe_encode_spatial(self, x: Dict[str, jnp.ndarray], train: bool
     feature inputs (B, T, D) pass through untouched.
     """
     out = dict(x)
+    # train propagates INTO the frozen encoders: the reference's
+    # model.train() puts them in train mode too (batch-stat BN with
+    # running-stat updates, active dropout) even though their params
+    # never receive gradients (trainer.py:318, no submodule .eval())
     if 'video' in out and out['video'].ndim == 5:
         b, t = out['video'].shape[:2]
         frames = out['video'].reshape((b * t,) + out['video'].shape[2:])
-        feats = self.spatial_video(frames)
+        feats = self.spatial_video(frames, train=train)
         out['video'] = feats.reshape(b, t, -1)
     if 'logmel' in out and out['logmel'].ndim == 4:
         b, t = out['logmel'].shape[:2]
         patches = out['logmel'].reshape((b * t,) + out['logmel'].shape[2:])
-        feats = self.spatial_audio(patches)
+        feats = self.spatial_audio(patches, train=train)
         out['logmel'] = feats.reshape(b, t, -1)
     return out
 

@@ -42,7 +42,10 @@ class TemporalBlock(nn.Module):
             h_shape = jnp.zeros(x.shape[:2] + (self.n_outputs,), x.dtype)
             w2, b2 = conv2(h_shape, materialize_only=True)
             if n_inputs != self.n_outputs:
-                res = Conv1d1x1(self.n_outputs, name='downsample')(x)
+                from fvt_tpu.models.layers import xavier_uniform_gain
+                res = Conv1d1x1(
+                    self.n_outputs, name='downsample',
+                    kernel_init=xavier_uniform_gain(2.0 ** 0.5))(x)
             else:
                 res = x
             shape = x.shape[:2] + (self.n_outputs,)
@@ -67,7 +70,12 @@ class TemporalBlock(nn.Module):
         net = nn.Dropout(self.dropout, deterministic=not train)(net)
 
         if n_inputs != self.n_outputs:
-            res = Conv1d1x1(self.n_outputs, name='downsample')(x)
+            # reference init_weights applies xavier_uniform(gain=sqrt(2))
+            # to the plain downsample conv too
+            # (temporal_convolutional_model.py:49)
+            from fvt_tpu.models.layers import xavier_uniform_gain
+            res = Conv1d1x1(self.n_outputs, name='downsample',
+                            kernel_init=xavier_uniform_gain(2.0 ** 0.5))(x)
         else:
             res = x
         return jax.nn.leaky_relu(net + res, negative_slope=0.01)

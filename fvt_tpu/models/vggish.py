@@ -54,8 +54,6 @@ def vggish_from_torch(sd: dict, prefix: str = '') -> dict:
     """Params for :class:`VGGish` from the torch VGG state_dict
     (features.{0,3,6,8,11,13}, embeddings.{0,2,4})."""
     p = (prefix + '.') if prefix else ''
-    conv_layers = [i for i, v in enumerate(
-        _torch_feature_indices()) if v is not None]
     params: dict = {}
     for conv_i, feat_idx in enumerate(_torch_feature_indices_list()):
         w = _np(sd[f'{p}features.{feat_idx}.weight'])  # OIHW
@@ -81,6 +79,3 @@ def _torch_feature_indices_list():
             idx += 2
     return out
 
-
-def _torch_feature_indices():
-    return _torch_feature_indices_list()

@@ -158,8 +158,9 @@ def compute_confusion_matrix(trgs: list, preds: list) -> np.ndarray:
     n = len(labels)
     lut = {c: i for i, c in enumerate(labels.tolist())}
     mtx = np.zeros((n, n), dtype=np.float64)
-    for ti, pi in zip(t.tolist(), p.tolist()):
-        mtx[lut[ti], lut[pi]] += 1.0
+    t_idx = np.searchsorted(labels, t)
+    p_idx = np.searchsorted(labels, p)
+    np.add.at(mtx, (t_idx, p_idx), 1.0)
     row = mtx.sum(axis=1, keepdims=True)
     with np.errstate(invalid='ignore'):
         mtx = mtx / row

@@ -23,6 +23,29 @@ import optax
 from fvt_tpu import constants
 
 
+def _torch_damped_trace(momentum: float, dampening: float
+                        ) -> optax.GradientTransformation:
+    """torch SGD momentum with dampening (torch/optim/sgd.py): the FIRST
+    accumulation clones the gradient undamped (buf = g), every later one
+    is buf = momentum*buf + (1-dampening)*g.  nesterov requires
+    dampening=0 in torch, so this is the plain-momentum variant only."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {'trace': jax.tree.map(jnp.zeros_like, params),
+                'count': jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        factor = jnp.where(state['count'] == 0, 1.0, 1.0 - dampening)
+        new_trace = jax.tree.map(
+            lambda t, g: momentum * t + factor * g, state['trace'], updates)
+        return new_trace, {'trace': new_trace,
+                           'count': state['count'] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 # ----------------------------------------------------------------- optimizer
 def build_optimizer(hp) -> optax.GradientTransformation:
     """hp: standardized opt hyperparams (attributes, not 'opt__' keys)."""
@@ -34,8 +57,12 @@ def build_optimizer(hp) -> optax.GradientTransformation:
             'torch SGD requires dampening=0 with nesterov'
         chain = [
             optax.add_decayed_weights(hp.weight_decay),
-            optax.trace(decay=hp.momentum, nesterov=hp.nesterov),
         ]
+        if hp.dampening and hp.momentum:
+            chain.append(_torch_damped_trace(hp.momentum, hp.dampening))
+        else:
+            chain.append(optax.trace(decay=hp.momentum,
+                                     nesterov=hp.nesterov))
     elif name == constants.ADAM:
         chain = [
             optax.add_decayed_weights(hp.weight_decay),
@@ -228,7 +255,10 @@ def build_scheduler(hp, num_epochs: int, min_num_epochs: int
     if name == constants.MULTISTEP:
         milestones = hp.milestone
         if isinstance(milestones, str):
-            milestones = [int(m) for m in milestones.split(',')]
+            # the reference documents '+'-separated milestones
+            # (parseit.py); ','-separated stays accepted
+            milestones = [int(m)
+                          for m in milestones.replace('+', ',').split(',')]
         return MultiStepSchedule(hp.lr, milestones, hp.gamma)
     if name == constants.MYSTEP:
         return MyStepSchedule(hp.lr, hp.step_size, hp.gamma, hp.min_lr)

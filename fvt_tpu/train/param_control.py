@@ -9,7 +9,7 @@ a freshly-wrapped optimizer (state rebuild, as the reference does).
 from __future__ import annotations
 
 import re
-from typing import Callable, List, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import optax
@@ -48,27 +48,39 @@ def freeze(optimizer: optax.GradientTransformation, params,
 
 
 class ParamControl:
-    """Gradual release: stage i unlocks the union of the first i+1 pattern
-    groups.  ``release_count`` caps the number of releases
-    (parameter_control.py:22-50)."""
+    """Gradual release with the reference ResnetParamControl's semantics
+    (parameter_control.py:22-109): ``base_patterns`` (the head) train
+    from the start; NO staged group is unlocked until the first
+    ``release()``; each release pops the FIRST remaining group; once the
+    stack or ``release_count`` is exhausted a further release sets
+    ``early_stop`` (the reference halts training) instead of silently
+    truncating."""
 
     def __init__(self, stage_patterns: List[List[str]],
-                 release_count: int = 3):
+                 release_count: int = 3,
+                 base_patterns: Optional[List[str]] = None):
         self.stage_patterns = stage_patterns
-        self.release_count = min(release_count, len(stage_patterns) - 1)
-        self.stage = 0
+        self.base_patterns = list(base_patterns or [])
+        self.release_count = release_count
+        self.released = 0
+        self.early_stop = False
 
     def current_patterns(self) -> List[str]:
-        out: List[str] = []
-        for group in self.stage_patterns[:self.stage + 1]:
+        out: List[str] = list(self.base_patterns)
+        for group in self.stage_patterns[:self.released]:
             out.extend(group)
         return out
 
     def can_release(self) -> bool:
-        return self.stage < self.release_count
+        return (not self.early_stop and self.release_count > 0
+                and self.released < len(self.stage_patterns))
 
     def release(self, optimizer: optax.GradientTransformation, params
                 ) -> optax.GradientTransformation:
-        assert self.can_release()
-        self.stage += 1
+        if not self.can_release():
+            # "Early stopped since no further parameters to release!"
+            self.early_stop = True
+            return freeze(optimizer, params, self.current_patterns())
+        self.released += 1
+        self.release_count -= 1
         return freeze(optimizer, params, self.current_patterns())

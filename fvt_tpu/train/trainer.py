@@ -460,9 +460,12 @@ class Trainer:
             (last_epoch, self.state, valid_tracker, best_params,
              loss_tracker) = restored
             start_epoch = last_epoch + 1
-            if self.scheduler is not None:
-                self.state = self.state.replace(opt_state=optim.set_lr(
-                    self.state.opt_state, self.scheduler.lr(start_epoch)))
+        if self.scheduler is not None:
+            # fresh runs too: torch schedulers set the initial param-group
+            # lr at construction, so epoch 0 must train at scheduler.lr(0)
+            # (warmup ramp / MYCOSINE coef / milestone-0), not raw hp.lr
+            self.state = self.state.replace(opt_state=optim.set_lr(
+                self.state.opt_state, self.scheduler.lr(start_epoch)))
         if valid_tracker is None:
             current_perf, _ = self.inference(valid_loader)
             valid_tracker = M.build_trackers(self.args.dataset_name,

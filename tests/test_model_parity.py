@@ -194,7 +194,7 @@ def test_jmt_mt_parity(model_name):
 
     class DummySpatialJax(nn.Module):
         @nn.compact
-        def __call__(self, x):  # (N, H, W, C)
+        def __call__(self, x, *, train: bool = False):  # (N, H, W, C)
             return TorchLinear(512, name='dense')(x.reshape(x.shape[0], -1))
 
     # hack: TorchLinear wraps Dense under 'dense'; align the tree

@@ -37,13 +37,19 @@ def test_freeze_blocks_updates():
 
 
 def test_staged_release():
+    """Reference semantics (parameter_control.py:82-105): the head
+    trains from the start, staged groups stay frozen until release()
+    pops them in order, and exhausting the stack sets early_stop."""
     p = _params()
-    pc = ParamControl([['head'], ['backbone']], release_count=1)
+    pc = ParamControl([['backbone']], release_count=1,
+                      base_patterns=['head'])
     opt = freeze(optax.sgd(0.1), p, pc.current_patterns())
     grads = jax.tree.map(jnp.ones_like, p)
     updates, _ = opt.update(grads, opt.init(p), p)
     new = optax.apply_updates(p, updates)
+    # nothing released yet: backbone frozen, head training
     assert (np.asarray(new['backbone']['conv']['kernel']) == 1).all()
+    assert (np.asarray(new['head']['dense']['kernel']) != 1).all()
 
     assert pc.can_release()
     opt2 = pc.release(optax.sgd(0.1), p)
@@ -51,3 +57,8 @@ def test_staged_release():
     new = optax.apply_updates(p, updates)
     assert (np.asarray(new['backbone']['conv']['kernel']) != 1).all()
     assert not pc.can_release()
+
+    # a further release sets the reference's early-stop flag
+    assert not pc.early_stop
+    pc.release(optax.sgd(0.1), p)
+    assert pc.early_stop
