@@ -69,6 +69,10 @@ def sanity_check(config: dict):
     assert len(modalities) > 0
     for m in modalities:
         assert m in constants.MODALITIES + ['logmel'], m
+    # the label stream is mandatory (parseit.py:327); without it the
+    # failure would otherwise surface as a KeyError deep inside jit
+    assert constants.EXPR in modalities, \
+        f"modality must include {constants.EXPR}"
     if config['use_other_class']:
         assert config['dataset_name'] == constants.C_EXPR_DB
     assert config['opt__name_optimizer'] in constants.OPTIMIZERS
@@ -96,6 +100,8 @@ def parse_input(argv=None) -> SimpleNamespace:
     parser = build_parser()
     args = parser.parse_args(argv)
 
+    assert args.mode is None or args.mode in constants.MODES, \
+        f"--mode must be one of {constants.MODES}, got {args.mode!r}"
     if args.mode == constants.EVALUATION:
         return _parse_eval(args)
 
@@ -138,12 +144,25 @@ def _parse_eval(args) -> SimpleNamespace:
     target_ds = args.target_ds_name or constants.C_EXPR_DB_CHALLENGE
     config['mode'] = constants.EVALUATION
     config['dataset_name'] = target_ds
-    config['num_classes'] = constants.NUM_CLASSES[target_ds]
+    # num_classes stays the TRAINING config's: the model head must match
+    # the trained checkpoint, not the eval dataset (the reference keeps
+    # the reloaded config's value, parseit.py:467-489)
     config['fold_to_run'] = 0
     config['num_workers'] = 0
     config['fd_exp'] = fd_exp
     config['eval_set'] = args.eval_set or constants.TESTSET
     config['case_best_model'] = args.case_best_model
+    # retarget folds to the eval dataset (parseit.py:482) and undo any
+    # debug subsampling from the training run (parseit.py:484-488) —
+    # leaked train_p<100 would Bernoulli-drop challenge videos from the
+    # prediction dump
+    config['folds_dir'] = join(os.path.dirname(
+        config.get('folds_dir', 'folds')), target_ds)
+    config['train_p'] = config['valid_p'] = config['test_p'] = 100.0
+    config['num_folds'] = 1
+
+    outd = join(config['fd_exp'], f"eval-{target_ds}")
+    config['outd'] = outd
 
     # explicit CLI overrides still win (paths etc.)
     for k, v in vars(args).items():
@@ -152,9 +171,14 @@ def _parse_eval(args) -> SimpleNamespace:
                                    'valid_p', 'test_p'):
             config[k] = v
 
-    outd = join(config['fd_exp'], f"eval-{target_ds}")
-    config['outd'] = outd
-    os.makedirs(outd, exist_ok=True)
+    assert os.path.isdir(config['folds_dir']), (
+        f"eval folds_dir not found: {config['folds_dir']!r} — the "
+        f"training run's folds root was retargeted to {target_ds}; pass "
+        f"--folds_dir explicitly when the eval dataset's folds live "
+        f"elsewhere (e.g. <dataset_path>/folds/{target_ds})")
+
+    os.makedirs(config['outd'], exist_ok=True)
+    outd = config['outd']
 
     config['t0'] = dt.datetime.now()
     init_logger(outd, verbose=config.get('verbose', True))

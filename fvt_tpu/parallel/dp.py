@@ -22,7 +22,8 @@ from fvt_tpu.train.steps import (TrainState, cross_entropy_frames,
                                  _device_transform, split_frozen)
 
 
-def make_dp_train_step(model, optimizer, mesh: Mesh) -> Callable:
+def make_dp_train_step(model, optimizer, mesh: Mesh,
+                       task: str = constants.CLASSIFICATION) -> Callable:
     repl = replicated(mesh)
     bsh = batch_sharded(mesh)
 
@@ -46,7 +47,11 @@ def make_dp_train_step(model, optimizer, mesh: Mesh) -> Callable:
                 inputs, train=True,
                 rngs={'dropout': dropout_rng},
                 mutable=['batch_stats'])
-            loss = cross_entropy_frames(out, labels)
+            if task == constants.REGRESSION:
+                from fvt_tpu.train.losses import ccc_loss
+                loss = ccc_loss(labels.astype(jnp.float32), out[..., 0])
+            else:
+                loss = cross_entropy_frames(out, labels)
             return loss, mutated['batch_stats']
 
         (loss, new_stats), grads = jax.value_and_grad(

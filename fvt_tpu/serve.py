@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from fvt_tpu import constants
 from fvt_tpu.config import model_config as MC
-from fvt_tpu.models.fusion import (MultimodalTransformerEncoder)
 from fvt_tpu.ops.tcn_pallas import tcn_forward_pallas
 from fvt_tpu.train.steps import _device_transform
 
@@ -40,12 +39,7 @@ def build_lfan_serving_step(model, interpret: Optional[bool] = None):
     unmasked eval step from fvt_tpu.train.steps."""
     modality = list(model.modality)
     tcn_channel = model.tcn_channel or MC.TCN_CHANNELS
-    encoder_dim = model.encoder_dim or MC.ENCODER_DIM
     leader = modality[0]
-
-    fusion = MultimodalTransformerEncoder(
-        tuple(modality), {m: encoder_dim[m] for m in modality},
-        model.modal_dim, model.num_heads, dropout=0.0)
 
     def forward(params, stats, batch: Dict[str, jnp.ndarray],
                 length=None):

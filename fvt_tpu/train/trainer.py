@@ -81,7 +81,7 @@ class Trainer:
             from fvt_tpu.parallel.dp import make_dp_train_step
             self.mesh = make_mesh()
             self.train_step = train_step_fn or make_dp_train_step(
-                self.model, self.optimizer, self.mesh)
+                self.model, self.optimizer, self.mesh, task=args.task)
             log(fmsg(f"data-parallel over {self.mesh.shape} devices"))
         else:
             self.train_step = train_step_fn or make_train_step(
