@@ -156,10 +156,9 @@ def bench_e2e(flops_per_frame):
     trainer.init_state(exp._sample_batch(loaders))
 
     test_loader = loaders[constants.TESTSET]
-    total_frames = sum(
-        trainer.args.window_length
-        if item[2] < trainer.args.window_length else item[2]
-        for item in test_loader.work_list)
+    # REAL frames only: short videos are padded to the model window on
+    # device, but crediting the padding would inflate the headline
+    total_frames = sum(item[2] for item in test_loader.work_list)
 
     trainer.inference(test_loader)  # compile all bucket shapes
     times = []
@@ -242,20 +241,20 @@ def main():
             time.sleep(5)
     try:
         base = bench_torch_reference()
-        ratio = e2e_fps / base
+        ratio = round(e2e_fps / base, 3)
     except Exception:
-        base, ratio = 0.0, 0.0
+        base = ratio = None  # null, not a fake measured 0.0
     print(json.dumps({
         'metric': 'challenge_e2e_inference_throughput',
         'value': round(e2e_fps, 2),
         'unit': 'frames/sec/chip end-to-end from a 256x256 on-disk store '
                 '(vs torch-CPU reference model-forward baseline)',
-        'vs_baseline': round(ratio, 3),
+        'vs_baseline': ratio,
         'model_forward_fps': round(fwd_fps, 2),
         'model_forward_mfu': round(fwd_mfu, 4) if fwd_mfu else None,
         'e2e_mfu': round(e2e_mfu, 4) if e2e_mfu else None,
         'e2e_frames': n_frames,
-        'torch_cpu_fps': round(base, 2),
+        'torch_cpu_fps': round(base, 2) if base else None,
     }))
 
 

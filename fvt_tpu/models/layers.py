@@ -47,6 +47,15 @@ def xavier_uniform_gain(gain: float) -> Callable:
     return init
 
 
+def materialize_weight_norm(v: jnp.ndarray, g: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """g * v / ||v|| per output channel (torch weight_norm) — the ONE
+    definition shared by the flax train path and the Pallas serving
+    path, so the clamp/norm axes cannot drift apart."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
+    return v * (g[None, None, :] / jnp.maximum(norm, 1e-12))
+
+
 class TorchLinear(nn.Module):
     """nn.Dense with torch's default init (matters for from-scratch runs)."""
     features: int
@@ -174,9 +183,7 @@ class CausalWeightNormConv1d(nn.Module):
                 v.reshape(-1, self.features), axis=0),
             (self.features,))
 
-        norm = jnp.sqrt(
-            jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True) + 0.0)
-        kernel = v * (g[None, None, :] / jnp.maximum(norm, 1e-12))
+        kernel = materialize_weight_norm(v, g)
 
         b = None
         if self.use_bias:

@@ -64,7 +64,8 @@ def conv3x3_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * c * co * 9,
-            bytes_accessed=(xpad.size + wflat.size + n * h * w * co) * 2,
+            bytes_accessed=(xpad.size + wflat.size + n * h * w * co)
+            * jnp.dtype(x.dtype).itemsize,
             transcendentals=0),
         interpret=interpret,
     )(xpad, wflat)

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fusion_kernel(*refs, modalities: Sequence[str], modal_dim: int,
-                   num_heads: int, dims: Dict[str, int]):
+                   num_heads: int):
     """refs: x_m... , wqkv_m..., bqkv_m..., wo, bo, ln_scale, ln_bias, out.
 
     x_m: (1, Tt, C_m); wqkv_m: (C_m, 3E); out: (1, Tt, E*M).
@@ -150,7 +150,7 @@ def fused_multimodal_fusion(x: Dict[str, jnp.ndarray], params: dict,
     kernel = functools.partial(
         _fusion_kernel, modalities=tuple(mods), modal_dim=modal_dim,
         num_heads=num_heads,
-        dims={m: x[m].shape[-1] for m in mods})
+    )
 
     return pl.pallas_call(
         kernel,

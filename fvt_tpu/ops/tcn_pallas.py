@@ -118,7 +118,9 @@ def fused_temporal_block(x: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, t, cout), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(xp.size + w1.size + w2.size + b * t * cout) * 4,
+            bytes_accessed=(xp.size + w1.size + w2.size
+                            + b * t * cout)
+            * jnp.dtype(x.dtype).itemsize,
             transcendentals=0),
         interpret=interpret,
     )(xp, w1, b1[None], w2, b2[None], wd[None], bd[None])
@@ -358,9 +360,9 @@ def fused_temporal_block_train(x, w1, b1, w2, b2, m1, m2, res, *,
 
 
 def weight_norm_kernel(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Materialize the weight-norm conv kernel g * v / ||v|| (per Cout)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
-    return v * (g[None, None, :] / jnp.maximum(norm, 1e-12))
+    """Materialize the weight-norm conv kernel (shared definition)."""
+    from fvt_tpu.models.layers import materialize_weight_norm
+    return materialize_weight_norm(v, g)
 
 
 def tcn_forward_pallas(x: jnp.ndarray, params: dict, num_channels,

@@ -80,17 +80,21 @@ def bench_backbone(n_frames: int, iters: int, dtype_name: str):
             results[impl] = {'error': repr(e)[:200]}
             continue
         out = np.asarray(fwd(variables, x))
-        if ref_out is None:
+        if impl == 'xla':
             ref_out = out
             max_err = 0.0
-        else:
+        elif ref_out is not None:
             max_err = float(np.max(np.abs(out - ref_out)))
+        else:
+            max_err = None  # xla reference unavailable
         results[impl] = {
             'ms': round(dt * 1e3, 3),
             'frames_per_s': round(n_frames / dt, 1),
             'mfu': round(flops / dt / PEAK_FLOPS, 4) if flops else None,
             'gflops_model': round(flops / 1e9, 1),
-            'max_abs_err_vs_xla': round(max_err, 6),
+            'max_abs_err_vs_xla': (round(max_err, 6)
+                                   if max_err is not None
+                                   else None),
         }
     return results
 
@@ -113,7 +117,11 @@ def bench_stages(n_frames: int, iters: int, dtype_name: str,
             y = x
             for _ in range(chain):
                 y = conv(y, k)
-                y = 0.09 * y  # keep magnitudes bounded; fuses into conv
+                # keep magnitudes bounded; NOTE: XLA fuses this scale
+                # into the conv epilogue but it stays a separate
+                # elementwise pass after the opaque Pallas kernel (~2%
+                # penalty on the pallas rows of the table)
+                y = 0.09 * y
             return y
         return jax.jit(fn)
 

@@ -146,7 +146,11 @@ def main(workdir: str = '/tmp/fvt_interop', model_name: str = 'LFAN'):
         f.write(LAUNCHER)
 
     # 3. train the reference for 2 epochs on the store
-    env = dict(os.environ, PYTHONPATH=stubs, HOST_XXX='tay',
+    # append, never replace: the inherited PYTHONPATH registers the
+    # axon PJRT plugin (repo CLAUDE.md)
+    env = dict(os.environ,
+               PYTHONPATH=stubs + ':' + os.environ.get('PYTHONPATH', ''),
+               HOST_XXX='tay',
                DATASETSH=data, MYSEED='0')
     subprocess.run(
         [sys.executable, '_run_cpu.py', '--mode', 'TRAINING',
