@@ -162,11 +162,13 @@ def bench_e2e(flops_per_frame):
 
     trainer.inference(test_loader)  # compile all bucket shapes
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         trainer.inference(test_loader)
         times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]  # median of 3
+    dt = sorted(times)[2]  # median of 5 (the tunnel's run-to-run
+    # throughput swings +-30%; a wider median keeps the recorded
+    # number near the distribution center)
     fps = total_frames / dt
     mfu = (flops_per_frame * fps / PEAK_FLOPS) if flops_per_frame else None
     shutil.rmtree(outd, ignore_errors=True)
