@@ -35,7 +35,24 @@ def main(argv=None):
     path_model = join(best_dir, case, 'model.msgpack')
     if not os.path.isfile(path_model):
         path_model = join(best_dir, case, 'model.pt')
-    exp.run_eval(path_model=path_model)
+    perf, per_video = exp.run_eval(path_model=path_model)
+
+    # persist the evaluation for EVERY target (the reference only dumps
+    # the challenge prediction.pkl and discards labeled-set perf): the
+    # nested perf dict, per-frame logits, and a human-readable report
+    import pickle as pkl
+    from fvt_tpu.train import metrics as M
+    eval_set = getattr(args, 'eval_set', constants.TESTSET)
+    with open(join(args.outd, f'eval-{eval_set}-perf.pkl'), 'wb') as f:
+        pkl.dump(perf, f, protocol=pkl.HIGHEST_PROTOCOL)
+    with open(join(args.outd,
+                   f'pred-per-frame-eval-{eval_set}.pkl'), 'wb') as f:
+        pkl.dump(per_video, f, protocol=pkl.HIGHEST_PROTOCOL)
+    trackers = M.build_trackers(args.dataset_name,
+                                getattr(args, 'use_other_class', False))
+    reporter = next(iter(trackers.values()))
+    with open(join(args.outd, f'eval-{eval_set}-perf.txt'), 'w') as f:
+        f.write(reporter.report(perf, exp.data_arranger.int_to_cl))
 
 
 if __name__ == '__main__':

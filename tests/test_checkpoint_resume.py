@@ -48,6 +48,9 @@ def test_checkpoint_resume(tmp_path):
     with open(join(outd, 'log.txt')) as f:
         logtxt = f.read()
     assert 'restored checkpoint from epoch 0' in logtxt
+    # the resumed run must NOT retrain epoch 0 (a restore that resets
+    # the loop to 0 would double-train and corrupt tracker history)
+    assert 'Train epoch (0/2)' not in logtxt
     # and training continued (epoch 1 ran, epoch 0 NOT re-run post-restore)
     assert 'Train epoch (1/2)' in logtxt
 

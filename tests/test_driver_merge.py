@@ -66,8 +66,18 @@ def test_sharded_driver_and_merge(video_store, tmp_path):
     bert = np.load(join(tdir, 'bert.npy'))
     assert bert.shape == (10, 768)
 
-    # master pickle is loadable by the Experiment schema
-    from fvt_tpu.data.arranger import DataArranger  # noqa: F401  (smoke)
+    # the merged master pickle actually satisfies the Experiment
+    # schema: every key the loaders consume, per-trial aligned,
+    # globally-unique subject ids across shards
+    required = {'trial', 'trial_no', 'subject_no', 'length',
+                'partition', 'pseudo_partition', 'data_folder'}
+    assert required <= set(info)
+    n = len(info['trial'])
+    for k in ('trial_no', 'subject_no', 'length', 'partition',
+              'pseudo_partition'):
+        assert len(info[k]) == n, k
+    assert len(set(info['subject_no'])) == n  # no shard collisions
+    assert all(length > 0 for length in info['length'])
 
 
 def test_face_pipeline_and_compaction(video_store, tmp_path):

@@ -102,9 +102,30 @@ def test_eval_mode_reloads_frozen_config(store, tmp_path):
         '--dataset_path', store['dataset_path'],
         '--folds_dir', store['folds_dir'],
     ])
-    # eval dir created inside the training run dir
+    # eval dir created inside the training run dir, with the frozen
+    # TRAINING config honored and real prediction artifacts written
     eval_dir = join(outd, 'eval-MELD')
     assert os.path.isdir(eval_dir)
+    import pickle as _pkl
+    import yaml as _yaml
+    with open(join(outd, 'config.yml')) as f:
+        frozen = _yaml.safe_load(f)
+    perfs = [p for p in os.listdir(eval_dir)
+             if p.startswith('eval-') and p.endswith('-perf.pkl')]
+    assert perfs, os.listdir(eval_dir)
+    with open(join(eval_dir, perfs[0]), 'rb') as f:
+        perf = _pkl.load(f)
+    assert perf and isinstance(perf, dict)
+    preds = [p for p in os.listdir(eval_dir)
+             if p.startswith('pred-per-frame')]
+    assert preds, os.listdir(eval_dir)
+    with open(join(eval_dir, preds[0]), 'rb') as f:
+        per_video = _pkl.load(f)
+    assert per_video
+    # the eval ran at the TRAINING run's window length (frozen config),
+    # visible in per-video logits class count == trained head size
+    any_v = next(iter(per_video.values()))
+    assert any_v['logits'].shape[1] == int(frozen['num_classes'])
 
 
 def test_train_p_subsampling(store, tmp_path):
@@ -129,7 +150,18 @@ def test_train_p_subsampling(store, tmp_path):
 
     n_full = len(info['train']['trial'])
     n_sub = len(arr1.data_per_split['train'])
-    assert 1 <= n_sub < n_full
+    # Bernoulli(0.5) with the >=1-per-class floor: 'roughly half'
+    assert n_full * 0.2 <= n_sub <= n_full * 0.8, (n_sub, n_full)
+    # at least one video of every class present in the full split
+    # survives (base/dataset.py:160-175 keeps >=1 per class)
+    import os as _os
+    from fvt_tpu.data import folds as folds_mod
+    fold = folds_mod.load_fold_txt(
+        _os.path.join(args.folds_dir, 'split-0', 'train.txt'))
+    kept = {t for _, t, _ in arr1.data_per_split['train']}
+    full_classes = {v['cl'] for v in fold.values()}
+    kept_classes = {fold[t]['cl'] for t in kept}
+    assert kept_classes == full_classes
     # deterministic given the seed
     assert [t for _, t, _ in arr1.data_per_split['train']] == \
            [t for _, t, _ in arr2.data_per_split['train']]

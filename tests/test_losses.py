@@ -30,4 +30,4 @@ def test_ccc_loss_parity():
 def test_ccc_score_properties():
     x = np.random.default_rng(1).normal(size=(100,))
     assert abs(ccc_score(x, x) - 1.0) < 1e-9
-    assert abs(ccc_score(x, -x)) < 1.0
+    assert ccc_score(x, -x) < 0.0  # anti-correlation is NEGATIVE

@@ -25,7 +25,7 @@ from synth_store import make_meld_store
 @pytest.fixture(scope='module')
 def setup(tmp_path_factory):
     root = str(tmp_path_factory.mktemp('mhstore'))
-    store = make_meld_store(root, n_train=18, n_val=3, n_test=3,
+    store = make_meld_store(root, n_train=19, n_val=3, n_test=3,
                             min_len=4, max_len=8)
     cfg = get_config('MELD')
     cfg.update(dataset_path=store['dataset_path'],
@@ -59,6 +59,10 @@ def test_simulated_two_process_slices_concat_to_global(setup):
         for p in (0, 1)]
 
     assert len(global_batches) == len(locals_per_proc[0])
+    # the fixture must exercise BOTH branches: even batches (sliced) and
+    # a ragged tail (built in full on every host)
+    sizes = [g[constants.EXPR].shape[0] for g in global_batches]
+    assert any(r % 2 == 0 for r in sizes) and any(r % 2 for r in sizes)
     for j, g in enumerate(global_batches):
         rows = g[constants.EXPR].shape[0]
         (b0, r0), (b1, r1) = locals_per_proc[0][j], locals_per_proc[1][j]

@@ -128,12 +128,15 @@ def test_optimizer_single_step_matches_torch(name):
 
 
 def test_mywarmup_wired_in_trainer(tmp_path):
-    """MYWARMUP plateau decay actually reduces the live lr during a run."""
+    """CLI smoke: a MYWARMUP-configured run completes end-to-end (the
+    lr WIRING itself — ramp values applied to the live opt state each
+    epoch — is asserted in
+    test_reference_contract_fixes.test_fresh_run_trains_epoch0_at_scheduler_lr;
+    plateau-decay math in the unit tests above)."""
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from synth_store import make_meld_store
     from fvt_tpu.main import main
-    import re
 
     store = make_meld_store(str(tmp_path / 'store'), n_train=4, n_val=2,
                             n_test=2, min_len=6, max_len=12,
@@ -156,6 +159,6 @@ def test_mywarmup_wired_in_trainer(tmp_path):
         '--opt__name_lr_scheduler', 'MYWARMUP',
         '--opt__patience', '1',
         '--opt__factor', '0.5',
-        '--opt__lr', '0.0',  # loss cannot improve -> bad epochs accrue
+        '--opt__lr', '1e-3',
     ])
     assert os.path.isfile(os.path.join(outd, 'passed.txt'))

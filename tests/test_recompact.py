@@ -40,13 +40,31 @@ def test_recompact_then_build_is_identical(tmp_path):
 
 
 def test_stale_recompacted_file_is_ignored(tmp_path):
+    """CONTENT-sensitive: after the source is rewritten (truncated OR
+    same-frame-count with different pixels), builds must serve the
+    fresh resize, not the stale video_48.npy."""
+    from fvt_tpu.data.host_resize import resize_frames_uint8
+
     d, video = _trial(tmp_path, name='t1')
     recompact.recompact_trial(d)
-    # truncate the source afterwards (compaction-style rewrite)
-    np.save(os.path.join(d, 'video.npy'), video[:7])
+
+    # rewrite with the SAME frame count but different content (the
+    # frame-count guard alone cannot catch this; mtime must)
+    rng = np.random.default_rng(99)
+    video2 = rng.integers(0, 256, size=video.shape).astype(np.uint8)
+    np.save(os.path.join(d, 'video.npy'), video2)
+    item = [d, 't1', len(video2), np.arange(len(video2))]
+    out = ExampleBuilder(['video'], window_length=4).build(item)['video']
+    want = resize_frames_uint8(video2, 48)
+    assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    # truncating rewrite: frame-count guard path
+    np.save(os.path.join(d, 'video.npy'), video2[:7])
     item = [d, 't1', 7, np.arange(7)]
     out = ExampleBuilder(['video'], window_length=4).build(item)['video']
-    assert out.shape == (7, 48, 48, 3)  # served from the big file
+    want = resize_frames_uint8(video2[:7], 48)
+    assert out.shape == (7, 48, 48, 3)
+    assert np.abs(out.astype(np.int32) - want.astype(np.int32)).max() <= 1
 
 
 def test_cli_shards_and_reports(tmp_path):

@@ -101,7 +101,11 @@ def test_fresh_run_trains_epoch0_at_scheduler_lr(tmp_path):
                      loaders[constants.TESTSET])
     want_ep0 = trainer.scheduler.lr(0)
     assert want_ep0 < 1e-3  # the ramp actually starts below base lr
-    np.testing.assert_allclose(seen[0], want_ep0, rtol=1e-6)
+    # the WHOLE warmup ramp is applied to the live opt state, epoch by
+    # epoch: lr(e) = base * (e+1) / warmup
+    np.testing.assert_allclose(seen, [1e-3 * (e + 1) / 5
+                                      for e in range(len(seen))],
+                               rtol=1e-6)
 
 
 def test_torch_batchnorm_running_var_is_unbiased():

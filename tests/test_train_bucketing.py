@@ -122,7 +122,10 @@ def test_bucketed_epoch_under_data_parallel(setup):
     assert trainer.mesh is not None
     trainer.init_state(exp2._sample_batch(dp_loaders))
     train = dp_loaders[constants.TRAINSET]
-    n_batches = len(list(train.epoch(0)))
+    n_batches = len(train._plan(0))
+    step_before = int(trainer.state.step)
     loss = trainer.train_one_epoch(train, epoch=0)
     assert np.isfinite(loss)
-    assert n_batches == len(train._plan(0))
+    # the TRAINER consumed every planned batch (state.step counts
+    # steps; a skipped ragged bucket tail would show here)
+    assert int(trainer.state.step) - step_before == n_batches
