@@ -113,6 +113,11 @@ def get_config(ds: str) -> dict:
         # DIVERGES from the reference's loss semantics (per-frame weights
         # change when fewer frames are repeated) - off by default
         'train_bucket_quantum': 100,
+        'eval_device_windows': True,  # long-video inference uploads each
+        # video ONCE and gathers windows ON DEVICE (each frame crosses
+        # H2D exactly once, vs 1.5x with host-built overlap windows);
+        # one compile per ladder shape (windowing.ladder_len).  False
+        # falls back to the pooled host-side window batches below.
         'eval_window_batch': 8,       # window-stitch inference pools the
         # windows of ALL long videos into fixed batches of this many
         # windows (one compile shape, cross-video; bit-identical to the
@@ -126,6 +131,12 @@ def get_config(ds: str) -> dict:
         'checkpoint_every': 0,        # orbax checkpoint period (0 = off)
         'profile_epochs': 0,          # jax.profiler trace for first N epochs
         'nan_guard': False,           # per-step finite-loss assertion
+        'multihost_digest_check': False,  # debug: all-gather a sha256
+        # digest of every replicated ragged batch and assert all hosts
+        # built identical bytes (catches host-side desync)
+        'serve_quant': 'none',        # 'int8': frozen-backbone convs on
+        # the MXU's 2x-rate int8 path (serving only; changes numerics —
+        # measured deltas in DESIGN.md / tools/quant_delta.py)
         'pallas_serving': False,      # fused-TCN Pallas eval path (LFAN)
         'pallas_train': False,        # fused-TCN Pallas TRAIN path (LFAN):
         # forward + custom-VJP backward ride the kernel; dropout masks
@@ -135,7 +146,8 @@ def get_config(ds: str) -> dict:
         # Measured on v5e tri-modal: ~226 ms/step vs 133 XLA (both
         # net of the harness's old 67 ms host fold_in dispatch; the
         # frozen backbone dominates and the kernel's recompute-in-bwd
-        # loses) — keep this off unless the workload is feature-only.
+        # loses).  init_model AUTO-GATES the flag to feature-only
+        # modalities so it can never slow a backbone workload silently.
         # tools/profile_train.py
     }
 

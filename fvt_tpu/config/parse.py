@@ -77,6 +77,17 @@ def sanity_check(config: dict):
         assert config['dataset_name'] == constants.C_EXPR_DB
     assert config['opt__name_optimizer'] in constants.OPTIMIZERS
     assert config['opt__name_lr_scheduler'] in constants.LR_SCHEDULERS
+    # MYWARMUP's plateau decay consumes the validation master metric; for
+    # classification that is a W-F1 (higher is better), so opt__mode MIN
+    # would silently decay the lr every plateau window.  The reference
+    # shares this foot-gun (base/scheduler.py:129-141) — we reject it at
+    # parse time instead of warning mid-run.
+    if (config['opt__name_lr_scheduler'] == constants.MYWARMUP
+            and config.get('task') == constants.CLASSIFICATION):
+        assert config['opt__mode'] == constants.MAX_MODE, \
+            ('MYWARMUP with a classification task tracks the validation '
+             'W-F1 master metric (higher is better): set --opt__mode '
+             f'{constants.MAX_MODE}, got {config["opt__mode"]!r}')
     # the reference's eval path assumes whole-video items (trainer.py:447
     # "# assumes no windowing" — window_eval=True silently overwrites
     # per-trial logits there); long LFAN videos are stitch-windowed at
@@ -84,6 +95,14 @@ def sanity_check(config: dict):
     assert not config.get('window_eval', False), \
         'window_eval=True is unsupported: eval uses whole videos + the ' \
         'window-stitch inference path for long LFAN videos'
+    sq = config.get('serve_quant', 'none')
+    assert sq in ('none', 'int8'), sq
+    # int8 changes numerics — it is a SERVING knob; training must keep
+    # the reference's fp32/bf16 math
+    if sq != 'none':
+        assert config.get('mode') != constants.TRAINING, \
+            '--serve_quant is inference-only (use it with --mode ' \
+            'EVALUATION / inference_challenge)'
 
 
 def make_outd(config: dict, base: str = None) -> str:
@@ -168,8 +187,11 @@ def _parse_eval(args) -> SimpleNamespace:
     for k, v in vars(args).items():
         if v is not None and k in ('dataset_path', 'folds_dir', 'outd',
                                    'eval_bucket_quantum', 'train_p',
-                                   'valid_p', 'test_p'):
+                                   'valid_p', 'test_p', 'serve_quant',
+                                   'pallas_serving'):
             config[k] = v
+    assert config.get('serve_quant', 'none') in ('none', 'int8'), \
+        config.get('serve_quant')
 
     assert os.path.isdir(config['folds_dir']), (
         f"eval folds_dir not found: {config['folds_dir']!r} — the "

@@ -77,10 +77,13 @@ def ensure_built() -> bool:
     loadable library already exists on disk is still used."""
     global _lib, _load_attempted
     lib_dir = os.path.dirname(_LIB_PATH)
-    src = os.path.join(lib_dir, 'fvt_store.cpp')
+    # staleness covers the Makefile too: a CXXFLAGS/ISA change alone must
+    # trigger a rebuild, not just edits to the C source
+    srcs = [os.path.join(lib_dir, n) for n in ('fvt_store.cpp', 'Makefile')]
+    src_mtime = max((os.path.getmtime(s) for s in srcs
+                     if os.path.isfile(s)), default=0.0)
     stale = (not os.path.isfile(_LIB_PATH)
-             or (os.path.isfile(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+             or src_mtime > os.path.getmtime(_LIB_PATH))
     if _lib is not None and not stale:
         return True
     if stale:
@@ -187,8 +190,11 @@ def gather_resize_rows(path: str, indices: np.ndarray, size: int,
     ww = np.ascontiguousarray(resize_weights(w, size))
 
     idx = np.ascontiguousarray(indices, dtype=np.int64)
-    assert idx.size == 0 or (idx.min() >= 0 and idx.max() < n_disk), \
-        (path, shape)
+    if idx.size and (idx.min() < 0 or idx.max() >= n_disk):
+        # out-of-range indices degrade to None like every other failure
+        # path here (the C side validates too and returns -3); an assert
+        # would raise inside loader worker threads and vanish under -O
+        return None
     out = np.empty((idx.size, size, size, c), dtype=np.uint8)
     rc = lib.fvt_gather_resize_u8(
         path.encode(), offset,

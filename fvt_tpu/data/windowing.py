@@ -17,8 +17,6 @@ from __future__ import annotations
 from typing import List
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 
 def window_starts(length: int, window_length: int, hop_length: int) -> List[int]:
@@ -58,44 +56,18 @@ def window_index_matrix(length: int, window_length: int, hop_length: int
     return starts[:, None] + np.arange(window_length, dtype=np.int32)[None, :]
 
 
-def overlap_counts(length: int, window_length: int, hop_length: int
-                   ) -> np.ndarray:
-    """Per-frame window multiplicity, float32 (the Counter in trainer.py:879)."""
-    idx = window_index_matrix(length, window_length, hop_length)
-    counts = np.zeros((length,), dtype=np.float32)
-    np.add.at(counts, idx.reshape(-1), 1.0)
-    return counts
-
-
-def stitch_windows(window_outputs: jnp.ndarray, index_matrix: jnp.ndarray,
-                   length: int) -> jnp.ndarray:
-    """Average per-window model outputs back onto the full timeline.
-
-    Args:
-      window_outputs: (num_windows, window_length, C) logits.
-      index_matrix: (num_windows, window_length) int32 frame indices.
-      length: total number of frames (static).
-
-    Returns:
-      (length, C) overlap-averaged logits — numerically identical to the
-      reference scatter-then-divide (trainer.py:870-890).
-    """
-    num_windows, window_length, ncls = window_outputs.shape
-    flat_idx = index_matrix.reshape(-1)
-    flat_out = window_outputs.reshape(-1, ncls)
-    summed = jnp.zeros((length, ncls), dtype=window_outputs.dtype
-                       ).at[flat_idx].add(flat_out)
-    counts = jnp.zeros((length,), dtype=window_outputs.dtype
-                       ).at[flat_idx].add(1.0)
-    return summed / counts[:, None]
-
-
 def stitch_windows_np(window_outputs: np.ndarray,
                       index_matrix: np.ndarray, length: int) -> np.ndarray:
-    """Numpy twin of :func:`stitch_windows` for the trainer's host-side
-    stitch paths (the single scatter-average that reproduces the
-    reference's Counter division, trainer.py:870-890) — ONE shared
-    implementation so the pooled and per-video paths cannot drift."""
+    """THE stitch: one scatter-average reproducing the reference's
+    Counter division (trainer.py:870-890).
+
+    Host-side numpy on purpose: the stitch runs once per video over a
+    (num_windows, window, C) logits block that is already on the host
+    for metric computation, and keeping ONE implementation (used by both
+    the pooled wqueue path and the per-video test oracle,
+    trainer.py:276/348) prevents parallel-implementation drift.  The
+    jnp / masked / padded variants that used to live here had no
+    non-test callers and were removed (round-3 cleanup)."""
     n, w, ncls = window_outputs.shape
     flat = index_matrix.reshape(-1)
     summed = np.zeros((length, ncls), np.float32)
@@ -106,41 +78,23 @@ def stitch_windows_np(window_outputs: np.ndarray,
     return summed / counts[:, None]
 
 
-def pad_index_matrix(index_matrix: np.ndarray, num_windows_padded: int
-                     ) -> tuple[np.ndarray, np.ndarray]:
-    """Pad the window axis to a fixed bucket size for shape-stable jits.
+def ladder_len(true_len: int, window_length: int, quantum: int = 0,
+               growth: float = 1.3) -> int:
+    """Smallest geometric-ladder length >= ``true_len``.
 
-    Padded windows all point at frame 0 but carry weight 0 so the stitch is
-    unchanged.  Returns (padded_matrix, window_mask(float32)).
+    The device-side windowed eval path (trainer.inference with
+    --eval_device_windows) uploads each long video ONCE and gathers its
+    windows on device; padding the upload to a geometric ladder
+    (window, then x``growth`` rounded up to ``quantum``) caps the
+    number of distinct compile shapes at O(log(L/window)) while keeping
+    the zero-pad transfer waste under ``growth - 1``.
     """
-    num_windows = index_matrix.shape[0]
-    assert num_windows_padded >= num_windows
-    pad = num_windows_padded - num_windows
-    mat = np.concatenate(
-        [index_matrix,
-         np.zeros((pad, index_matrix.shape[1]), dtype=index_matrix.dtype)],
-        axis=0)
-    mask = np.concatenate(
-        [np.ones((num_windows,), np.float32), np.zeros((pad,), np.float32)])
-    return mat, mask
-
-
-def stitch_windows_masked(window_outputs: jnp.ndarray,
-                          index_matrix: jnp.ndarray,
-                          window_mask: jnp.ndarray,
-                          length: int) -> jnp.ndarray:
-    """Like :func:`stitch_windows` but ignores masked (padded) windows."""
-    num_windows, window_length, ncls = window_outputs.shape
-    w = window_mask[:, None, None]
-    flat_idx = index_matrix.reshape(-1)
-    flat_out = (window_outputs * w).reshape(-1, ncls)
-    flat_w = jnp.broadcast_to(w, (num_windows, window_length, 1)).reshape(-1)
-    summed = jnp.zeros((length, ncls), dtype=window_outputs.dtype
-                       ).at[flat_idx].add(flat_out)
-    counts = jnp.zeros((length,), dtype=window_outputs.dtype
-                       ).at[flat_idx].add(flat_w)
-    counts = jnp.maximum(counts, 1e-12)
-    return summed / counts[:, None]
+    assert true_len > window_length, (true_len, window_length)
+    quantum = quantum or min(100, window_length)
+    v = window_length
+    while v < true_len:
+        v = int(-(-v * growth // quantum) * quantum)
+    return v
 
 
 def pad_short_window_indices(length: int, window_length: int) -> np.ndarray:

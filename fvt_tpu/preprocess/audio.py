@@ -38,10 +38,11 @@ def convert_video_to_wav(input_path: str, output_path: str,
 def _pad_to_annotated(matrix: np.ndarray, annotated_idx: np.ndarray
                       ) -> np.ndarray:
     """Edge-pad the last element so every annotated index exists
-    (audio.py:162-172).  A fully-empty matrix (audio shorter than one
-    patch even after the 1 s edge pad, i.e. a zero-length wav) degrades
-    to zeros instead of the reference's IndexError — the driver records
-    the issue per sample."""
+    (audio.py:162-172).  A fully-empty matrix (no patches survived
+    framing — e.g. a sub-window clip whose single patch was dropped
+    upstream; a zero-length wav itself is silence-padded to >=1 patch in
+    melspec.wavfile_to_examples) degrades to zeros instead of the
+    reference's IndexError — the driver records the issue per sample."""
     length = int(max(annotated_idx))
     if len(matrix) == 0:
         return np.zeros((length + 1,) + matrix.shape[1:], matrix.dtype)

@@ -177,7 +177,11 @@ def wavfile_to_examples(wav_file: str, window_sec: float, hop_sec: float
     samples = data / 32768.0
     # the reference edge-pads ONE SECOND of samples before framing
     # (vggish_input.py:97) — without it the tail patches diverge and a
-    # clip shorter than the window yields zero patches
+    # clip shorter than the window yields zero patches.  A truly empty
+    # wav cannot be edge-padded (np.pad 'edge' on an empty axis raises);
+    # pad it with silence instead so the zero-patch degradation path in
+    # audio._pad_to_annotated is reachable rather than a ValueError.
     pad = ((0, sr),) + ((0, 0),) * (samples.ndim - 1)
-    samples = np.pad(samples, pad, 'edge')
+    mode = 'edge' if samples.shape[0] else 'constant'
+    samples = np.pad(samples, pad, mode)
     return waveform_to_examples(samples, sr, window_sec, hop_sec)

@@ -207,6 +207,13 @@ def compute_perf(data: dict, dataset_name: str, use_other_class: bool,
             'master': cnf, 'per_cl': cnf}
 
         preds, trgs = format_trg_pred_video(data, ignore_class=ignore_class)
+        if not preds:
+            raise ValueError(
+                f"compute_perf: every video in the eval set carries the "
+                f"ignored class ({ignore_class}); no video-level metrics can "
+                f"be computed. Check the split or disable use_other_class. "
+                f"(The reference crashes with an IndexError here: "
+                f"/root/reference/metrics.py:89-145.)")
         for k in preds[0]:
             preds_k = [item[k] for item in preds]
             f1_per_cl, macro_f1 = compute_f1_score(

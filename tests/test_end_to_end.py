@@ -222,3 +222,20 @@ def test_early_stopper_semantics():
 
     off = EarlyStopper(budget=0, min_epochs=0)
     assert not any(off.should_stop(e, improved=False) for e in range(100))
+
+
+def test_mywarmup_min_mode_rejected_at_parse(store, tmp_path):
+    """MYWARMUP + classification tracks the validation W-F1 (higher is
+    better); the default opt__mode MIN would silently decay lr every
+    plateau window (reference foot-gun, base/scheduler.py:129-141) —
+    rejected at parse time instead of a mid-run warning."""
+    import pytest
+    from fvt_tpu.config.parse import parse_input
+    with pytest.raises(AssertionError, match='opt__mode'):
+        parse_input([
+            '--dataset_name', 'MELD',
+            '--dataset_path', store['dataset_path'],
+            '--folds_dir', store['folds_dir'],
+            '--opt__name_lr_scheduler', 'MYWARMUP',
+            '--outd', str(tmp_path / 'exp_mw'),
+        ])

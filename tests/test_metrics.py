@@ -162,3 +162,18 @@ def test_tracker_plot_writes_png(tmp_path):
     wfp = str(tmp_path / 'tracker.png')
     assert tr.plot(wfp, loss_tracker=[2.0, 1.5, 1.2])
     assert os.path.getsize(wfp) > 1000
+
+
+def test_compute_perf_all_ignored_raises_with_message():
+    """An eval set where every video carries the ignored class must fail
+    with a diagnosable ValueError, not the reference's bare IndexError
+    (/root/reference/metrics.py:89-145 -> preds[0])."""
+    rng = np.random.default_rng(0)
+    data = {
+        f"v{i}": {
+            'labels': np.full((13,), 7, dtype=np.int64),  # all 'Other'
+            'logits': rng.normal(size=(13, 8)).astype(np.float32),
+        } for i in range(4)
+    }
+    with pytest.raises(ValueError, match='ignored class'):
+        M.compute_perf(data, constants.C_EXPR_DB, use_other_class=True)

@@ -157,6 +157,7 @@ def test_mywarmup_wired_in_trainer(tmp_path):
         '--eval_bucket_quantum', '8',
         '--outd', outd,
         '--opt__name_lr_scheduler', 'MYWARMUP',
+        '--opt__mode', 'MAX',
         '--opt__patience', '1',
         '--opt__factor', '0.5',
         '--opt__lr', '1e-3',

@@ -200,3 +200,25 @@ def test_fused_tcn_train_step_runs_with_dropout():
     _, l2 = step(state, batch, jax.random.key(5))
     assert np.isfinite(float(l1))
     assert float(l1) == float(l2)  # same rng -> same masks
+
+
+def test_pallas_train_auto_gated_on_backbone_modalities():
+    """--pallas_train must never make a workload slower silently: the
+    fused TCN train kernel measured slower than XLA on backbone-carrying
+    (video/logmel) steps, so init_model gates it to feature-only
+    modalities (round-3 VERDICT #4)."""
+    from types import SimpleNamespace
+    from fvt_tpu.models.registry import init_model
+    from fvt_tpu import constants
+
+    def make_args(modality):
+        return SimpleNamespace(
+            modality=modality, num_classes=7, dataset_name='MELD',
+            use_other_class=False, model_name=constants.LFAN,
+            task=constants.CLASSIFICATION, tcn_kernel_size=5,
+            modal_dim=32, num_heads=2, pallas_train=True)
+
+    tri = init_model(make_args('video+vggish+bert+EXPR_continuous_label'))
+    assert tri.tcn_fused is False
+    feat = init_model(make_args('vggish+bert+EXPR_continuous_label'))
+    assert feat.tcn_fused is True
