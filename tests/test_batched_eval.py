@@ -98,10 +98,12 @@ def test_pooled_window_batches_match_per_video_stitch(setup, wb):
     val = loaders[constants.VALIDSET]
 
     trainer.args.eval_window_batch = wb
+    trainer.args.eval_device_windows = False  # exercise the POOLED path
     try:
         _, per_video = trainer.inference(val)
     finally:
         trainer.args.eval_window_batch = 8
+        trainer.args.eval_device_windows = True
 
     checked = 0
     for batch, trials, true_lens, _ in val.batches(
@@ -115,6 +117,51 @@ def test_pooled_window_batches_match_per_video_stitch(setup, wb):
                                    err_msg=f'wb={wb} trial={trials[0]}')
         checked += 1
     assert checked >= 2, 'needs >=2 windowed videos to cross batches'
+
+
+def test_device_windowed_path_matches_per_video_stitch(setup):
+    """--eval_device_windows (the default): each long video is uploaded
+    once and its windows gathered ON DEVICE; per-video logits must match
+    the per-video host-windowed oracle (_forward_windows) exactly up to
+    fp reduction order — including the ladder padding rows, which are
+    discarded before the stitch."""
+    args, trainer, loaders = setup
+    val = loaders[constants.VALIDSET]
+
+    assert getattr(trainer.args, 'eval_device_windows', True)
+    _, per_video = trainer.inference(val)
+
+    checked = 0
+    for batch, trials, true_lens, _ in val.batches(
+            1, windowed_threshold=args.window_length):
+        batch.pop(constants.EXPR)
+        if true_lens[0] <= args.window_length:
+            continue
+        ref = trainer._forward_windows(batch, true_lens[0])
+        got = per_video[trials[0]]['logits']
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=f'trial={trials[0]}')
+        checked += 1
+    assert checked >= 2
+
+
+def test_device_windowed_equals_pooled_path(setup):
+    """Flag on vs flag off: identical per-video logits and labels."""
+    args, trainer, loaders = setup
+    val = loaders[constants.VALIDSET]
+
+    trainer.args.eval_device_windows = True
+    _, a = trainer.inference(val)
+    trainer.args.eval_device_windows = False
+    try:
+        _, b = trainer.inference(val)
+    finally:
+        trainer.args.eval_device_windows = True
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k]['labels'], b[k]['labels'])
+        np.testing.assert_allclose(a[k]['logits'], b[k]['logits'],
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_inference_artifact_order_is_work_list_order(setup):
