@@ -156,10 +156,16 @@ class Experiment:
         import jax.numpy as jnp
         dtype = jnp.bfloat16 if getattr(self.args, 'amp', False) \
             else jnp.float32
+        # --serve_quant int8: frozen-backbone convs take the MXU's
+        # double-rate int8 path (ops/quant.py); serving-only — parse
+        # rejects it for TRAINING mode (numerics change is opt-in)
+        conv_impl = 'int8' if getattr(self.args, 'serve_quant',
+                                      'none') == 'int8' else 'xla'
         spatial_video = spatial_audio = None
         if constants.VIDEO in self.modality:
             from fvt_tpu.models.arcface import VisualBackbone
-            spatial_video = VisualBackbone(dtype=dtype)
+            spatial_video = VisualBackbone(dtype=dtype,
+                                           conv_impl=conv_impl)
         if 'logmel' in self.modality:
             from fvt_tpu.models.vggish import VGGish
             spatial_audio = VGGish(dtype=dtype)

@@ -28,6 +28,9 @@ class Conv3x3(nn.Module):
     existing orbax checkpoints load unchanged.  ``impl``:
 
       * ``'xla'``             — lax direct convolution (default).
+      * ``'int8'``            — weight+activation int8 on the MXU's
+                                double-rate path (ops/quant.py);
+                                serving only, changes numerics.
       * ``'winograd'``        — F(2x2,3x3) transform-domain matmuls
                                 (ops/winograd.py), stride-1 only.
       * ``'winograd_pallas'`` — fused-VMEM Winograd kernel.
@@ -45,6 +48,10 @@ class Conv3x3(nn.Module):
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (3, 3, x.shape[-1], self.features), jnp.float32)
+        if self.impl == 'int8':
+            from fvt_tpu.ops.quant import conv3x3_int8
+            return conv3x3_int8(x, kernel, stride=self.stride,
+                                out_dtype=self.dtype)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
         if self.stride == 1 and self.impl != 'xla':
@@ -148,6 +155,80 @@ class VisualBackbone(nn.Module):
     def __call__(self, x, *, train: bool = False):
         return ArcFaceBackbone(dtype=self.dtype, conv_impl=self.conv_impl,
                                name='backbone')(x, train=train)
+
+
+# ------------------------------------------------- fused serving forward
+def arcface_forward_eval(params: dict, stats: dict, x: jnp.ndarray,
+                         dtype: Any = jnp.bfloat16,
+                         fused_blocks: bool = True,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Functional eval-mode VisualBackbone forward over plain
+    (params, batch_stats) dicts — same math as
+    ``VisualBackbone.apply(..., train=False)`` (pinned in
+    tests/test_bottleneck_pallas.py), with the stride-1 identity
+    bottlenecks routed through the fused whole-block Pallas kernel
+    (ops/bottleneck_pallas.py) when ``fused_blocks``.
+
+    Functional on purpose: flax scopes own the per-submodule params, so
+    a whole-block kernel cannot be expressed inside ``@nn.compact``
+    without restructuring the param tree that torch-ported/orbax
+    checkpoints depend on.
+    """
+    from fvt_tpu.ops.bottleneck_pallas import (bottleneck_ir_fused,
+                                               bn_affine)
+
+    p = params['backbone']
+    s = stats['backbone']
+
+    def conv(v, kernel, stride, pad=1):
+        return jax.lax.conv_general_dilated(
+            v, kernel.astype(v.dtype), (stride, stride),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    def bn(v, name, pp, ss):
+        a, b = bn_affine(pp[name], ss[name])
+        return (v.astype(jnp.float32) * a + b).astype(v.dtype)
+
+    def prelu(v, alpha):
+        return jnp.where(v >= 0, v, v * alpha.astype(v.dtype))
+
+    x = x.astype(dtype)
+    x = conv(x, p['input_conv']['kernel'], 1)
+    x = bn(x, 'input_bn', p, s)
+    x = prelu(x, p['input_prelu']['alpha'])
+
+    for i, (in_c, depth, stride) in enumerate(get_blocks_50()):
+        bp, bs = p[f'body{i}'], s[f'body{i}']
+        if fused_blocks and stride == 1 and in_c == depth:
+            h = x.shape[1]
+            tile = max(4, min(64, (8 * 40 * 40 * 64)
+                              // (h * h * depth)))
+            x = bottleneck_ir_fused(x, bp, bs, batch_tile=tile,
+                                    interpret=interpret)
+            continue
+        if in_c == depth:
+            shortcut = x[:, ::stride, ::stride, :]
+        else:
+            shortcut = conv(x, bp['shortcut_conv']['kernel'], stride,
+                            pad=0)
+            shortcut = bn(shortcut, 'shortcut_bn', bp, bs)
+        res = bn(x, 'bn1', bp, bs)
+        res = conv(res, bp['conv1']['kernel'], 1)
+        res = prelu(res, bp['prelu']['alpha'])
+        res = conv(res, bp['conv2']['kernel'], stride)
+        res = bn(res, 'bn2', bp, bs)
+        x = res + shortcut
+
+    x = bn(x, 'output_bn2d', p, s)
+    # eval-mode dropout is identity
+    x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+    k = p['output_linear']
+    x = x @ k['kernel'] + k['bias']
+    a, b = bn_affine(p['output_bn1d'], s['output_bn1d'])
+    x = x * a + b
+    norm = jnp.linalg.norm(x, ord=2, axis=1, keepdims=True)
+    return x / norm
 
 
 # --------------------------------------------------------------- weight port

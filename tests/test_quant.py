@@ -1,0 +1,97 @@
+"""int8 serving quantization (ops/quant.py + --serve_quant plumbing)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fvt_tpu.ops.quant import quantize_symmetric, conv3x3_int8
+
+
+def _ref_conv(x, k, stride):
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(stride, stride), padding=((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def test_quantize_symmetric_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 16)).astype(np.float32))
+    q, scale = quantize_symmetric(x)
+    assert q.dtype == jnp.int8
+    # dequantized error bounded by half a step
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(scale) -
+                 np.asarray(x))
+    assert err.max() <= float(np.asarray(scale)) * 0.5 + 1e-7
+    # q(0) == 0: zero padding commutes with quantization
+    z, _ = quantize_symmetric(jnp.zeros((2, 2)))
+    assert (np.asarray(z) == 0).all()
+
+
+@pytest.mark.parametrize('stride', [1, 2])
+def test_conv3x3_int8_close_to_fp32(stride):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, 10, 10, 32)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, 32, 48)) * 0.1
+                     ).astype(np.float32))
+    want = np.asarray(_ref_conv(x, k, stride))
+    got = np.asarray(conv3x3_int8(x, k, stride=stride,
+                                  out_dtype=jnp.float32))
+    assert got.shape == want.shape
+    # int8 W8A8: relative error a few percent of the output range
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 0.03, \
+        np.abs(got - want).max() / denom
+    # argmax over channels (what classification consumes downstream)
+    # agrees almost everywhere
+    # (random iid channels make argmax fragile at single-conv level; the
+    # end-task criteria live in the embedding-cosine test below and
+    # tools/quant_delta.py)
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_backbone_int8_embedding_close_to_fp32():
+    """Full ArcFace forward, int8 convs vs fp32: cosine similarity of the
+    l2-normed embeddings stays high (quality-delta criterion; exact
+    numbers recorded by tools/quant_delta.py)."""
+    from fvt_tpu.models.arcface import VisualBackbone
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 40, 40, 3)).astype(np.float32))
+
+    fp = VisualBackbone(dtype=jnp.float32, conv_impl='xla')
+    variables = jax.jit(lambda r, v: fp.init(r, v, train=False))(
+        jax.random.key(0), x)
+    e_fp = np.asarray(fp.apply(variables, x, train=False))
+
+    q = VisualBackbone(dtype=jnp.float32, conv_impl='int8')
+    e_q = np.asarray(q.apply(variables, x, train=False))
+
+    cos = (e_fp * e_q).sum(-1)  # both l2-normed
+    assert cos.min() > 0.97, cos
+
+    # the param tree is IDENTICAL (int8 quantizes in-graph from the same
+    # fp32 kernels) so torch-ported / orbax checkpoints load unchanged
+    q_vars = jax.jit(lambda r, v: q.init(r, v, train=False))(
+        jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(q_vars) == \
+        jax.tree_util.tree_structure(variables)
+
+
+def test_serve_quant_rejected_for_training(tmp_path):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_store import make_meld_store
+    from fvt_tpu.config.parse import parse_input
+
+    store = make_meld_store(str(tmp_path / 's'), n_train=2, n_val=1,
+                            n_test=1, min_len=4, max_len=6)
+    with pytest.raises(AssertionError, match='serve_quant'):
+        parse_input([
+            '--dataset_name', 'MELD',
+            '--dataset_path', store['dataset_path'],
+            '--folds_dir', store['folds_dir'],
+            '--serve_quant', 'int8',
+            '--outd', str(tmp_path / 'exp'),
+        ])

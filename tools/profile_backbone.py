@@ -66,13 +66,19 @@ def bench_backbone(n_frames: int, iters: int, dtype_name: str):
     results = {}
     variables = None
     ref_out = None
-    for impl in ('xla', 'winograd', 'winograd_pallas'):
-        model = VisualBackbone(dtype=dtype, conv_impl=impl)
-        if variables is None:
-            variables = jax.jit(
-                lambda r, v: model.init(r, v, train=False))(
-                    jax.random.key(0), x[:8])
-        fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False))
+    for impl in ('xla', 'int8', 'fused', 'winograd', 'winograd_pallas'):
+        if impl == 'fused':
+            from fvt_tpu.models.arcface import arcface_forward_eval
+            fwd = jax.jit(lambda v, xx: arcface_forward_eval(
+                v['params'], v['batch_stats'], xx, dtype=dtype))
+        else:
+            model = VisualBackbone(dtype=dtype, conv_impl=impl)
+            if variables is None:
+                variables = jax.jit(
+                    lambda r, v: model.init(r, v, train=False))(
+                        jax.random.key(0), x[:8])
+            fwd = jax.jit(
+                lambda v, xx, m=model: m.apply(v, xx, train=False))
         flops = _flops_of(fwd, variables, x)
         try:
             dt = _time(fwd, variables, x, iters=iters)
@@ -152,11 +158,78 @@ def bench_stages(n_frames: int, iters: int, dtype_name: str,
     return out
 
 
+def bench_bottleneck(n_frames: int, iters: int, dtype_name: str,
+                     chain: int = 8):
+    """Whole-BottleneckIR block: XLA op-chain vs the fused Pallas block
+    (ops/bottleneck_pallas.py), ``chain`` blocks inside one jit so the
+    tunnel sync floor is amortized.  The VERDICT-r2 epilogue-fusion
+    experiment."""
+    import jax
+    import jax.numpy as jnp
+    from fvt_tpu.models.arcface import BottleneckIR
+    from fvt_tpu.ops.bottleneck_pallas import bottleneck_ir_fused
+
+    dtype = jnp.bfloat16 if dtype_name == 'bf16' else jnp.float32
+    stages = [(40, 64), (20, 128), (10, 256), (5, 512)]
+    rng = np.random.default_rng(2)
+
+    out = {}
+    for h, c in stages:
+        n = max(1, n_frames * (40 * 40 * 64) // (h * h * c) // 25)
+        n = min(n, n_frames)
+        x = jnp.asarray(rng.normal(size=(n, h, h, c))
+                        .astype(np.float32)).astype(dtype)
+        block = BottleneckIR(in_channel=c, depth=c, stride=1, dtype=dtype)
+        variables = block.init(jax.random.key(0), x[:2], train=False)
+
+        def xla_chain(v, xx):
+            y = xx
+            for _ in range(chain):
+                y = block.apply(v, y, train=False)
+            return y
+
+        tile = max(4, min(64, (8 * 40 * 40 * 64) // (h * h * c)))
+
+        def fused_chain(v, xx):
+            y = xx
+            for _ in range(chain):
+                y = bottleneck_ir_fused(y, v['params'],
+                                        v['batch_stats'],
+                                        batch_tile=tile)
+            return y
+
+        flops = 2 * 2 * 9 * n * h * h * c * c * chain
+        row = {'frames': n, 'tile': tile}
+        for name, fn in (('xla', xla_chain), ('fused', fused_chain)):
+            jfn = jax.jit(fn)
+            try:
+                dt = _time(jfn, variables, x, iters=iters)
+                row[name] = {
+                    'ms_per_block': round(dt * 1e3 / chain, 3),
+                    'eff_mfu': round(flops / dt / PEAK_FLOPS, 4)}
+            except Exception as e:
+                row[name] = {'error': repr(e)[:300]}
+        if 'ms_per_block' in row.get('xla', {}) and \
+                'ms_per_block' in row.get('fused', {}):
+            row['speedup'] = round(row['xla']['ms_per_block']
+                                   / row['fused']['ms_per_block'], 3)
+            # parity at this shape (bf16 noise scale)
+            a = np.asarray(jax.jit(xla_chain)(variables, x),
+                           dtype=np.float32)
+            b = np.asarray(jax.jit(fused_chain)(variables, x),
+                           dtype=np.float32)
+            row['rel_err'] = round(
+                float(np.abs(a - b).max() / np.abs(a).max()), 6)
+        out[f'{h}x{h}x{c}'] = row
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--frames', type=int, default=2400)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--stages', action='store_true')
+    ap.add_argument('--bottleneck', action='store_true')
     ap.add_argument('--fp32', action='store_true')
     args = ap.parse_args()
 
@@ -168,6 +241,9 @@ def main():
               'dtype': dtype}
     if args.stages:
         report['stages'] = bench_stages(args.frames, args.iters, dtype)
+    elif args.bottleneck:
+        report['bottleneck'] = bench_bottleneck(args.frames, args.iters,
+                                                dtype)
     else:
         report['backbone'] = bench_backbone(args.frames, args.iters, dtype)
     print(json.dumps(report))

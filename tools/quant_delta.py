@@ -1,0 +1,119 @@
+"""Quality-delta harness for --serve_quant int8 (VERDICT r2 #3).
+
+Measures, on the bench's synthetic 256^2 challenge store with a
+torch-ported ArcFace backbone (the only checkpoint source in this image
+— pretrained_models/ of the reference holds no weights):
+
+  1. per-frame logit delta between the bf16 serving path and the int8
+     path (max / mean abs, over every video of the store);
+  2. frame argmax agreement (the quantity F1 is computed from);
+  3. frame- and video-level W-F1 of both paths against the store's
+     synthetic labels, and the delta.
+
+Run on the TPU:  python tools/quant_delta.py
+Results are recorded in DESIGN.md ("int8 serving" section).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+from types import SimpleNamespace
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, 'tests'))
+
+
+def ported_backbone_stats():
+    """(params, batch_stats) ported from a torch VisualBackbone with the
+    reference init — the same machinery test_backbone_parity.py pins."""
+    sys.path.insert(0, '/root/reference')
+    import torch
+    from models.backbone import VisualBackbone as TorchVB
+    from fvt_tpu.models.arcface import visual_backbone_from_torch
+
+    torch.manual_seed(0)
+    tvb = TorchVB(use_pretrained=False, mode='ir')
+    tvb.eval()
+    return visual_backbone_from_torch(tvb.state_dict())
+
+
+def run_inference(serve_quant: str, store_root: str):
+    from fvt_tpu import constants
+    from fvt_tpu.config.defaults import get_config
+    from fvt_tpu.experiment import Experiment
+
+    outd = tempfile.mkdtemp(prefix=f'fvt_qd_{serve_quant}_')
+    cfg = get_config(constants.C_EXPR_DB_CHALLENGE)
+    cfg.update(dataset_path=store_root,
+               folds_dir=os.path.join(store_root, 'folds',
+                                      constants.C_EXPR_DB_CHALLENGE),
+               modality='video+vggish+bert+EXPR_continuous_label',
+               amp=True, serve_quant=serve_quant,
+               window_length=300, hop_length=200,
+               eval_bucket_quantum=100, eval_video_batch=32,
+               num_workers=8, calc_mean_std=True, outd=outd)
+    args = SimpleNamespace(**cfg)
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+
+    # graft the SAME torch-ported backbone weights into both paths so
+    # the delta is purely the quantization
+    vparams, vstats = ported_backbone_stats()
+    params = dict(trainer.state.params)
+    params['spatial_video'] = vparams
+    stats = dict(trainer.state.batch_stats)
+    stats['spatial_video'] = vstats
+    trainer.state = trainer.state.replace(params=params,
+                                          batch_stats=stats)
+
+    perf, logits = trainer.inference(loaders[constants.TESTSET])
+    return perf, logits
+
+
+def wf1(perf):
+    from fvt_tpu import constants
+    return perf[None][constants.W_F1][constants.FRAME_LEVEL]['master']
+
+
+def main():
+    sys.path.insert(0, os.path.join(REPO, 'tests'))
+    import bench
+
+    store = bench._make_store()
+
+    perf_bf16, log_bf16 = run_inference('none', store)
+    perf_int8, log_int8 = run_inference('int8', store)
+
+    deltas, agrees, n = [], [], 0
+    for vid in log_bf16:
+        a = log_bf16[vid]['logits']
+        b = log_int8[vid]['logits']
+        deltas.append(np.abs(a - b))
+        agrees.append((a.argmax(-1) == b.argmax(-1)).mean())
+        n += len(a)
+
+    d = np.concatenate([x.reshape(-1) for x in deltas])
+    out = {
+        'frames': n,
+        'logit_abs_delta_max': float(d.max()),
+        'logit_abs_delta_mean': float(d.mean()),
+        'logit_scale': float(np.abs(np.concatenate(
+            [log_bf16[v]['logits'].reshape(-1) for v in log_bf16])).mean()),
+        'frame_argmax_agreement': float(np.mean(agrees)),
+        'wf1_bf16': float(wf1(perf_bf16)),
+        'wf1_int8': float(wf1(perf_int8)),
+        'wf1_delta': float(wf1(perf_int8) - wf1(perf_bf16)),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == '__main__':
+    main()
