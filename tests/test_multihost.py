@@ -99,3 +99,75 @@ def test_single_process_global_batch_matches_shard_batch(setup):
     trainer.init_state(exp._sample_batch(loaders))
     _, loss_b = trainer.train_step(trainer.state, b, rng)
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+
+
+def test_real_two_process_losses_match_single_process(tmp_path):
+    """THE real thing (round-3 VERDICT #6): two jax.distributed CPU
+    processes (loopback coordinator, Gloo collectives, 2 virtual devices
+    each -> 4 global) run TrainLoader.epoch_local + the DP train step
+    for two epochs; their losses must agree with each other AND with a
+    single-process single-device run of the same store/seed."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    root = str(tmp_path / 'store')
+    store = make_meld_store(root, n_train=16, n_val=2, n_test=2,
+                            min_len=4, max_len=8)
+
+    # ---- single-process reference losses (no mesh) -------------------
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               modality='vggish+bert+EXPR_continuous_label',
+               window_length=8, hop_length=4, eval_bucket_quantum=8,
+               train_batch_size=8, num_workers=1,
+               calc_mean_std=True, seed=0, data_parallel=False,
+               outd=str(tmp_path / 'ref_out'))
+    os.makedirs(cfg['outd'], exist_ok=True)
+    args = SimpleNamespace(**cfg)
+    exp = Experiment(args)
+    exp.prepare()  # also materializes the mean/std cache the workers read
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    ref_losses = [float(trainer.train_one_epoch(
+        loaders[constants.TRAINSET], e)) for e in range(2)]
+
+    # ---- two REAL processes ------------------------------------------
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+    store_json = str(tmp_path / 'store.json')
+    with open(store_json, 'w') as f:
+        json.dump(store, f)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, 'multihost_worker.py')
+    env = dict(os.environ,
+               XLA_FLAGS='--xla_force_host_platform_device_count=2')
+    env.pop('JAX_PLATFORMS', None)  # worker forces cpu via jax.config
+    procs, outs = [], []
+    for pid in (0, 1):
+        out = str(tmp_path / f'worker{pid}.json')
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, f'127.0.0.1:{port}', str(pid), '2',
+             store_json, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, logtxt in zip(procs, logs):
+        assert p.returncode == 0, logtxt[-3000:]
+
+    results = []
+    for out in outs:
+        with open(out) as f:
+            results.append(json.load(f)['losses'])
+    # both processes see the identical replicated loss ...
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+    # ... and it matches the single-process run (BN-stat reduce order
+    # differs across device counts -> small fp tolerance)
+    np.testing.assert_allclose(results[0], ref_losses, rtol=5e-5,
+                               atol=1e-6)
