@@ -129,10 +129,19 @@ def extract_landmarks_68(img_rgb: np.ndarray) -> np.ndarray:
     return np.asarray(preds[0], dtype=np.float32)
 
 
+def native_retinaface_detector(confidence_threshold: float = 0.9):
+    """The NATIVE JAX RetinaFace-R50 port (preprocess/retinaface.py) —
+    the reference's detector without any torch package; needs only the
+    published weight file (FVT_RETINAFACE_WEIGHTS or torch-hub cache)."""
+    from fvt_tpu.preprocess.retinaface import RetinaFaceJAX
+    return RetinaFaceJAX(confidence_threshold=confidence_threshold)
+
+
 def default_detector():
-    for cls in (RetinaFaceDetector, HaarFaceDetector, CenterBoxDetector):
+    for factory in (native_retinaface_detector, RetinaFaceDetector,
+                    HaarFaceDetector, CenterBoxDetector):
         try:
-            return cls()
+            return factory()
         except Exception:
             continue
     raise RuntimeError('no face detector available')
