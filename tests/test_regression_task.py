@@ -57,3 +57,41 @@ def test_regression_perf_metrics():
              for k, v in data.items()}
     p = compute_regression_perf(ident)
     assert abs(p['ccc'] - 1.0) < 1e-9 and p['rmse'] < 1e-12
+
+
+def test_regression_viz_artifacts(tmp_path):
+    """Legacy regression viz contract: per-trial output-vs-label jpgs in
+    the reference's plot/<mode>/epoch_<e>/ layout (base/logger.py:130-200)
+    and the training_logs.csv epoch rows (base/checkpointer.py:52-90)."""
+    import csv as _csv
+    import os
+    from fvt_tpu.train import regression_viz as RV
+    from fvt_tpu.train.metrics import compute_regression_perf
+
+    rng = np.random.default_rng(0)
+    per_video = {f'v{i}': {'labels': rng.normal(size=(30,)),
+                           'preds': rng.normal(size=(30,))}
+                 for i in range(3)}
+    perf = compute_regression_perf(per_video)
+
+    outd = str(tmp_path)
+    d = RV.save_output_vs_label_plots(per_video, perf, outd, epoch=2,
+                                      train_mode=False)
+    assert d.endswith(os.path.join('plot', 'validate', 'epoch_2'))
+    assert sorted(os.listdir(d)) == ['v0.jpg', 'v1.jpg', 'v2.jpg']
+    d = RV.save_output_vs_label_plots(per_video, perf, outd, epoch=None)
+    assert d.endswith(os.path.join('plot', 'test'))
+
+    RV.init_epoch_csv(outd)
+    RV.append_epoch_csv(outd, epoch=0, best_epoch=0, lr=1e-3,
+                        tr_loss=0.5, val_loss=0.6,
+                        train_perf=perf, valid_perf=perf)
+    RV.append_epoch_csv(outd, epoch=1, best_epoch=1, lr=1e-3,
+                        tr_loss=0.4, val_loss=0.5,
+                        train_perf=perf, valid_perf=perf)
+    RV.append_test_csv(outd, perf)
+    with open(os.path.join(outd, 'training_logs.csv')) as f:
+        rows = list(_csv.reader(f))
+    assert rows[0] == RV.CSV_COLUMNS
+    assert len(rows) == 4 and rows[3][0] == 'Test results:'
+    assert float(rows[1][1]) == 0 and float(rows[2][1]) == 1
