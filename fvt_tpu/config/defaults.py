@@ -113,6 +113,9 @@ def get_config(ds: str) -> dict:
         # DIVERGES from the reference's loss semantics (per-frame weights
         # change when fewer frames are repeated) - off by default
         'train_bucket_quantum': 100,
+        'h2d_bf16_features': False,   # ship fp32 feature streams as bf16
+        # over H2D at EVAL time (~15% fewer bytes tri-modal; changes
+        # numerics by ~2^-8 relative on features — opt-in)
         'eval_device_windows': True,  # long-video inference uploads each
         # video ONCE and gathers windows ON DEVICE (each frame crosses
         # H2D exactly once, vs 1.5x with host-built overlap windows);

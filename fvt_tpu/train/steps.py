@@ -27,14 +27,20 @@ def _device_transform(inputs: Dict[str, jnp.ndarray], train: bool,
     """Raw uint8 video windows get the group transform on device
     (resize 48 -> crop 40 -> [flip] -> normalize); everything else passes
     through.  The dtype test is static at trace time."""
+    out = None
     video = inputs.get(constants.VIDEO)
     if video is not None and video.dtype in (jnp.uint8, jnp.int8):
         out = dict(inputs)
         v = video.astype(jnp.float32)
         out[constants.VIDEO] = (train_video_transform(v, rng) if train
                                 else eval_video_transform(v))
-        return out
-    return inputs
+    # feature streams shipped as bf16 over H2D (--h2d_bf16_features)
+    # upcast on device so model math stays fp32-parameterized
+    for k, v in inputs.items():
+        if k != constants.VIDEO and v.dtype == jnp.bfloat16:
+            out = dict(inputs) if out is None else out
+            out[k] = v.astype(jnp.float32)
+    return out if out is not None else inputs
 
 
 class TrainState(struct.PyTreeNode):

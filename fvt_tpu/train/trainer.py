@@ -384,6 +384,18 @@ class Trainer:
 
         n_dev_w = n_dev if self.mesh is not None else 1
 
+        # --h2d_bf16_features (opt-in): ship fp32 feature streams as
+        # bf16 over the (tunnel/PCIe) H2D link — ~15% fewer bytes on
+        # tri-modal loads.  CHANGES NUMERICS (~2^-8 relative on
+        # features); off by default so eval parity stays exact.
+        cast_feats = getattr(self.args, 'h2d_bf16_features', False)
+
+        def maybe_cast(arr):
+            if cast_feats and arr.dtype == np.float32:
+                import ml_dtypes
+                return arr.astype(ml_dtypes.bfloat16)
+            return arr
+
         def dispatch_video_windows(batch, labels, trial, true_len):
             """Device-side windowing: upload the video ONCE (ladder-
             padded), gather + forward all its windows in one jit."""
@@ -406,6 +418,7 @@ class Trainer:
                     arr = np.concatenate(
                         [arr, np.zeros((l_pad - arr.shape[0],)
                                        + arr.shape[1:], arr.dtype)])
+                arr = maybe_cast(arr)
                 arrays[k] = jax.device_put(arr)
                 tm['h2d_bytes'] += arr.nbytes
             idx = jax.device_put(mat_p)
@@ -445,8 +458,8 @@ class Trainer:
                 del wqueue[:wb]
                 rows = take + [take[-1]] * (wb - len(take))  # tail pad
                 inputs = {
-                    k: jax.device_put(np.stack(
-                        [wstate[t]['arrs'][k][r] for (t, r) in rows]))
+                    k: jax.device_put(maybe_cast(np.stack(
+                        [wstate[t]['arrs'][k][r] for (t, r) in rows])))
                     for k in wstate[rows[0][0]]['arrs']}
                 tm['h2d_bytes'] += sum(
                     v.nbytes for v in inputs.values())
@@ -538,8 +551,12 @@ class Trainer:
             else:
                 # async H2D (jnp.asarray can block on the transfer)
                 t0 = _pc()
-                inputs = {k: jax.device_put(v) for k, v in batch.items()}
-                tm['h2d_bytes'] += sum(v.nbytes for v in batch.values())
+                inputs = {k: jax.device_put(maybe_cast(v))
+                          for k, v in batch.items()}
+                tm['h2d_bytes'] += sum(
+                    v.nbytes // (2 if cast_feats and
+                                 v.dtype == np.float32 else 1)
+                    for v in batch.values())
                 if self.needs_mask:
                     out = self.eval_step(
                         self.state.params, self.state.batch_stats, inputs,

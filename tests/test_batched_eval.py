@@ -169,3 +169,25 @@ def test_inference_artifact_order_is_work_list_order(setup):
     val = loaders[constants.VALIDSET]
     _, per_video = trainer.inference(val)
     assert list(per_video) == [item[1] for item in val.work_list]
+
+
+def test_h2d_bf16_features_close_and_smaller(setup):
+    """--h2d_bf16_features ships fp32 feature streams as bf16: logits
+    stay within bf16 input-quantization tolerance of the fp32 path and
+    the recorded H2D byte count shrinks."""
+    args, trainer, loaders = setup
+    val = loaders[constants.VALIDSET]
+
+    _, a = trainer.inference(val)
+    bytes_fp32 = trainer.last_inference_timing['h2d_bytes']
+    trainer.args.h2d_bf16_features = True
+    try:
+        _, b = trainer.inference(val)
+        bytes_bf16 = trainer.last_inference_timing['h2d_bytes']
+    finally:
+        trainer.args.h2d_bf16_features = False
+    assert bytes_bf16 < bytes_fp32
+    for k in a:
+        ref = a[k]['logits']
+        scale = np.abs(ref).max()
+        assert np.abs(b[k]['logits'] - ref).max() / scale < 0.02, k

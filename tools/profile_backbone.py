@@ -175,8 +175,11 @@ def bench_bottleneck(n_frames: int, iters: int, dtype_name: str,
 
     out = {}
     for h, c in stages:
-        n = max(1, n_frames * (40 * 40 * 64) // (h * h * c) // 25)
-        n = min(n, n_frames)
+        # keep the REAL per-stage load: the backbone runs all n_frames
+        # through every stage (pixel count shrinks 4x per stage while
+        # channels double, so bytes halve) — do not subsample frames or
+        # the fixed overheads dominate and the stage looks memory-idle
+        n = n_frames
         x = jnp.asarray(rng.normal(size=(n, h, h, c))
                         .astype(np.float32)).astype(dtype)
         block = BottleneckIR(in_channel=c, depth=c, stride=1, dtype=dtype)
