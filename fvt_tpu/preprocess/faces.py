@@ -114,14 +114,27 @@ class RetinaFaceDetector:
 
 
 def extract_landmarks_68(img_rgb: np.ndarray) -> np.ndarray:
-    """68-point landmark extraction (dlib/face_landmarks/landmarks.py);
-    gated on the face_alignment package (external model weights)."""
+    """68-point landmark extraction (the reference's
+    base/preprocessing.py:191-195 FaceAlignment(LandmarksType._2D)).
+
+    Preferred path: the NATIVE 2D-FAN-4 port (preprocess/fan.py) — no
+    torch packages, needs only the published 2DFAN4 weight file
+    (FVT_FAN_WEIGHTS or torch-hub cache).  Falls back to the
+    face_alignment package if installed; a clear gate error otherwise.
+    """
+    try:
+        from fvt_tpu.preprocess.fan import extract_landmarks_68_native
+        return extract_landmarks_68_native(img_rgb)
+    except NotImplementedError:
+        pass  # no FAN weights on disk — try the external package
     try:
         import face_alignment
     except ImportError as e:
         raise NotImplementedError(
-            '68-pt landmarks need the face_alignment package (not in '
-            'this image); the 5-pt detector path covers crop/align') from e
+            '68-pt landmarks need either the 2DFAN4 weight file '
+            '(FVT_FAN_WEIGHTS, native path: preprocess/fan.py) or the '
+            'face_alignment package; the 5-pt detector path covers '
+            'crop/align') from e
     fa = face_alignment.FaceAlignment(
         face_alignment.LandmarksType.TWO_D, device='cpu')
     preds = fa.get_landmarks(img_rgb)
