@@ -48,13 +48,17 @@ class Conv3x3(nn.Module):
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (3, 3, x.shape[-1], self.features), jnp.float32)
-        if self.impl == 'int8':
+        if self.impl == 'int8' and x.shape[-1] >= 128:
+            # Cin<128 (stage 1, 64-ch) stays bf16: the round-3 ablation
+            # (ops/quant.py docstring) measured int8 1.2-1.4x FASTER at
+            # the 128/256/512-ch stages but ~equal-to-slower at 64 ch,
+            # where int8 tiling can't fill the MXU better than bf16.
             from fvt_tpu.ops.quant import conv3x3_int8
             return conv3x3_int8(x, kernel, stride=self.stride,
                                 out_dtype=self.dtype)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
-        if self.stride == 1 and self.impl != 'xla':
+        if self.stride == 1 and self.impl not in ('xla', 'int8'):
             from fvt_tpu.ops import winograd
             if self.impl == 'winograd':
                 return winograd.conv3x3_winograd(x, kernel)

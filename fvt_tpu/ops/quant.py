@@ -18,12 +18,29 @@ Scheme (--serve_quant int8, serving only — training math is untouched):
   * accumulation in int32 on the MXU (s8 x s8 -> s32), dequantized in
     the epilogue by (x_scale * w_scale[cout]).
 
-The 3x3 conv is expressed as NINE shifted (N*H*W, Cin) x (Cin, Cout)
-int8 matmuls accumulated in int32 — the same decomposition as
-ops/conv_pallas, but in plain XLA: every term is a dot_general the TPU
-backend lowers straight onto the MXU's int8 path, with no Mosaic
-relayout risk (the Winograd lesson, ops/winograd.py).  Zero padding is
-exact for symmetric quantization (q(0) == 0).
+The 3x3 conv is ONE ``lax.conv_general_dilated`` with s8 operands and
+``preferred_element_type=int32`` — XLA's TPU backend lowers that
+directly onto the MXU's int8 path.  Zero padding is exact for symmetric
+quantization (q(0) == 0).
+
+Round-3 ablation (/tmp/int8_ablate.py, 16-op chains per jit to amortize
+the axon sync floor, v5e): per-conv ms at the four backbone stage
+shapes, 2400 frames —
+
+    shape        bf16 conv   int8 single conv   int8 9-matmul
+    40x40x64        4.60          4.88              31.7
+    20x20x128       3.57          2.91              16.5
+    10x10x256       3.49          2.78               8.3
+    5x5x512         4.03          2.92               4.9
+
+The original NINE-shifted-matmul decomposition (kept in
+``conv3x3_int8_9mm`` for the record) was 1.7-6.9x SLOWER than bf16:
+consecutive ``dot_general``s do not fuse, so the (N*H*W, Cout) int32
+accumulator round-trips HBM between all nine terms — at 40x40 that is
+~9 extra r/w passes over a 983 MB accumulator.  The single conv beats
+bf16 by 1.2-1.4x everywhere except the first stage (64-ch: int8 tiling
+can't fill the MXU better than bf16 there), so stage 1 stays bf16 in
+the backbone's int8 mode (models/arcface.py gates on Cin>=128).
 
 Accuracy contract: quantization CHANGES numerics.  The measured deltas
 (tools/quant_delta.py, synthetic store + torch-ported backbone weights
@@ -61,6 +78,29 @@ def conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
     x: (N, H, W, Cin) float; kernel: (3, 3, Cin, Cout) float.
     Matches ``lax.conv_general_dilated(padding=(1,1))`` up to
     quantization error (pinned in tests/test_quant.py).
+    """
+    kh, kw, _, cout = kernel.shape
+    assert (kh, kw) == (3, 3), (kh, kw)
+
+    wq, wscale = quantize_symmetric(kernel, axes=(0, 1, 2))  # (1,1,1,Cout)
+    xq, xscale = quantize_symmetric(x)                       # scalar
+
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.int32)
+
+    deq = acc.astype(jnp.float32) * (xscale * wscale.reshape(1, 1, 1, -1))
+    return deq.astype(out_dtype)
+
+
+def conv3x3_int8_9mm(x: jnp.ndarray, kernel: jnp.ndarray,
+                     stride: int = 1,
+                     out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """NEGATIVE RESULT, kept for the record (see module docstring):
+    the 3x3 conv as nine shifted int8 matmuls.  1.7-6.9x slower than
+    bf16 on v5e — the int32 accumulator round-trips HBM between the
+    nine unfused ``dot_general``s.  Use :func:`conv3x3_int8`.
     """
     n, h, w, cin = x.shape
     kh, kw, _, cout = kernel.shape
