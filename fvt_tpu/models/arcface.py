@@ -164,14 +164,17 @@ class VisualBackbone(nn.Module):
 # ------------------------------------------------- fused serving forward
 def arcface_forward_eval(params: dict, stats: dict, x: jnp.ndarray,
                          dtype: Any = jnp.bfloat16,
-                         fused_blocks: bool = True,
+                         fused_blocks: bool = False,
                          interpret: Optional[bool] = None) -> jnp.ndarray:
     """Functional eval-mode VisualBackbone forward over plain
     (params, batch_stats) dicts — same math as
     ``VisualBackbone.apply(..., train=False)`` (pinned in
     tests/test_bottleneck_pallas.py), with the stride-1 identity
     bottlenecks routed through the fused whole-block Pallas kernel
-    (ops/bottleneck_pallas.py) when ``fused_blocks``.
+    (ops/bottleneck_pallas.py) when ``fused_blocks``.  Default OFF:
+    the fused kernel measured ~2x SLOWER than XLA at every stage on
+    real v5e (full ablation in the bottleneck_pallas docstring) — it
+    survives here only so the profiler can reproduce the table.
 
     Functional on purpose: flax scopes own the per-submodule params, so
     a whole-block kernel cannot be expressed inside ``@nn.compact``

@@ -18,12 +18,48 @@ HBM traffic per block drops from ~7 tensor passes (x read, t write+read,
 u write+read, w write+read, x re-read, y write with XLA's partial
 fusions) to 2 (x read, y write).
 
-Measured numbers live at the END of this docstring (filled in from
-tools/profile_backbone.py --bottleneck on real v5e hardware; if the
-section is missing, the experiment has not been run on this checkout).
-Stride-2 / channel-changing blocks keep XLA (their downsample conv +
-1x1 shortcut need different scratch shapes and are compute-bound
-anyway).
+MEASURED RESULT (real v5e, bf16, n=2400 frames, 8-block chains, forced-
+result timing, 2026-08-17): **NEGATIVE — direct XLA conv stays.** The
+fused block loses ~2x at every shape where it compiles and Mosaic-OOMs
+at every larger tile:
+
+    stage        XLA ms/blk (MFU)   fused ms/blk (MFU)      speedup
+    40x40x64     11.14 (25.8%)      19.67 tile=1|2 (14.6%)  0.57x
+                                    tile>=4: VMEM stack OOM
+                                    (41.3 MB vs 16 MB limit @tile=8)
+    20x20x128     7.61 (37.8%)      15.78 tile=8  (18.2%)   0.48x
+                                    tile=16: OOM
+    10x10x256     7.31 (39.3%)      tile=16|32: OOM
+    5x5x512       7.09 (40.5%)      tile=32|64: OOM
+
+Why (ablation):
+ 1. The 18 shifted slices tpad[:, dy:dy+h, dx:dx+w, :] offset the
+    second-minor (sublane) dim, so Mosaic materializes a relayout COPY
+    of the whole tile for each — ~18 tile-sized VPU passes per block,
+    and value-level unrolled accumulation keeps them live on the
+    kernel stack (the OOM; the stack limit is 16 MB).
+ 2. At c=64 (stage 1) every (tb,h,w,64)->(tb*h*w,64) reshape splits
+    128-wide lane rows — more relayouts; c>=128 stages align but still
+    pay (1); c>=256 stages additionally hold 2x(9,c,c) weight copies
+    (9.4 MB bf16 at c=512), shrinking the safe tile to nothing.
+ 3. The premise itself is capped: XLA already fuses the BN/PReLU
+    epilogues into its convs — measured full-block vs conv-only XLA
+    chains differ by only 13.9% / 7.4% / 6.1% / 1.3% at the four
+    stages, so a PERFECT epilogue-fusion scheme buys <14% while this
+    one costs +77..107%.  Together with the Winograd negative result
+    (ops/winograd.py: 2.2-13x slower, relayout-dominated), the
+    conclusion is that XLA's direct small-spatial convs on TPU are
+    already at their practical shape; transform- or fusion-domain
+    Pallas rewrites of this backbone lose to Mosaic relayout cost.
+
+The kernel is kept as a parity-tested archived experiment:
+``arcface_forward_eval(fused_blocks=False)`` is the default, the
+profiler (tools/profile_backbone.py --bottleneck) reproduces the table,
+and ``safe_batch_tile`` clamps any requested tile to the measured
+VMEM-safe boundary (falling back to plain XLA ops when no tile fits)
+so no caller can hit the Mosaic OOM.  Stride-2 / channel-changing
+blocks always keep XLA (their downsample conv + 1x1 shortcut need
+different scratch shapes and are compute-bound anyway).
 """
 from __future__ import annotations
 
@@ -41,6 +77,33 @@ def bn_affine(params: dict, stats: dict, eps: float = 1e-5):
     a = params['scale'] / jnp.sqrt(stats['var'] + eps)
     b = params['bias'] - stats['mean'] * a
     return a, b
+
+
+def safe_batch_tile(n: int, h: int, w: int, c: int,
+                    itemsize: int, requested: int) -> int:
+    """Largest batch tile <= ``requested`` that divides ``n`` and fits
+    the measured Mosaic VMEM-stack boundary; 0 if none does.
+
+    Empirical model from the v5e tile sweep in the module docstring:
+    stack ~ 6x the lane-padded fp32 tile volume (the ~18 live shifted-
+    slice relayout copies) + 3x the two (9,c,c) weight tensors.
+    Validated boundary points: (2,40,40,64) ok / (4,..) OOM;
+    (8,20,20,128) ok / (16,..) OOM; (16,10,10,256) OOM;
+    (32,5,5,512) OOM.
+    """
+    budget = 14e6
+    weights = 3 * 2 * 9 * c * c * itemsize
+    tn = min(requested, n)
+    while tn:
+        while tn and n % tn:
+            tn -= 1
+        if not tn:
+            break
+        est = 6 * tn * h * w * max(c, 128) * 4 + weights
+        if est <= budget:
+            return tn
+        tn -= 1
+    return 0
 
 
 def _block_kernel(x_ref, a1_ref, b1_ref, w1_ref, alpha_ref, w2_ref,
@@ -99,7 +162,10 @@ def bottleneck_ir_fused(x: jnp.ndarray, block_params: dict,
     ``block_params``/``block_stats``: the flax param/batch_stats subtree
     of one ``models.arcface.BottleneckIR`` (keys bn1, conv1, prelu,
     conv2, bn2).  Numerics pinned against the flax module in
-    tests/test_bottleneck_pallas.py.
+    tests/test_bottleneck_pallas.py.  ``batch_tile`` is clamped to the
+    measured VMEM-safe boundary (``safe_batch_tile``); when no tile
+    fits (c>=512 weights alone approach the stack limit) the same math
+    runs as plain XLA ops instead of crashing Mosaic.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -111,9 +177,23 @@ def bottleneck_ir_fused(x: jnp.ndarray, block_params: dict,
     w1 = block_params['conv1']['kernel'].astype(x.dtype).reshape(9, c, c)
     w2 = block_params['conv2']['kernel'].astype(x.dtype).reshape(9, c, c)
 
-    tn = batch_tile
-    while n % tn:
+    tn = safe_batch_tile(n, h, w, c, jnp.dtype(x.dtype).itemsize,
+                         batch_tile) if not interpret else batch_tile
+    while tn and n % tn:
         tn -= 1
+    if not tn:
+        k1 = block_params['conv1']['kernel'].astype(x.dtype)
+        k2 = block_params['conv2']['kernel'].astype(x.dtype)
+        t = (x.astype(jnp.float32) * a1 + b1).astype(x.dtype)
+        u = jax.lax.conv_general_dilated(
+            t, k1, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        v = jnp.where(u >= 0, u, u * alpha.astype(u.dtype))
+        r = jax.lax.conv_general_dilated(
+            v, k2, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        y = (r.astype(jnp.float32) * a2 + b2 + x.astype(jnp.float32))
+        return y.astype(x.dtype)
 
     vec = lambda v: v.astype(jnp.float32).reshape(1, c)  # noqa: E731
     vspec = pl.BlockSpec((1, c), lambda i: (0, 0),

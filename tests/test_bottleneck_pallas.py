@@ -52,6 +52,40 @@ def test_fused_block_bf16_close():
     assert np.abs(got - want).max() / scale < 0.03
 
 
+def test_safe_batch_tile_matches_measured_boundary():
+    """The clamp reproduces the v5e-measured Mosaic-stack pass/OOM
+    boundary points from the module docstring."""
+    from fvt_tpu.ops.bottleneck_pallas import safe_batch_tile
+    # validated-pass configs survive unclamped (bf16 itemsize 2)
+    assert safe_batch_tile(2400, 40, 40, 64, 2, 2) == 2
+    assert safe_batch_tile(2400, 20, 20, 128, 2, 8) == 8
+    # validated-OOM configs are clamped below the requested tile
+    assert safe_batch_tile(2400, 40, 40, 64, 2, 4) < 4
+    assert safe_batch_tile(2400, 20, 20, 128, 2, 16) < 16
+    assert safe_batch_tile(2400, 10, 10, 256, 2, 16) < 16
+    assert safe_batch_tile(2400, 5, 5, 512, 2, 32) == 0  # weights alone
+    # result always divides n
+    t = safe_batch_tile(6, 12, 12, 64, 4, 4)
+    assert t and 6 % t == 0
+
+
+def test_fused_block_xla_fallback_matches_flax():
+    """c=512 has no VMEM-safe tile: bottleneck_ir_fused must run the
+    plain-XLA fallback (no pallas_call) even with interpret=False."""
+    rng = np.random.default_rng(3)
+    n, hw, c = 2, 4, 512
+    x = jnp.asarray(rng.normal(size=(n, hw, hw, c)).astype(np.float32))
+    block = BottleneckIR(in_channel=c, depth=c, stride=1)
+    variables = block.init(jax.random.key(0), x, train=False)
+    want = np.asarray(block.apply(variables, x, train=False))
+    # interpret=False on CPU would crash inside pallas_call; reaching
+    # numerical parity proves the fallback branch was taken
+    got = np.asarray(bottleneck_ir_fused(
+        x, variables['params'], variables['batch_stats'],
+        batch_tile=32, interpret=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_bn_affine_matches_batchnorm_eval():
     import flax.linen as nn
     rng = np.random.default_rng(2)

@@ -191,7 +191,10 @@ def bench_bottleneck(n_frames: int, iters: int, dtype_name: str,
                 y = block.apply(v, y, train=False)
             return y
 
-        tile = max(4, min(64, (8 * 40 * 40 * 64) // (h * h * c)))
+        from fvt_tpu.ops.bottleneck_pallas import safe_batch_tile
+        want = max(4, min(64, (8 * 40 * 40 * 64) // (h * h * c)))
+        tile = safe_batch_tile(n, h, h, c,
+                               2 if dtype_name == 'bf16' else 4, want)
 
         def fused_chain(v, xx):
             y = xx
@@ -202,8 +205,14 @@ def bench_bottleneck(n_frames: int, iters: int, dtype_name: str,
             return y
 
         flops = 2 * 2 * 9 * n * h * h * c * c * chain
-        row = {'frames': n, 'tile': tile}
-        for name, fn in (('xla', xla_chain), ('fused', fused_chain)):
+        row = {'frames': n, 'tile': tile, 'requested_tile': want}
+        variants = [('xla', xla_chain)]
+        if tile:
+            variants.append(('fused', fused_chain))
+        else:
+            row['fused'] = {'skipped': 'no VMEM-safe tile at this '
+                            'shape (kernel would fall back to XLA)'}
+        for name, fn in variants:
             jfn = jax.jit(fn)
             try:
                 dt = _time(jfn, variables, x, iters=iters)
