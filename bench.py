@@ -144,6 +144,10 @@ def bench_e2e(flops_per_frame):
                modality='video+vggish+bert+EXPR_continuous_label',
                amp=True,                 # bf16 backbone convs (MXU)
                pallas_serving=True,      # fused serving kernels
+               # bf16 feature H2D (opt-in env knob for A/B runs; the
+               # e2e wall is tunnel-transfer bytes — see e2e_breakdown)
+               h2d_bf16_features=bool(int(
+                   os.environ.get('FVT_BENCH_H2D_BF16', '0'))),
                window_length=WINDOW, hop_length=200,
                eval_bucket_quantum=100, eval_video_batch=32,
                num_workers=8, calc_mean_std=True, outd=outd)

@@ -113,6 +113,14 @@ def get_config(ds: str) -> dict:
         # DIVERGES from the reference's loss semantics (per-frame weights
         # change when fewer frames are repeated) - off by default
         'train_bucket_quantum': 100,
+        'frozen_eval_backbones': False,  # run the FROZEN spatial
+        # encoders (ArcFace/VGGish) in EVAL mode during training:
+        # running-stat BN, no dropout, batch_stats stay fixed.
+        # DIVERGES from the reference contract (model.train() puts the
+        # frozen submodules in train mode too) in exchange for a
+        # cheaper step — the full-batch BN stat reductions + updates
+        # on the backbone pass are pure overhead when its params never
+        # move. Off by default; measured delta in CLAUDE.md
         'h2d_bf16_features': False,   # ship fp32 feature streams as bf16
         # over H2D at EVAL time (~15% fewer bytes tri-modal; changes
         # numerics by ~2^-8 relative on features — opt-in)

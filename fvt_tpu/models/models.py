@@ -37,16 +37,23 @@ def _maybe_encode_spatial(self, x: Dict[str, jnp.ndarray], train: bool
     # train propagates INTO the frozen encoders: the reference's
     # model.train() puts them in train mode too (batch-stat BN with
     # running-stat updates, active dropout) even though their params
-    # never receive gradients (trainer.py:318, no submodule .eval())
+    # never receive gradients (trainer.py:318, no submodule .eval()).
+    # --frozen_eval_backbones (opt-in, DIVERGES from that contract):
+    # run them eval-mode during training — running-stat BN, no dropout,
+    # frozen batch_stats — trading exact reference train dynamics for
+    # a measurably cheaper step (the batch-stat reductions + stat
+    # updates on the 2400-frame backbone pass are pure overhead when
+    # the params never move)
+    enc_train = train and not getattr(self, 'frozen_eval', False)
     if 'video' in out and out['video'].ndim == 5:
         b, t = out['video'].shape[:2]
         frames = out['video'].reshape((b * t,) + out['video'].shape[2:])
-        feats = self.spatial_video(frames, train=train)
+        feats = self.spatial_video(frames, train=enc_train)
         out['video'] = feats.reshape(b, t, -1)
     if 'logmel' in out and out['logmel'].ndim == 4:
         b, t = out['logmel'].shape[:2]
         patches = out['logmel'].reshape((b * t,) + out['logmel'].shape[2:])
-        feats = self.spatial_audio(patches, train=train)
+        feats = self.spatial_audio(patches, train=enc_train)
         out['logmel'] = feats.reshape(b, t, -1)
     return out
 
@@ -71,6 +78,8 @@ class LFAN(nn.Module):
     tcn_fused: bool = False  # fused Pallas TCN blocks (fwd + custom VJP)
     spatial_video: Optional[nn.Module] = None
     spatial_audio: Optional[nn.Module] = None
+    frozen_eval: bool = False  # --frozen_eval_backbones (see
+    # _maybe_encode_spatial: opt-in eval-mode frozen encoders in train)
 
     @nn.compact
     def __call__(self, x: Dict[str, jnp.ndarray], *, train: bool = False):
@@ -112,6 +121,8 @@ class CAN(nn.Module):
     tcn_settings: Optional[Dict[str, Any]] = None
     spatial_video: Optional[nn.Module] = None
     spatial_audio: Optional[nn.Module] = None
+    frozen_eval: bool = False  # --frozen_eval_backbones (see
+    # _maybe_encode_spatial: opt-in eval-mode frozen encoders in train)
 
     @nn.compact
     def __call__(self, x: Dict[str, jnp.ndarray], *, train: bool = False):
@@ -154,6 +165,8 @@ class JMT(nn.Module):
     tcn_settings: Optional[Dict[str, Any]] = None
     spatial_video: Optional[nn.Module] = None
     spatial_audio: Optional[nn.Module] = None
+    frozen_eval: bool = False  # --frozen_eval_backbones (see
+    # _maybe_encode_spatial: opt-in eval-mode frozen encoders in train)
 
     @nn.compact
     def __call__(self, x: Dict[str, jnp.ndarray], *, train: bool = False,

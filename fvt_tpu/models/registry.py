@@ -39,6 +39,7 @@ def init_model(args, spatial_video: Optional[nn.Module] = None,
             "workloads)")
         tcn_fused = False
 
+    frozen_eval = getattr(args, 'frozen_eval_backbones', False)
     name = args.model_name
     if name == constants.LFAN:
         return LFAN(modality=modality,
@@ -50,14 +51,16 @@ def init_model(args, spatial_video: Optional[nn.Module] = None,
                     num_heads=args.num_heads,
                     tcn_fused=tcn_fused,
                     spatial_video=spatial_video,
-                    spatial_audio=spatial_audio)
+                    spatial_audio=spatial_audio,
+                    frozen_eval=frozen_eval)
     if name == constants.CAN:
         return CAN(modality=modality,
                    output_dim=num_classes,
                    task=args.task,
                    tcn_settings=MC.TCN_SETTINGS,
                    spatial_video=spatial_video,
-                   spatial_audio=spatial_audio)
+                   spatial_audio=spatial_audio,
+                   frozen_eval=frozen_eval)
     if name in (constants.JMT, constants.MT):
         return JMT(modality=modality,
                    output_dim=num_classes,
@@ -65,5 +68,6 @@ def init_model(args, spatial_video: Optional[nn.Module] = None,
                    model_name=name,
                    tcn_settings=MC.TCN_SETTINGS,
                    spatial_video=spatial_video,
-                   spatial_audio=spatial_audio)
+                   spatial_audio=spatial_audio,
+                   frozen_eval=frozen_eval)
     raise NotImplementedError(name)

@@ -161,6 +161,12 @@ class Trainer:
         else:
             source = ((b, None) for b in loader.epoch(epoch))
 
+        # ragged-batch accounting: batches not divisible by the device
+        # (and process) count are built IN FULL on every host and run
+        # replicated — correct but the replicated IO/compute is wasted
+        # work on a pod, so surface how often a bucket plan causes it
+        ragged_stat = {'ragged': 0, 'sharded': 0}
+
         def to_device(batch, global_rows):
             """(jbatch, step_fn) for one host batch — async device_put,
             so the transfer queues while the previous step computes."""
@@ -171,8 +177,10 @@ class Trainer:
                 from fvt_tpu.parallel.mesh import shard_batch, replicated
                 if multihost and local_rows != bsz:
                     from fvt_tpu.parallel import multihost as mh
+                    ragged_stat['sharded'] += 1
                     jbatch = mh.global_batch(self.mesh, batch)
                 elif bsz % n_dev != 0 or multihost:
+                    ragged_stat['ragged'] += 1
                     # ragged batch (the loader yields it in FULL on every
                     # host): run it REPLICATED through the single-device
                     # step — every chip computes the same small batch, so
@@ -194,6 +202,7 @@ class Trainer:
                                   for k, v in batch.items()}
                     step_fn = self._ragged_train_step()
                 else:
+                    ragged_stat['sharded'] += 1
                     jbatch = shard_batch(batch, self.mesh)
             else:
                 jbatch = {k: jax.device_put(v) for k, v in batch.items()}
@@ -238,6 +247,16 @@ class Trainer:
             lr = self.scheduler.lr(epoch + 1)
             self.state = self.state.replace(
                 opt_state=optim.set_lr(self.state.opt_state, lr))
+
+        nr, ns = ragged_stat['ragged'], ragged_stat['sharded']
+        if multihost and nr:
+            # on a real pod every ragged batch replicates the full
+            # build+IO on every host — a bucket plan that makes this
+            # common (e.g. many small --train_bucketed buckets) should
+            # be retuned (raise eval/train bucket quantum or batch size)
+            log(fmsg(f"multihost: {nr}/{nr + ns} batches ran replicated "
+                     f"(size not divisible by {n_dev} devices); each "
+                     f"replicates its IO+build on every host"))
 
         epoch_loss = running / max(count, 1)
         log(fmsg(f"Train epoch ({epoch}/{self.args.num_epochs}) "

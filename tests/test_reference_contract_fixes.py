@@ -171,3 +171,60 @@ def test_frozen_backbone_runs_in_train_mode_during_training():
         mutated['batch_stats']['spatial_video']['bn']['mean'])
     assert np.abs(after - before).max() > 1e-3, \
         'spatial batch stats did not update in train mode'
+
+
+def test_frozen_eval_backbones_optin_keeps_stats_fixed():
+    """--frozen_eval_backbones (opt-in DIVERGENCE from the reference
+    contract pinned above): frozen spatial encoders run eval-mode
+    during training — running-stat BN, batch_stats unchanged — while
+    the heads still run train-mode (their BN stats DO update)."""
+    import flax.linen as nn
+    from fvt_tpu.models.models import LFAN
+
+    class TinySpatial(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            x = x.reshape(x.shape[0], -1)[:, :16]
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, name='bn')(x)
+            return nn.Dense(512, name='dense')(x)
+
+    model = LFAN(modality=('video', 'vggish'), output_dim=7,
+                 spatial_video=TinySpatial(), frozen_eval=True,
+                 tcn_dropout=0.0, fusion_dropout=0.0)
+    rng = np.random.default_rng(1)
+    batch = {
+        'video': jnp.asarray(rng.normal(size=(2, 8, 4, 4, 3))
+                             .astype(np.float32) + 3.0),
+        'vggish': jnp.asarray(rng.normal(size=(2, 8, 128))
+                              .astype(np.float32)),
+    }
+    variables = model.init(jax.random.key(0), batch, train=False)
+    before = jax.tree.map(
+        lambda v: np.asarray(v).copy(),
+        variables['batch_stats']['spatial_video'])
+    head_before = np.asarray(
+        variables['batch_stats']['bn_video']['bn']['mean']).copy()
+    _, mutated = model.apply(
+        variables, batch, train=True,
+        rngs={'dropout': jax.random.key(1)}, mutable=['batch_stats'])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        mutated['batch_stats']['spatial_video'], before)
+    head_after = np.asarray(mutated['batch_stats']['bn_video']['bn']['mean'])
+    assert np.abs(head_after - head_before).max() > 1e-4, \
+        'head batch stats must still update in train mode'
+
+
+def test_frozen_eval_backbones_flag_reaches_model():
+    from types import SimpleNamespace
+    from fvt_tpu import constants
+    from fvt_tpu.config.defaults import get_config
+    from fvt_tpu.models.registry import init_model
+    cfg = get_config(constants.MELD)
+    cfg.update(modality='video+vggish+bert+EXPR_continuous_label',
+               frozen_eval_backbones=True)
+    model = init_model(SimpleNamespace(**cfg))
+    assert model.frozen_eval is True
+    cfg['frozen_eval_backbones'] = False
+    assert init_model(SimpleNamespace(**cfg)).frozen_eval is False

@@ -27,6 +27,9 @@ def main():
     ap.add_argument('--window', type=int, default=300)
     ap.add_argument('--iters', type=int, default=8)
     ap.add_argument('--pallas', action='store_true')
+    ap.add_argument('--frozen_eval', action='store_true',
+                    help='measure --frozen_eval_backbones (eval-mode '
+                    'frozen encoders during training)')
     args = ap.parse_args()
 
     from fvt_tpu.utils.logger import enable_jit_cache
@@ -42,7 +45,7 @@ def main():
     b, t = args.batch, args.window
     model = LFAN(modality=('video', 'vggish', 'bert'), output_dim=7,
                  spatial_video=VisualBackbone(dtype=jnp.bfloat16),
-                 tcn_fused=args.pallas)
+                 tcn_fused=args.pallas, frozen_eval=args.frozen_eval)
     rng = np.random.default_rng(0)
     batch = {
         'video': jnp.asarray(rng.integers(
@@ -84,7 +87,8 @@ def main():
         flops = 0.0
 
     print(json.dumps({
-        'path': 'pallas_train' if args.pallas else 'xla',
+        'path': ('pallas_train' if args.pallas else 'xla')
+                + ('+frozen_eval' if args.frozen_eval else ''),
         'ms_per_step': round(dt * 1e3, 1),
         'frames_per_s': round(b * t / dt, 1),
         'mfu': round(flops / dt / PEAK_FLOPS, 4) if flops else None,
