@@ -123,7 +123,11 @@ def get_config(ds: str) -> dict:
         # move. Off by default; measured delta in CLAUDE.md
         'h2d_bf16_features': False,   # ship fp32 feature streams as bf16
         # over H2D at EVAL time (~15% fewer bytes tri-modal; changes
-        # numerics by ~2^-8 relative on features — opt-in)
+        # numerics by ~2^-8 relative on features — opt-in).  Under the
+        # amp serving config it is measured LOSSLESS (bit-identical
+        # logits over the bench store: the model's first feature op is
+        # a bf16 cast, so host-side rounding commutes); bench.py runs
+        # with it on
         'eval_device_windows': True,  # long-video inference uploads each
         # video ONCE and gathers windows ON DEVICE (each frame crosses
         # H2D exactly once, vs 1.5x with host-built overlap windows);
