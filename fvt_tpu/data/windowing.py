@@ -80,18 +80,24 @@ def stitch_windows_np(window_outputs: np.ndarray,
 
 def ladder_len(true_len: int, window_length: int, quantum: int = 0,
                growth: float = 1.3) -> int:
-    """Smallest geometric-ladder length >= ``true_len``.
+    """Smallest ladder length >= ``true_len``.
 
     The device-side windowed eval path (trainer.inference with
     --eval_device_windows) uploads each long video ONCE and gathers its
-    windows on device; padding the upload to a geometric ladder
-    (window, then x``growth`` rounded up to ``quantum``) caps the
-    number of distinct compile shapes at O(log(L/window)) while keeping
-    the zero-pad transfer waste under ``growth - 1``.
+    windows on device; padding the upload to a ladder caps the number
+    of distinct compile shapes.  Below ``4 * window_length`` the ladder
+    is LINEAR in ``quantum`` steps (pad waste < quantum frames — most
+    real videos land here, and a geometric step rounded up to quantum
+    could waste ~50% of the transfer: 401 frames previously shipped as
+    600); beyond that it grows geometrically by ``growth``, so the
+    shape count stays O(3*window/quantum + log(L/window)).
     """
     assert true_len > window_length, (true_len, window_length)
     quantum = quantum or min(100, window_length)
-    v = window_length
+    linear_cap = 4 * window_length
+    if true_len <= linear_cap:
+        return int(-(-true_len // quantum) * quantum)
+    v = linear_cap
     while v < true_len:
         v = int(-(-v * growth // quantum) * quantum)
     return v
