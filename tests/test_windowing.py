@@ -127,3 +127,23 @@ def test_windowing_matches_reference_functions_directly():
             assert mat.shape[0] == len(ref_tr)
             for row, r in zip(mat, ref_tr):
                 np.testing.assert_array_equal(row, r)
+
+
+def test_ladder_len_bounds_and_shape_count():
+    """Upload-ladder contract: result >= true_len, quantum-aligned,
+    pad waste < quantum below 4x window (the linear region), and the
+    total number of distinct shapes for lengths up to 100x window stays
+    small (bounded compile count)."""
+    win, quantum = 300, 100
+    shapes = set()
+    for true_len in range(win + 1, 100 * win, 7):
+        v = W.ladder_len(true_len, win)
+        assert v >= true_len
+        assert v % quantum == 0
+        if true_len <= 4 * win:
+            assert v - true_len < quantum, (true_len, v)
+        shapes.add(v)
+    assert len(shapes) < 25, sorted(shapes)
+    # monotone in true_len
+    ls = [W.ladder_len(t, win) for t in range(win + 1, 10 * win, 13)]
+    assert all(a <= b for a, b in zip(ls, ls[1:]))
