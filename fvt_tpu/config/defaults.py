@@ -151,7 +151,11 @@ def get_config(ds: str) -> dict:
         # built identical bytes (catches host-side desync)
         'serve_quant': 'none',        # 'int8': frozen-backbone convs on
         # the MXU's 2x-rate int8 path (serving only; changes numerics —
-        # measured deltas in DESIGN.md / tools/quant_delta.py)
+        # measured deltas in DESIGN.md / tools/quant_delta.py).
+        # 'int8_static': same conv math, but activation scales are
+        # CALIBRATED once on the first eval batch instead of reduced
+        # per batch (drops the per-conv max|x| pass; scales become
+        # compile-time constants of the eval step)
         'pallas_serving': False,      # fused-TCN Pallas eval path (LFAN)
         'pallas_train': False,        # fused-TCN Pallas TRAIN path (LFAN):
         # forward + custom-VJP backward ride the kernel; dropout masks

@@ -96,13 +96,20 @@ def sanity_check(config: dict):
         'window_eval=True is unsupported: eval uses whole videos + the ' \
         'window-stitch inference path for long LFAN videos'
     sq = config.get('serve_quant', 'none')
-    assert sq in ('none', 'int8'), sq
+    assert sq in ('none', 'int8', 'int8_static'), sq
     # int8 changes numerics — it is a SERVING knob; training must keep
     # the reference's fp32/bf16 math
     if sq != 'none':
         assert config.get('mode') != constants.TRAINING, \
             '--serve_quant is inference-only (use it with --mode ' \
             'EVALUATION / inference_challenge)'
+    if sq == 'int8_static':
+        # static scales ride the standard eval step (calibrated
+        # collection closed over in make_eval_step); the Pallas serving
+        # step applies the backbone itself and would silently drop them
+        assert not config.get('pallas_serving', False), \
+            '--serve_quant int8_static is incompatible with ' \
+            '--pallas_serving (use dynamic int8 there)'
 
 
 def make_outd(config: dict, base: str = None) -> str:
@@ -190,7 +197,8 @@ def _parse_eval(args) -> SimpleNamespace:
                                    'valid_p', 'test_p', 'serve_quant',
                                    'pallas_serving'):
             config[k] = v
-    assert config.get('serve_quant', 'none') in ('none', 'int8'), \
+    assert config.get('serve_quant', 'none') in ('none', 'int8',
+                                                 'int8_static'), \
         config.get('serve_quant')
 
     assert os.path.isdir(config['folds_dir']), (

@@ -160,7 +160,8 @@ class Experiment:
         # double-rate int8 path (ops/quant.py); serving-only — parse
         # rejects it for TRAINING mode (numerics change is opt-in)
         conv_impl = 'int8' if getattr(self.args, 'serve_quant',
-                                      'none') == 'int8' else 'xla'
+                                      'none') in ('int8', 'int8_static') \
+            else 'xla'
         spatial_video = spatial_audio = None
         if constants.VIDEO in self.modality:
             from fvt_tpu.models.arcface import VisualBackbone
@@ -214,7 +215,8 @@ class Experiment:
         (experiment.py:222-269)."""
         loaders = self.init_loaders()
         trainer = self.init_trainer()
-        trainer.init_state(self._sample_batch(loaders))
+        sample = self._sample_batch(loaders)
+        trainer.init_state(sample)
 
         assert os.path.isfile(path_model), path_model
         if path_model.endswith('.msgpack'):
@@ -222,6 +224,11 @@ class Experiment:
         else:
             self._load_torch_ckpt(trainer, path_model)
         log(f"Loaded weights from {path_model}")
+
+        if getattr(self.args, 'serve_quant', 'none') == 'int8_static':
+            # calibrate AFTER the real weights are live — the scales
+            # must describe the served checkpoint's activations
+            trainer.calibrate_quant(sample)
 
         perf, per_video = trainer.inference(loaders[constants.TESTSET])
         return perf, per_video

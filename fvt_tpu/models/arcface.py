@@ -54,8 +54,23 @@ class Conv3x3(nn.Module):
             # the 128/256/512-ch stages but ~equal-to-slower at 64 ch,
             # where int8 tiling can't fill the MXU better than bf16.
             from fvt_tpu.ops.quant import conv3x3_int8
+            x_scale = None
+            if self.is_mutable_collection('act_scales') \
+                    and not self.is_initializing():
+                # calibration pass (--serve_quant int8_static): record
+                # the running max|x| across calibration batches; the
+                # output itself still uses the dynamic scale
+                self.sow('act_scales', 'amax',
+                         jnp.max(jnp.abs(x.astype(jnp.float32))),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros(()))
+            elif self.has_variable('act_scales', 'amax'):
+                # static path: calibrated amax provided at apply time —
+                # no per-batch reduction pass over the activations
+                amax = self.get_variable('act_scales', 'amax')
+                x_scale = jnp.maximum(amax, 1e-12) / 127.0
             return conv3x3_int8(x, kernel, stride=self.stride,
-                                out_dtype=self.dtype)
+                                out_dtype=self.dtype, x_scale=x_scale)
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
         if self.stride == 1 and self.impl not in ('xla', 'int8'):

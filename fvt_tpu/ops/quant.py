@@ -72,18 +72,32 @@ def quantize_symmetric(x: jnp.ndarray, axes=None
 
 
 def conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
-                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                 out_dtype=jnp.bfloat16, x_scale=None) -> jnp.ndarray:
     """'same'-padded 3x3 conv with int8 MXU math.
 
     x: (N, H, W, Cin) float; kernel: (3, 3, Cin, Cout) float.
     Matches ``lax.conv_general_dilated(padding=(1,1))`` up to
     quantization error (pinned in tests/test_quant.py).
+
+    ``x_scale``: optional precomputed (calibrated) per-tensor activation
+    scale.  When given, the dynamic max|x| reduction pass is skipped —
+    the quantize becomes one fused multiply/round/clip/cast that XLA
+    folds into the producer's epilogue.  The backbone is frozen, so the
+    activation distribution is stationary and a scale calibrated once
+    per checkpoint (models/arcface.py 'act_scales' collection) is valid
+    for the whole serving run; values beyond the calibrated amax clip
+    to ±127 like any symmetric-int8 outlier.
     """
     kh, kw, _, cout = kernel.shape
     assert (kh, kw) == (3, 3), (kh, kw)
 
     wq, wscale = quantize_symmetric(kernel, axes=(0, 1, 2))  # (1,1,1,Cout)
-    xq, xscale = quantize_symmetric(x)                       # scalar
+    if x_scale is None:
+        xq, xscale = quantize_symmetric(x)                   # scalar
+    else:
+        xscale = jnp.asarray(x_scale, jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xscale),
+                      -127, 127).astype(jnp.int8)
 
     acc = jax.lax.conv_general_dilated(
         xq, wq, (stride, stride), ((1, 1), (1, 1)),

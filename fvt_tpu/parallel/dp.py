@@ -73,13 +73,15 @@ def make_dp_train_step(model, optimizer, mesh: Mesh,
         donate_argnums=(0,))
 
 
-def make_dp_eval_step(model, mesh: Mesh) -> Callable:
+def make_dp_eval_step(model, mesh: Mesh, extra_vars=None) -> Callable:
     repl = replicated(mesh)
     bsh = batch_sharded(mesh)
+    extra = dict(extra_vars or {})  # e.g. calibrated int8 'act_scales'
 
     def step(params, batch_stats, inputs):
         inputs = _device_transform(inputs, train=False)
-        return model.apply({'params': params, 'batch_stats': batch_stats},
+        return model.apply({'params': params, 'batch_stats': batch_stats,
+                            **extra},
                            inputs, train=False)
 
     return jax.jit(step, in_shardings=(repl, repl, bsh),

@@ -134,12 +134,18 @@ def make_train_step(model, optimizer,
     return train_step
 
 
-def make_eval_step(model, needs_time_mask: bool = False) -> Callable:
+def make_eval_step(model, needs_time_mask: bool = False,
+                   extra_vars: Optional[Dict[str, Any]] = None) -> Callable:
     """Returns fn(params, batch_stats, inputs[, length]) -> (B, T, C) logits.
 
     Compiled once per input-shape bucket.  ``needs_time_mask`` for models
-    whose attention spans time (JMT/MT).
+    whose attention spans time (JMT/MT).  ``extra_vars``: additional
+    variable collections merged into every apply — e.g. the calibrated
+    ``act_scales`` of ``--serve_quant int8_static`` (closed over, so XLA
+    treats the scales as step constants).
     """
+    extra = dict(extra_vars or {})
+
     if needs_time_mask:
         @jax.jit
         def eval_step(params, batch_stats, inputs, length):
@@ -148,13 +154,15 @@ def make_eval_step(model, needs_time_mask: bool = False) -> Callable:
             b, t = next(iter(inputs.values())).shape[:2]
             length = jnp.broadcast_to(jnp.asarray(length), (b,))
             mask = jnp.arange(t)[None, :] < length[:, None]
-            return model.apply({'params': params, 'batch_stats': batch_stats},
+            return model.apply({'params': params, 'batch_stats': batch_stats,
+                                **extra},
                                inputs, train=False, time_mask=mask)
     else:
         @jax.jit
         def eval_step(params, batch_stats, inputs, length=None):
             inputs = _device_transform(inputs, train=False)
-            return model.apply({'params': params, 'batch_stats': batch_stats},
+            return model.apply({'params': params, 'batch_stats': batch_stats,
+                                **extra},
                                inputs, train=False)
 
     return eval_step

@@ -135,6 +135,45 @@ class Trainer:
             rng_mod.fold_key(key, 'init'))
         return self.state
 
+    def calibrate_quant(self, sample_batch: Dict[str, np.ndarray]):
+        """--serve_quant int8_static: record per-conv max|x| over one
+        representative batch (the backbone is frozen, so post-BN/PReLU
+        activation ranges are stationary across the run), then rebuild
+        the eval step with the calibrated scales closed over — XLA sees
+        them as constants and the per-batch max-reduction pass of the
+        dynamic int8 path disappears from the serving program.  Values
+        outside the calibrated range clip to ±127 (standard symmetric
+        int8); the measured quality delta lives in tools/quant_delta.py.
+        """
+        from fvt_tpu.train.steps import _device_transform
+        assert self.state is not None, 'init_state first'
+        inputs = {k: jnp.asarray(v) for k, v in sample_batch.items()
+                  if 'continuous_label' not in k}
+
+        @jax.jit
+        def calib(params, stats, inputs):
+            x = _device_transform(inputs, train=False)
+            _, mut = self.model.apply(
+                {'params': params, 'batch_stats': stats}, x,
+                train=False, mutable=['act_scales'])
+            return mut['act_scales']
+
+        scales = jax.device_get(calib(self.state.params,
+                                      self.state.batch_stats, inputs))
+        n = len(jax.tree.leaves(scales))
+        assert n > 0, ('calibration recorded no activation scales — '
+                       'is the backbone running with conv_impl=int8?')
+        log(fmsg(f'int8_static: calibrated {n} activation scales'))
+        self.act_scales = scales
+        self.eval_step = make_eval_step(self.model,
+                                        needs_time_mask=self.needs_mask,
+                                        extra_vars={'act_scales': scales})
+        # the lazily-built window/DP eval steps close over eval_step /
+        # the model apply — force rebuilds on top of the new scales
+        self._win_step = None
+        self._dp_eval = None
+        return scales
+
     # ---------------------------------------------------------------- train
     def train_one_epoch(self, loader: TrainLoader, epoch: int) -> float:
         t0 = dt.datetime.now()
@@ -280,7 +319,11 @@ class Trainer:
         analogue for this workload, SURVEY §2.4)."""
         if getattr(self, '_dp_eval', None) is None:
             from fvt_tpu.parallel.dp import make_dp_eval_step
-            self._dp_eval = make_dp_eval_step(self.model, self.mesh)
+            extra = None
+            if getattr(self, 'act_scales', None) is not None:
+                extra = {'act_scales': self.act_scales}
+            self._dp_eval = make_dp_eval_step(self.model, self.mesh,
+                                              extra_vars=extra)
         return self._dp_eval
 
     def _win_eval_step(self):

@@ -79,6 +79,58 @@ def test_backbone_int8_embedding_close_to_fp32():
         jax.tree_util.tree_structure(variables)
 
 
+def test_conv3x3_int8_static_scale_matches_dynamic():
+    """Passing the batch's own amax as the calibrated scale reproduces
+    the dynamic path BITWISE (same scale -> same int8 values -> same
+    int32 accumulate -> same dequant)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, 16, 24)) * 0.1
+                     ).astype(np.float32))
+    dyn = np.asarray(conv3x3_int8(x, k, out_dtype=jnp.float32))
+    amax = float(np.abs(np.asarray(x)).max())
+    scale = max(amax, 1e-12) / 127.0
+    sta = np.asarray(conv3x3_int8(x, k, out_dtype=jnp.float32,
+                                  x_scale=scale))
+    np.testing.assert_array_equal(dyn, sta)
+
+
+def test_backbone_int8_static_calibration_roundtrip():
+    """--serve_quant int8_static mechanism at the backbone level:
+    a mutable-['act_scales'] apply records one amax per quantized conv
+    (the 41 3x3 convs with Cin>=128 in the ir-50 plan); re-applying with
+    that collection reproduces the dynamic-int8 output bitwise on the
+    calibration batch and stays embedding-close to fp32 on fresh data."""
+    from fvt_tpu.models.arcface import VisualBackbone, get_blocks_50
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(3, 40, 40, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(3, 40, 40, 3)).astype(np.float32))
+
+    q = VisualBackbone(dtype=jnp.float32, conv_impl='int8')
+    variables = jax.jit(lambda r, v: q.init(r, v, train=False))(
+        jax.random.key(0), x)
+
+    e_dyn, mut = q.apply(variables, x, train=False,
+                         mutable=['act_scales'])
+    scales = mut['act_scales']
+    n_expect = sum((in_c >= 128) + (depth >= 128)
+                   for in_c, depth, _ in get_blocks_50())
+    assert len(jax.tree_util.tree_leaves(scales)) == n_expect == 41
+
+    e_sta = q.apply({**variables, 'act_scales': scales}, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e_dyn), np.asarray(e_sta))
+
+    # fresh batch under the frozen calibrated scales: still a valid
+    # embedding (fp32-cosine criterion shared with the dynamic test)
+    fp = VisualBackbone(dtype=jnp.float32, conv_impl='xla')
+    e_fp = np.asarray(fp.apply(variables, x2, train=False))
+    e_q2 = np.asarray(q.apply({**variables, 'act_scales': scales}, x2,
+                              train=False))
+    cos = (e_fp * e_q2).sum(-1)
+    assert cos.min() > 0.97, cos
+
+
 def test_serve_quant_rejected_for_training(tmp_path):
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -66,11 +66,23 @@ def bench_backbone(n_frames: int, iters: int, dtype_name: str):
     results = {}
     variables = None
     ref_out = None
-    for impl in ('xla', 'int8', 'fused', 'winograd', 'winograd_pallas'):
+    for impl in ('xla', 'int8', 'int8_static', 'fused', 'winograd',
+                 'winograd_pallas'):
         if impl == 'fused':
             from fvt_tpu.models.arcface import arcface_forward_eval
             fwd = jax.jit(lambda v, xx: arcface_forward_eval(
                 v['params'], v['batch_stats'], xx, dtype=dtype))
+        elif impl == 'int8_static':
+            # calibrate once (untimed) on a slice, then serve with the
+            # scales closed over — drops the per-conv max|x| passes
+            model = VisualBackbone(dtype=dtype, conv_impl='int8')
+            _, mut = jax.jit(lambda v, xx, m=model: m.apply(
+                v, xx, train=False, mutable=['act_scales']))(
+                    variables, x[:256])
+            scales = mut['act_scales']
+            fwd = jax.jit(
+                lambda v, xx, m=model, s=scales: m.apply(
+                    {**v, 'act_scales': s}, xx, train=False))
         else:
             model = VisualBackbone(dtype=dtype, conv_impl=impl)
             if variables is None:

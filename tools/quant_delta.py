@@ -1,4 +1,4 @@
-"""Quality-delta harness for --serve_quant int8 (VERDICT r2 #3).
+"""Quality-delta harness for --serve_quant int8 / int8_static (VERDICT r2 #3).
 
 Measures, on the bench's synthetic 256^2 challenge store with a
 torch-ported ArcFace backbone (the only checkpoint source in this image
@@ -74,6 +74,11 @@ def run_inference(serve_quant: str, store_root: str):
     trainer.state = trainer.state.replace(params=params,
                                           batch_stats=stats)
 
+    if serve_quant == 'int8_static':
+        # calibrate AFTER the ported weights are live (same contract as
+        # experiment.run_eval): scales describe the served checkpoint
+        trainer.calibrate_quant(exp._sample_batch(loaders))
+
     perf, logits = trainer.inference(loaders[constants.TESTSET])
     return perf, logits
 
@@ -90,28 +95,30 @@ def main():
     store = bench._make_store()
 
     perf_bf16, log_bf16 = run_inference('none', store)
-    perf_int8, log_int8 = run_inference('int8', store)
 
-    deltas, agrees, n = [], [], 0
-    for vid in log_bf16:
-        a = log_bf16[vid]['logits']
-        b = log_int8[vid]['logits']
-        deltas.append(np.abs(a - b))
-        agrees.append((a.argmax(-1) == b.argmax(-1)).mean())
-        n += len(a)
-
-    d = np.concatenate([x.reshape(-1) for x in deltas])
     out = {
-        'frames': n,
-        'logit_abs_delta_max': float(d.max()),
-        'logit_abs_delta_mean': float(d.mean()),
         'logit_scale': float(np.abs(np.concatenate(
             [log_bf16[v]['logits'].reshape(-1) for v in log_bf16])).mean()),
-        'frame_argmax_agreement': float(np.mean(agrees)),
         'wf1_bf16': float(wf1(perf_bf16)),
-        'wf1_int8': float(wf1(perf_int8)),
-        'wf1_delta': float(wf1(perf_int8) - wf1(perf_bf16)),
     }
+    for mode in ('int8', 'int8_static'):
+        perf_q, log_q = run_inference(mode, store)
+        deltas, agrees, n = [], [], 0
+        for vid in log_bf16:
+            a = log_bf16[vid]['logits']
+            b = log_q[vid]['logits']
+            deltas.append(np.abs(a - b))
+            agrees.append((a.argmax(-1) == b.argmax(-1)).mean())
+            n += len(a)
+        d = np.concatenate([x.reshape(-1) for x in deltas])
+        out['frames'] = n
+        out.update({
+            f'logit_abs_delta_max_{mode}': float(d.max()),
+            f'logit_abs_delta_mean_{mode}': float(d.mean()),
+            f'frame_argmax_agreement_{mode}': float(np.mean(agrees)),
+            f'wf1_{mode}': float(wf1(perf_q)),
+            f'wf1_delta_{mode}': float(wf1(perf_q) - wf1(perf_bf16)),
+        })
     print(json.dumps(out, indent=2))
 
 
