@@ -62,7 +62,9 @@ class PreprocessingDriver:
                  bert=None,
                  arcface: Optional[tuple] = None,
                  transcriber=None,
-                 text_embedder=None):
+                 text_embedder=None,
+                 extract_mfcc: bool = False,
+                 extract_egemaps: bool = False):
         self.ds = ds
         self.split = split
         self.part = part
@@ -86,6 +88,11 @@ class PreprocessingDriver:
             text_embedder = lambda tx: textalign.extract_word_embedding(  # noqa: E731
                 tx, bert[0], bert[1])
         self.text_embedder = text_embedder
+        # optional audio features, off by default like the reference
+        # (project/abaw5/configs.py:146-148 gates extract_mfcc /
+        # extract_egemaps to 0 — "can be really slow to extract")
+        self.extract_mfcc = extract_mfcc
+        self.extract_egemaps = extract_egemaps
 
         os.makedirs(join(output_root, 'features', NPY_FOLDER),
                     exist_ok=True)
@@ -158,6 +165,26 @@ class PreprocessingDriver:
                 record['issues'].append('no wav (ffmpeg missing?)')
         except Exception as e:  # degrade per-sample, keep going
             record['issues'].append(f'audio failed: {e}')
+
+        # 2a. optional audio features (gated like the reference chain:
+        # base/preprocessing.py extract_mfcc/extract_egemaps steps)
+        if os.path.isfile(wav_path):
+            from fvt_tpu.preprocess import mfcc as mfcc_mod
+            if self.extract_mfcc:
+                try:
+                    mfcc_mod.extract_mfcc(
+                        wav_path, join(tdir, 'mfcc.npy'),
+                        annotated_idx=ann_idx, hop_sec=1.0 / fps)
+                except Exception as e:
+                    record['issues'].append(f'mfcc failed: {e}')
+            if self.extract_egemaps:
+                try:
+                    mfcc_mod.extract_egemaps(
+                        wav_path, join(tdir, 'egemaps.npy'),
+                        length=n_frames, target_frequency=fps,
+                        annotated_idx=ann_idx)
+                except Exception as e:
+                    record['issues'].append(f'egemaps failed: {e}')
 
         # 2b. visual: precomputed ArcFace embeddings from compacted faces
         try:
@@ -239,6 +266,13 @@ def main(argv=None):
                    help='Vosk-transcribe (+punctuate) trials that have no '
                         'fold transcript before BERT embedding')
     p.add_argument('--vosk_model_dir', default=None)
+    p.add_argument('--mfcc', action='store_true',
+                   help='extract 39-d HTK-chain MFCC per annotated frame '
+                        '(reference extract_mfcc step, off by default)')
+    p.add_argument('--egemaps', action='store_true',
+                   help='extract 88-d eGeMAPSv02 functionals per '
+                        'annotated frame (reference extract_egemaps '
+                        'step, off by default)')
     args = p.parse_args(argv)
 
     vggish_params = None
@@ -263,7 +297,8 @@ def main(argv=None):
         args.dataset_name, args.split, args.part, args.nparts,
         args.video_root, args.output_root, args.folds_dir, args.fold,
         vggish_params=vggish_params, bert=bert, arcface=arcface,
-        transcriber=transcriber)
+        transcriber=transcriber,
+        extract_mfcc=args.mfcc, extract_egemaps=args.egemaps)
     driver.run()
 
 

@@ -1,0 +1,700 @@
+"""Native eGeMAPSv02 acoustic functionals (88-d), openSMILE-free.
+
+The reference extracts eGeMAPS with the opensmile package
+(/root/reference/base/audio.py:99-117: ``FeatureSet.eGeMAPSv02`` at
+``FeatureLevel.Functionals`` over a 1-second sliding window per
+annotated video frame, starts = arange(length)/fps, ends = starts+1).
+This module implements the same 88-feature vector natively from the
+published GeMAPS/eGeMAPS specification (Eyben et al., "The Geneva
+Minimalistic Acoustic Parameter Set", IEEE Trans. Affective Computing
+2016) so the modality works in this image, where opensmile is absent.
+
+Status (same contract as the native MFCC chain in mfcc.py): column
+COUNT, NAMES and ORDER match opensmile's eGeMAPSv02 csv exactly
+(pinned in tests/test_egemaps.py); each feature follows the paper's
+definition; NUMERICS are not bit-matched to the openSMILE binary —
+its exact SHS pitch tracker, Zwicker loudness model and peak pickers
+are implementation-defined.  ``extract_egemaps`` (mfcc.py) prefers the
+opensmile package when importable and falls back to this module
+otherwise.  Documented approximations:
+
+  * F0: autocorrelation candidates + Viterbi octave-cost smoothing
+    (openSMILE: subharmonic summation + Viterbi).  Range 55-1000 Hz,
+    voicing threshold 0.45 on the normalized ACF peak, like the spec.
+  * jitter/shimmer: per-period measurements from ACF-guided glottal
+    cycle peak picking inside each voiced 60 ms frame (openSMILE uses
+    its own waveform period matcher).
+  * loudness: sum over 26 triangular auditory bands (20-8000 Hz) of
+    band-power^0.3 (Stevens' law exponent the paper cites), not the
+    full Zwicker model.
+  * LLDs are computed ONCE for the whole file at 100 Hz and the
+    per-video-frame functionals are taken over sliding 1 s slices of
+    those tracks; openSMILE re-runs the LLD chain inside every window,
+    which differs only at window boundaries.
+
+LLD layout (25 tracks, 10 ms hop): 20 ms Hamming frames for spectral
+descriptors, 60 ms frames for F0/HNR/jitter/shimmer; `sma3` = 3-frame
+moving average; `nz` variants smooth and aggregate over voiced frames
+only.  All functionals are finite by construction: empty voiced sets
+yield 0.0 (openSMILE's undefined-value convention), never NaN.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from fvt_tpu.preprocess.mfcc import (_frame_signal, _mel_filterbank,
+                                     _dct_htk, _lifter)
+
+LLD_HOP_SEC = 0.010
+SPEC_WIN_SEC = 0.020
+PITCH_WIN_SEC = 0.060
+F0_MIN, F0_MAX = 55.0, 1000.0
+VOICING_THRESHOLD = 0.45
+SEMITONE_BASE_HZ = 27.5
+
+# The 88 output columns, in opensmile's eGeMAPSv02 Functionals csv order.
+COLUMNS = [
+    'F0semitoneFrom27.5Hz_sma3nz_amean',
+    'F0semitoneFrom27.5Hz_sma3nz_stddevNorm',
+    'F0semitoneFrom27.5Hz_sma3nz_percentile20.0',
+    'F0semitoneFrom27.5Hz_sma3nz_percentile50.0',
+    'F0semitoneFrom27.5Hz_sma3nz_percentile80.0',
+    'F0semitoneFrom27.5Hz_sma3nz_pctlrange0-2',
+    'F0semitoneFrom27.5Hz_sma3nz_meanRisingSlope',
+    'F0semitoneFrom27.5Hz_sma3nz_stddevRisingSlope',
+    'F0semitoneFrom27.5Hz_sma3nz_meanFallingSlope',
+    'F0semitoneFrom27.5Hz_sma3nz_stddevFallingSlope',
+    'loudness_sma3_amean',
+    'loudness_sma3_stddevNorm',
+    'loudness_sma3_percentile20.0',
+    'loudness_sma3_percentile50.0',
+    'loudness_sma3_percentile80.0',
+    'loudness_sma3_pctlrange0-2',
+    'loudness_sma3_meanRisingSlope',
+    'loudness_sma3_stddevRisingSlope',
+    'loudness_sma3_meanFallingSlope',
+    'loudness_sma3_stddevFallingSlope',
+    'spectralFlux_sma3_amean',
+    'spectralFlux_sma3_stddevNorm',
+    'mfcc1_sma3_amean',
+    'mfcc1_sma3_stddevNorm',
+    'mfcc2_sma3_amean',
+    'mfcc2_sma3_stddevNorm',
+    'mfcc3_sma3_amean',
+    'mfcc3_sma3_stddevNorm',
+    'mfcc4_sma3_amean',
+    'mfcc4_sma3_stddevNorm',
+    'jitterLocal_sma3nz_amean',
+    'jitterLocal_sma3nz_stddevNorm',
+    'shimmerLocaldB_sma3nz_amean',
+    'shimmerLocaldB_sma3nz_stddevNorm',
+    'HNRdBACF_sma3nz_amean',
+    'HNRdBACF_sma3nz_stddevNorm',
+    'logRelF0-H1-H2_sma3nz_amean',
+    'logRelF0-H1-H2_sma3nz_stddevNorm',
+    'logRelF0-H1-A3_sma3nz_amean',
+    'logRelF0-H1-A3_sma3nz_stddevNorm',
+    'F1frequency_sma3nz_amean',
+    'F1frequency_sma3nz_stddevNorm',
+    'F1bandwidth_sma3nz_amean',
+    'F1bandwidth_sma3nz_stddevNorm',
+    'F1amplitudeLogRelF0_sma3nz_amean',
+    'F1amplitudeLogRelF0_sma3nz_stddevNorm',
+    'F2frequency_sma3nz_amean',
+    'F2frequency_sma3nz_stddevNorm',
+    'F2bandwidth_sma3nz_amean',
+    'F2bandwidth_sma3nz_stddevNorm',
+    'F2amplitudeLogRelF0_sma3nz_amean',
+    'F2amplitudeLogRelF0_sma3nz_stddevNorm',
+    'F3frequency_sma3nz_amean',
+    'F3frequency_sma3nz_stddevNorm',
+    'F3bandwidth_sma3nz_amean',
+    'F3bandwidth_sma3nz_stddevNorm',
+    'F3amplitudeLogRelF0_sma3nz_amean',
+    'F3amplitudeLogRelF0_sma3nz_stddevNorm',
+    'alphaRatioV_sma3nz_amean',
+    'alphaRatioV_sma3nz_stddevNorm',
+    'hammarbergIndexV_sma3nz_amean',
+    'hammarbergIndexV_sma3nz_stddevNorm',
+    'slopeV0-500_sma3nz_amean',
+    'slopeV0-500_sma3nz_stddevNorm',
+    'slopeV500-1500_sma3nz_amean',
+    'slopeV500-1500_sma3nz_stddevNorm',
+    'spectralFluxV_sma3nz_amean',
+    'spectralFluxV_sma3nz_stddevNorm',
+    'mfcc1V_sma3nz_amean',
+    'mfcc1V_sma3nz_stddevNorm',
+    'mfcc2V_sma3nz_amean',
+    'mfcc2V_sma3nz_stddevNorm',
+    'mfcc3V_sma3nz_amean',
+    'mfcc3V_sma3nz_stddevNorm',
+    'mfcc4V_sma3nz_amean',
+    'mfcc4V_sma3nz_stddevNorm',
+    'alphaRatioUV_sma3nz_amean',
+    'hammarbergIndexUV_sma3nz_amean',
+    'slopeUV0-500_sma3nz_amean',
+    'slopeUV500-1500_sma3nz_amean',
+    'spectralFluxUV_sma3nz_amean',
+    'loudnessPeaksPerSec',
+    'VoicedSegmentsPerSec',
+    'MeanVoicedSegmentLengthSec',
+    'StddevVoicedSegmentLengthSec',
+    'MeanUnvoicedSegmentLength',
+    'StddevUnvoicedSegmentLength',
+    'equivalentSoundLevel_dBp',
+]
+assert len(COLUMNS) == 88
+
+
+# ------------------------------------------------------------------ pitch
+def _f0_track(wav: np.ndarray, sr: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(f0_hz, voiced) per 10 ms frame from 60 ms analysis windows.
+
+    Normalized-ACF candidates (top 5 peaks in the 55-1000 Hz lag range,
+    parabolic lag interpolation) + Viterbi smoothing with an octave-jump
+    transition cost — the spec's "Viterbi-based smoothing of the F0
+    contour" over ACF rather than SHS candidates."""
+    size = int(round(PITCH_WIN_SEC * sr))
+    step = int(round(LLD_HOP_SEC * sr))
+    frames = _frame_signal(wav, size, step)
+    n = frames.shape[0]
+    if n == 0:
+        return np.zeros(0), np.zeros(0, bool)
+
+    win = np.hanning(size)
+    fw = frames * win
+    # FFT-based autocorrelation, normalized by lag-0
+    nfft = 1
+    while nfft < 2 * size:
+        nfft *= 2
+    spec = np.fft.rfft(fw, n=nfft, axis=1)
+    ac = np.fft.irfft(np.abs(spec) ** 2, axis=1)[:, :size]
+    r0 = np.maximum(ac[:, 0], 1e-12)
+    nacf = ac / r0[:, None]
+    # compensate the window's own autocorrelation taper (Boersma 1993)
+    wac = np.correlate(win, win, 'full')[size - 1:]
+    wac = np.maximum(wac / wac[0], 1e-3)
+    nacf = nacf / wac[None, :]
+
+    lag_lo = max(2, int(sr / F0_MAX))
+    lag_hi = min(size - 2, int(np.ceil(sr / F0_MIN)))
+    rms = np.sqrt(np.mean(frames ** 2, axis=1))
+    silence = rms < 5e-4
+
+    K = 5
+    cand_f = np.zeros((n, K))
+    cand_s = np.zeros((n, K))  # candidate strength (interpolated nacf)
+    body = nacf[:, lag_lo:lag_hi + 1]
+    peaks = ((body[:, 1:-1] > body[:, :-2])
+             & (body[:, 1:-1] >= body[:, 2:]))
+    for t in range(n):
+        idx = np.nonzero(peaks[t])[0] + 1 + lag_lo
+        if idx.size == 0 or silence[t]:
+            continue
+        # octave cost (Praat-style): an ACF of a periodic signal peaks
+        # equally at T0, 2*T0, 3*T0, ... — penalise longer periods so
+        # the TRUE period wins over its subharmonics
+        OCT_COST = 0.07
+        score = nacf[t, idx] - OCT_COST * np.log2(idx / lag_lo)
+        order = np.argsort(score)[::-1][:K]
+        for k, lag in enumerate(idx[order]):
+            y0, y1, y2 = nacf[t, lag - 1], nacf[t, lag], nacf[t, lag + 1]
+            denom = (y0 - 2 * y1 + y2)
+            d = 0.5 * (y0 - y2) / denom if abs(denom) > 1e-12 else 0.0
+            d = float(np.clip(d, -0.5, 0.5))
+            cand_f[t, k] = sr / (lag + d)
+            cand_s[t, k] = min(y1, 1.0) - OCT_COST * np.log2(lag / lag_lo)
+
+    # Viterbi: unvoiced is candidate K (strength = threshold), octave
+    # jumps between voiced candidates are penalised per |log2 ratio|
+    UNV = K
+    strength = np.concatenate(
+        [cand_s, np.full((n, 1), VOICING_THRESHOLD)], axis=1)
+    freqs = np.concatenate([cand_f, np.zeros((n, 1))], axis=1)
+    cost = -strength
+    TRANS = 0.35
+    dp = cost[0].copy()
+    back = np.zeros((n, K + 1), np.int8)
+    for t in range(1, n):
+        fp, fc = freqs[t - 1], freqs[t]
+        jump = np.zeros((K + 1, K + 1))
+        vv = (fp[:, None] > 0) & (fc[None, :] > 0)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            ratio = np.abs(np.log2(
+                np.where(vv, fc[None, :] / np.maximum(fp[:, None], 1e-6),
+                         1.0)))
+        jump += TRANS * np.where(vv, ratio, 0.0)
+        # voiced<->unvoiced switches cost a little, to avoid flicker
+        jump += 0.14 * ((fp[:, None] > 0) != (fc[None, :] > 0))
+        total = dp[:, None] + jump + cost[t][None, :]
+        back[t] = np.argmin(total, axis=0)
+        dp = total[back[t], np.arange(K + 1)]
+
+    path = np.zeros(n, np.int64)
+    path[-1] = int(np.argmin(dp))
+    for t in range(n - 1, 0, -1):
+        path[t - 1] = back[t, path[t]]
+    f0 = freqs[np.arange(n), path]
+    voiced = (path != UNV) & (f0 > 0)
+    f0 = np.where(voiced, f0, 0.0)
+    return f0, voiced
+
+
+def _period_marks(frame: np.ndarray, t0: float) -> Tuple[np.ndarray,
+                                                         np.ndarray]:
+    """Glottal-cycle peak positions and amplitudes inside one frame,
+    walking ±T0 from the strongest peak with a ±T0/4 search window."""
+    n = len(frame)
+    a = np.abs(frame)
+    start = int(np.argmax(a))
+    half = max(1, int(round(t0 / 4)))
+    pos = [start]
+    p = start
+    while True:  # forward
+        c = p + int(round(t0))
+        if c - half >= n:
+            break
+        lo, hi = max(0, c - half), min(n, c + half + 1)
+        p = lo + int(np.argmax(a[lo:hi]))
+        if p <= pos[-1]:
+            break
+        pos.append(p)
+    p = start
+    while True:  # backward
+        c = p - int(round(t0))
+        if c + half < 0:
+            break
+        lo, hi = max(0, c - half), min(n, c + half + 1)
+        p = lo + int(np.argmax(a[lo:hi]))
+        if p >= pos[0]:
+            break
+        pos.insert(0, p)
+    pos = np.asarray(pos)
+    return pos, a[pos]
+
+
+def _jitter_shimmer_hnr(wav: np.ndarray, sr: int, f0: np.ndarray,
+                        voiced: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-frame jitterLocal, shimmerLocaldB, HNRdBACF (0 when unvoiced
+    or fewer than 3 cycles land in the 60 ms frame)."""
+    size = int(round(PITCH_WIN_SEC * sr))
+    step = int(round(LLD_HOP_SEC * sr))
+    n = len(f0)
+    jitter = np.zeros(n)
+    shimmer = np.zeros(n)
+    hnr = np.zeros(n)
+    win = np.hanning(size)
+    wac = np.correlate(win, win, 'full')[size - 1:]
+    wac = np.maximum(wac / wac[0], 1e-3)
+    for t in np.nonzero(voiced)[0]:
+        seg = wav[t * step:t * step + size]
+        if len(seg) < size:
+            break
+        t0 = sr / f0[t]
+        pos, amp = _period_marks(seg, t0)
+        if len(pos) >= 3:
+            periods = np.diff(pos).astype(np.float64)
+            ok = amp[1:] > 1e-9
+            jitter[t] = (np.abs(np.diff(periods)).mean()
+                         / max(periods.mean(), 1e-9)) \
+                if len(periods) >= 2 else 0.0
+            if ok.all() and (amp[:-1] > 1e-9).all() and len(amp) >= 2:
+                shimmer[t] = np.abs(
+                    20.0 * np.log10(amp[1:] / amp[:-1])).mean()
+        # HNR from the window-compensated normalized ACF at the T0 lag
+        fw = seg * win
+        ac = np.correlate(fw, fw, 'full')[size - 1:]
+        lag = int(round(t0))
+        if 1 <= lag < size:
+            p = (ac[lag] / max(ac[0], 1e-12)) / wac[lag]
+            p = float(np.clip(p, 1e-6, 1.0 - 1e-6))
+            hnr[t] = 10.0 * np.log10(p / (1.0 - p))
+    return jitter, shimmer, hnr
+
+
+# ------------------------------------------------------------- spectral
+def _spectral_llds(wav: np.ndarray, sr: int) -> Dict[str, np.ndarray]:
+    """20 ms-frame descriptors at 100 Hz: loudness, alphaRatio,
+    hammarbergIndex, slope0-500/500-1500, spectralFlux, mfcc1-4."""
+    size = int(round(SPEC_WIN_SEC * sr))
+    step = int(round(LLD_HOP_SEC * sr))
+    frames = _frame_signal(wav, size, step)
+    n = frames.shape[0]
+    nfft = 1
+    while nfft < size:
+        nfft *= 2
+    win = np.hamming(size)
+    mag = np.abs(np.fft.rfft(frames * win, n=nfft, axis=1))
+    power = mag ** 2
+    freqs = np.arange(nfft // 2 + 1) * (sr / nfft)
+
+    out: Dict[str, np.ndarray] = {}
+
+    # loudness: 26-band auditory spectrum, Stevens-law partial loudness
+    fb = _mel_filterbank(nfft, sr, n_bands=26, lo_hz=20.0, hi_hz=8000.0)
+    bands = np.maximum(power @ fb, 1e-12)
+    out['loudness'] = (bands ** 0.3).sum(axis=1)
+
+    def band(lo, hi):
+        return (freqs >= lo) & (freqs < hi)
+
+    e_50_1000 = power[:, band(50, 1000)].sum(axis=1)
+    e_1k_5k = power[:, band(1000, 5000)].sum(axis=1)
+    out['alphaRatio'] = 10.0 * np.log10(
+        np.maximum(e_50_1000, 1e-12) / np.maximum(e_1k_5k, 1e-12))
+
+    m_0_2k = power[:, band(0, 2000)].max(axis=1, initial=1e-12)
+    m_2k_5k = power[:, band(2000, 5000)].max(axis=1, initial=1e-12)
+    out['hammarbergIndex'] = 10.0 * np.log10(m_0_2k / m_2k_5k)
+
+    def slope(lo, hi):
+        sel = band(lo, hi)
+        f = freqs[sel]
+        y = 10.0 * np.log10(np.maximum(power[:, sel], 1e-12))
+        fc = f - f.mean()
+        return (y @ fc) / max((fc ** 2).sum(), 1e-12)
+
+    out['slope0-500'] = slope(0, 500)
+    out['slope500-1500'] = slope(500, 1500)
+
+    # flux: mean squared difference of L2-normalised magnitude spectra
+    mn = mag / np.maximum(
+        np.linalg.norm(mag, axis=1, keepdims=True), 1e-12)
+    flux = np.zeros(n)
+    if n > 1:
+        flux[1:] = ((mn[1:] - mn[:-1]) ** 2).sum(axis=1)
+    out['spectralFlux'] = flux
+
+    # MFCC 1-4 (26-band 20-8000 Hz, HTK DCT + liftering, as mfcc.py)
+    log_mel = np.log(np.maximum((mag * 32767.0) ** 2 @ fb, 1.0))
+    cep = _lifter(_dct_htk(log_mel, n_ceps=5))
+    for i in range(1, 5):
+        out[f'mfcc{i}'] = cep[:, i]
+
+    out['_mag'] = mag
+    out['_freqs'] = freqs
+    return out
+
+
+# ------------------------------------------------------------- formants
+def _levinson(r: np.ndarray, order: int) -> np.ndarray:
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    e = r[0]
+    for i in range(1, order + 1):
+        acc = r[i] + a[1:i] @ r[1:i][::-1]
+        k = -acc / e if e > 1e-12 else 0.0
+        a[1:i] = a[1:i] + k * a[1:i][::-1]
+        a[i] = k
+        e *= (1.0 - k * k)
+        if e <= 0:
+            break
+    return a
+
+
+def _formant_track(wav: np.ndarray, sr: int, lpc_order: int = 14
+                   ) -> np.ndarray:
+    """(n, 3, 2) [centre frequency, bandwidth] of F1-F3 per 10 ms frame
+    via autocorrelation-method LPC root finding."""
+    size = int(round(SPEC_WIN_SEC * sr))
+    step = int(round(LLD_HOP_SEC * sr))
+    frames = _frame_signal(wav, size, step)
+    n = frames.shape[0]
+    out = np.zeros((n, 3, 2))
+    if n == 0:
+        return out
+    pre = frames.copy()
+    pre[:, 1:] -= 0.97 * frames[:, :-1]
+    pre *= np.hamming(size)
+    for t in range(n):
+        x = pre[t]
+        if (x ** 2).sum() < 1e-10:
+            continue
+        r = np.correlate(x, x, 'full')[size - 1:size + lpc_order]
+        a = _levinson(r, lpc_order)
+        roots = np.roots(a)
+        roots = roots[np.imag(roots) > 0.01]
+        if roots.size == 0:
+            continue
+        freq = np.angle(roots) * sr / (2.0 * np.pi)
+        bw = -np.log(np.maximum(np.abs(roots), 1e-9)) * sr / np.pi
+        keep = (freq > 50.0) & (freq < 5500.0) & (bw < 1500.0)
+        freq, bw = freq[keep], bw[keep]
+        order_idx = np.argsort(freq)
+        for k in range(min(3, len(freq))):
+            out[t, k, 0] = freq[order_idx[k]]
+            out[t, k, 1] = bw[order_idx[k]]
+    return out
+
+
+def _harmonic_mag(mag_row: np.ndarray, freqs: np.ndarray,
+                  f: float) -> float:
+    """Magnitude at the spectral bin nearest frequency f (parabolic
+    interpolation over the local peak)."""
+    if f <= 0 or f >= freqs[-1]:
+        return 0.0
+    i = int(np.argmin(np.abs(freqs - f)))
+    lo, hi = max(0, i - 1), min(len(mag_row), i + 2)
+    j = lo + int(np.argmax(mag_row[lo:hi]))
+    return float(mag_row[j])
+
+
+# ----------------------------------------------------------- LLD driver
+def egemaps_lld(wav: np.ndarray, sr: int) -> Dict[str, np.ndarray]:
+    """All 25 eGeMAPS LLD tracks at 100 Hz (unsmoothed), plus 'voiced'.
+
+    ``wav`` float in [-1, 1).  Track lengths are truncated to the
+    shortest chain (60 ms frames end earlier than 20 ms ones)."""
+    wav = np.asarray(wav, dtype=np.float64)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=1)
+
+    f0, voiced = _f0_track(wav, sr)
+    jit, shim, hnr = _jitter_shimmer_hnr(wav, sr, f0, voiced)
+    spec = _spectral_llds(wav, sr)
+    formants = _formant_track(wav, sr)
+
+    n = min(len(f0), len(spec['loudness']), len(formants))
+    n = max(n, 0)
+    f0, voiced = f0[:n], voiced[:n]
+    mag, freqs = spec.pop('_mag')[:n], spec.pop('_freqs')
+
+    lld: Dict[str, np.ndarray] = {
+        k: np.asarray(v[:n]) for k, v in spec.items()}
+    with np.errstate(divide='ignore'):
+        semis = np.where(
+            f0 > 0, 12.0 * np.log2(np.maximum(f0, 1e-6)
+                                   / SEMITONE_BASE_HZ), 0.0)
+    lld['F0semitone'] = semis
+    lld['jitterLocal'] = jit[:n]
+    lld['shimmerLocaldB'] = shim[:n]
+    lld['HNRdBACF'] = hnr[:n]
+    lld['voiced'] = voiced
+
+    h1h2 = np.zeros(n)
+    h1a3 = np.zeros(n)
+    famp = np.zeros((n, 3))
+    for t in np.nonzero(voiced)[0]:
+        h1 = _harmonic_mag(mag[t], freqs, f0[t])
+        h2 = _harmonic_mag(mag[t], freqs, 2.0 * f0[t])
+        if h1 > 0 and h2 > 0:
+            h1h2[t] = 20.0 * np.log10(h1 / h2)
+        for k in range(3):
+            fk = formants[t, k, 0]
+            if fk <= 0:
+                continue
+            # amplitude of the F0 harmonic closest to the formant peak
+            harm = max(1, int(round(fk / f0[t])))
+            ak = _harmonic_mag(mag[t], freqs, harm * f0[t])
+            if ak > 0 and h1 > 0:
+                famp[t, k] = 20.0 * np.log10(ak / h1)
+                if k == 2:
+                    h1a3[t] = 20.0 * np.log10(h1 / ak)
+    lld['logRelF0-H1-H2'] = h1h2
+    lld['logRelF0-H1-A3'] = h1a3
+    for k in range(3):
+        lld[f'F{k + 1}frequency'] = formants[:n, k, 0]
+        lld[f'F{k + 1}bandwidth'] = formants[:n, k, 1]
+        lld[f'F{k + 1}amplitudeLogRelF0'] = famp[:, k]
+    return lld
+
+
+# ---------------------------------------------------------- functionals
+def _sma3(x: np.ndarray) -> np.ndarray:
+    if len(x) < 3:
+        return x.astype(np.float64)
+    k = np.ones(3) / 3.0
+    sm = np.convolve(x, k, mode='same')
+    sm[0] = (x[0] + x[1]) / 2.0
+    sm[-1] = (x[-1] + x[-2]) / 2.0
+    return sm
+
+
+def _sma3nz(x: np.ndarray, voiced: np.ndarray) -> np.ndarray:
+    """Moving average WITHIN voiced runs; unvoiced frames stay 0."""
+    out = np.zeros(len(x))
+    for s, e in _runs(voiced):
+        out[s:e] = _sma3(x[s:e])
+    return out
+
+
+def _runs(mask: np.ndarray):
+    """(start, end) half-open index ranges of True runs."""
+    if len(mask) == 0:
+        return []
+    d = np.diff(mask.astype(np.int8))
+    starts = list(np.nonzero(d == 1)[0] + 1)
+    ends = list(np.nonzero(d == -1)[0] + 1)
+    if mask[0]:
+        starts.insert(0, 0)
+    if mask[-1]:
+        ends.append(len(mask))
+    return list(zip(starts, ends))
+
+
+def _amean_stdnorm(x: np.ndarray) -> Tuple[float, float]:
+    if len(x) == 0:
+        return 0.0, 0.0
+    m = float(x.mean())
+    s = float(x.std())
+    return m, (s / abs(m) if abs(m) > 1e-12 else 0.0)
+
+
+def _segment_slopes(x: np.ndarray, rising: bool) -> np.ndarray:
+    """Slopes (units/sec) of maximal monotone segments of the contour."""
+    if len(x) < 2:
+        return np.zeros(0)
+    d = np.diff(x)
+    mask = d > 0 if rising else d < 0
+    slopes = []
+    for s, e in _runs(mask):  # d-indices [s, e) -> x-indices [s, e]
+        dt = (e - s) * LLD_HOP_SEC
+        slopes.append((x[e] - x[s]) / dt)
+    return np.asarray(slopes)
+
+
+def _peaks_per_sec(x: np.ndarray) -> float:
+    """Local maxima above the contour mean with prominence: between two
+    counted peaks the contour must dip by >=10% of its range (drops the
+    frame-rate ripple a bare local-max count would see)."""
+    if len(x) < 3:
+        return 0.0
+    rng = float(x.max() - x.min())
+    if rng <= 1e-12:
+        return 0.0
+    m = x.mean()
+    cand = np.nonzero((x[1:-1] > x[:-2]) & (x[1:-1] >= x[2:])
+                      & (x[1:-1] > m))[0] + 1
+    count, prev = 0, None
+    for i in cand:
+        if prev is None:
+            count, prev = count + 1, i
+            continue
+        valley = float(x[prev:i + 1].min())
+        if valley <= min(x[prev], x[i]) - 0.1 * rng:
+            count, prev = count + 1, i
+        elif x[i] > x[prev]:
+            prev = i  # same hump, keep its higher summit
+    return count / (len(x) * LLD_HOP_SEC)
+
+
+def _contour_funcs(x: np.ndarray, sel: np.ndarray = None) -> list:
+    """The 10-functional block used for F0 and loudness: amean,
+    stddevNorm, percentiles 20/50/80, range 20-80, mean/std rising and
+    falling slopes.  ``sel``: frames the distribution stats run over
+    (voiced for F0); slopes are measured WITHIN each selected run so
+    voiced-gap boundaries never fabricate a segment."""
+    vals = x if sel is None else x[sel]
+    mean, stdn = _amean_stdnorm(vals)
+    if len(vals):
+        p20, p50, p80 = np.percentile(vals, [20, 50, 80])
+    else:
+        p20 = p50 = p80 = 0.0
+    spans = [(0, len(x))] if sel is None else _runs(sel)
+    rise = np.concatenate(
+        [_segment_slopes(x[s:e], rising=True) for s, e in spans]
+        or [np.zeros(0)])
+    fall = np.concatenate(
+        [_segment_slopes(x[s:e], rising=False) for s, e in spans]
+        or [np.zeros(0)])
+    rm = float(rise.mean()) if len(rise) else 0.0
+    rs = float(rise.std()) if len(rise) else 0.0
+    fm = float(fall.mean()) if len(fall) else 0.0
+    fs = float(fall.std()) if len(fall) else 0.0
+    return [mean, stdn, float(p20), float(p50), float(p80),
+            float(p80 - p20), rm, rs, fm, fs]
+
+
+def functionals_from_lld(lld: Dict[str, np.ndarray],
+                         wav_slice: np.ndarray = None) -> np.ndarray:
+    """(88,) eGeMAPSv02 functional vector from (a slice of) LLD tracks."""
+    voiced = lld['voiced'].astype(bool)
+    unvoiced = ~voiced
+    out = []
+
+    f0s = _sma3nz(lld['F0semitone'], voiced)
+    out += _contour_funcs(f0s, sel=voiced)
+    loud = _sma3(lld['loudness'])
+    out += _contour_funcs(loud)
+
+    flux = _sma3(lld['spectralFlux'])
+    out += list(_amean_stdnorm(flux))
+    for i in range(1, 5):
+        out += list(_amean_stdnorm(_sma3(lld[f'mfcc{i}'])))
+
+    for name in ('jitterLocal', 'shimmerLocaldB', 'HNRdBACF',
+                 'logRelF0-H1-H2', 'logRelF0-H1-A3',
+                 'F1frequency', 'F1bandwidth', 'F1amplitudeLogRelF0',
+                 'F2frequency', 'F2bandwidth', 'F2amplitudeLogRelF0',
+                 'F3frequency', 'F3bandwidth', 'F3amplitudeLogRelF0'):
+        track = _sma3nz(lld[name], voiced)
+        out += list(_amean_stdnorm(track[voiced]))
+
+    # voiced-only spectral balance (V) blocks
+    for name in ('alphaRatio', 'hammarbergIndex', 'slope0-500',
+                 'slope500-1500', 'spectralFlux'):
+        track = _sma3nz(lld[name], voiced)
+        out += list(_amean_stdnorm(track[voiced]))
+    for i in range(1, 5):
+        track = _sma3nz(lld[f'mfcc{i}'], voiced)
+        out += list(_amean_stdnorm(track[voiced]))
+
+    # unvoiced means (UV)
+    for name in ('alphaRatio', 'hammarbergIndex', 'slope0-500',
+                 'slope500-1500', 'spectralFlux'):
+        track = _sma3nz(lld[name], unvoiced)
+        out.append(_amean_stdnorm(track[unvoiced])[0])
+
+    out.append(_peaks_per_sec(loud))
+
+    dur = max(len(voiced) * LLD_HOP_SEC, 1e-9)
+    vruns = [(e - s) * LLD_HOP_SEC for s, e in _runs(voiced)
+             if e - s >= 2]  # >=20 ms, drops single-frame flicker
+    uruns = [(e - s) * LLD_HOP_SEC for s, e in _runs(unvoiced)]
+    out.append(len(vruns) / dur)
+    out.append(float(np.mean(vruns)) if vruns else 0.0)
+    out.append(float(np.std(vruns)) if vruns else 0.0)
+    out.append(float(np.mean(uruns)) if uruns else 0.0)
+    out.append(float(np.std(uruns)) if uruns else 0.0)
+
+    if wav_slice is not None and len(wav_slice):
+        level = 10.0 * np.log10(float(np.mean(
+            np.asarray(wav_slice, np.float64) ** 2)) + 1e-12)
+    else:  # reconstruct from the loudness track when no waveform given
+        level = 10.0 * np.log10(float(np.mean(
+            lld['loudness'] ** (1 / 0.3))) + 1e-12) if len(voiced) \
+            else -120.0
+    out.append(level)
+
+    vec = np.asarray(out, dtype=np.float32)
+    assert vec.shape == (88,), vec.shape
+    return np.nan_to_num(vec, posinf=0.0, neginf=0.0)
+
+
+def egemaps_functionals(wav: np.ndarray, sr: int) -> np.ndarray:
+    """Whole-file (88,) vector (opensmile ``process_file`` analogue)."""
+    return functionals_from_lld(egemaps_lld(wav, sr), wav_slice=wav)
+
+
+def egemaps_per_frame(wav: np.ndarray, sr: int, length: int,
+                      target_frequency: float) -> np.ndarray:
+    """(length, 88): row i aggregates the 1-second window starting at
+    i/target_frequency — the reference's process_files scheme
+    (base/audio.py:106-117).  LLDs are computed once; each row takes
+    functionals over its 100-frame slice (clamped at the tail, like
+    openSMILE's shorter final windows)."""
+    lld = egemaps_lld(wav, sr)
+    n = len(lld['voiced'])
+    win = int(round(1.0 / LLD_HOP_SEC))
+    rows = np.zeros((length, 88), np.float32)
+    for i in range(length):
+        s = int(round(i / target_frequency / LLD_HOP_SEC))
+        s = min(max(s, 0), max(n - 1, 0))
+        e = min(s + win, n)
+        sl = {k: v[s:e] for k, v in lld.items()}
+        ws = wav[int(s * LLD_HOP_SEC * sr):int(e * LLD_HOP_SEC * sr)]
+        rows[i] = functionals_from_lld(sl, wav_slice=ws)
+    return rows

@@ -206,35 +206,60 @@ def extract_mfcc(wav_path: str, output_path: str,
 
 def extract_egemaps(wav_path: str, output_path: str,
                     length: int = None, target_frequency: float = None,
-                    **kwargs):
+                    annotated_idx: np.ndarray = None, **kwargs):
     """eGeMAPSv02 FUNCTIONALS (88-d), one vector per target frame over a
     1-second sliding window — the reference's exact windowing scheme
-    (base/audio.py:99-117: starts = arange(length)/fps, ends = starts+1).
+    (base/audio.py:99-117: starts = arange(length)/fps, ends = starts+1,
+    one row per VIDEO frame), then gathered at ``annotated_idx`` like
+    every compacted audio feature (base/preprocessing.py:879-891).
 
-    SUPPORTED ONLY WITH openSMILE: the 88 functionals are defined by the
-    openSMILE implementation and have no native numerical equivalent
-    here; this path is feature-complete when the package is installed and
-    raises a clear gate error otherwise.  The eGeMAPS modality is unused
-    by the reference's default feature set (vggish/bert/video)."""
-    try:
-        import opensmile  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            'eGeMAPS extraction needs the opensmile package '
-            '(not in this image); MFCC/log-mel/VGGish cover the audio '
-            'feature contract natively') from e
+    Uses the openSMILE package when importable (its implementation
+    DEFINES the canonical numerics); otherwise falls back to the native
+    spec-conformant implementation in preprocess/egemaps.py (same 88
+    columns, same order, openSMILE-independent numerics — the module
+    docstring records every approximation).  Stores produced with one
+    backend should not be mixed with the other."""
     import os
-    smile = opensmile.Smile(
-        feature_set=opensmile.FeatureSet.eGeMAPSv02,
-        feature_level=opensmile.FeatureLevel.Functionals)
-    if length is not None and target_frequency is not None:
-        starts = np.arange(length) / target_frequency
-        ends = starts + 1.0
-        feats = smile.process_files(
-            files=[wav_path] * int(length), starts=starts,
-            ends=ends).values
+    if os.path.isfile(output_path):
+        return
+    try:
+        import opensmile
+    except ImportError:
+        opensmile = None
+    if opensmile is None:
+        from fvt_tpu.preprocess import egemaps as native
+        data, sr = melspec.read_wav(wav_path)
+        samples = data / 32768.0
+        if samples.ndim > 1:
+            samples = np.mean(samples, axis=1)
+        if length is not None and target_frequency is not None:
+            feats = native.egemaps_per_frame(samples, sr, int(length),
+                                             target_frequency)
+        else:
+            feats = native.egemaps_functionals(samples, sr)[None]
     else:
-        feats = smile.process_file(wav_path).values
+        smile = opensmile.Smile(
+            feature_set=opensmile.FeatureSet.eGeMAPSv02,
+            feature_level=opensmile.FeatureLevel.Functionals)
+        if length is not None and target_frequency is not None:
+            starts = np.arange(length) / target_frequency
+            ends = starts + 1.0
+            feats = smile.process_files(
+                files=[wav_path] * int(length), starts=starts,
+                ends=ends).values
+        else:
+            feats = smile.process_file(wav_path).values
+    feats = np.nan_to_num(np.asarray(feats, dtype=np.float32))
+    if annotated_idx is not None:
+        # compact_audio_feature contract: edge-pad so every annotated
+        # index exists, then gather (base/preprocessing.py:992-1018)
+        need = int(max(annotated_idx))
+        diff = need - len(feats) + 1
+        if diff > 0:
+            pad = (feats[-1][None] if len(feats) else
+                   np.zeros((1, 88), feats.dtype))
+            feats = np.concatenate([feats, np.repeat(pad, diff, axis=0)])
+        feats = feats[annotated_idx]
     os.makedirs(os.path.dirname(os.path.abspath(output_path)),
                 exist_ok=True)
-    np.save(output_path, feats.astype(np.float32))
+    np.save(output_path, feats)

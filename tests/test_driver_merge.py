@@ -175,3 +175,51 @@ def test_transcriber_chain_step(video_store, tmp_path):
     bert2 = np.load(join(out_root, 'features', 'compacted_48',
                          'train/spoken', 'bert.npy'))
     assert bert2.shape == (10, 768) and bert2.any()
+
+
+def test_optional_audio_feature_steps(video_store, tmp_path):
+    """--mfcc / --egemaps driver gates (the reference's extract_mfcc /
+    extract_egemaps chain steps, base/preprocessing.py:280-285 +
+    project/abaw5/configs.py:146-148): mfcc.npy (length, 39) and
+    egemaps.npy (length, 88) appear per trial, aligned to the annotated
+    frame index like every compacted audio feature."""
+    import wave as wave_mod
+
+    out_root = str(tmp_path / 'af_out')
+    drv = PreprocessingDriver(
+        constants.MELD, constants.TRAINSET, part=0, nparts=1,
+        video_root=join(video_store, 'raw'), output_root=out_root,
+        folds_dir=join(video_store, 'folds'),
+        extract_mfcc=True, extract_egemaps=True)
+
+    # no ffmpeg in this image: plant real 16 kHz wavs where the wav
+    # conversion step would have written them
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.3 * np.sin(2 * np.pi * 220.0 * t) * 32767).astype(np.int16)
+    for i in range(4):
+        w = join(out_root, 'features', 'wav', f'train/clip{i}.wav')
+        os.makedirs(os.path.dirname(w), exist_ok=True)
+        with wave_mod.open(w, 'wb') as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(tone.tobytes())
+
+    records = drv.run()
+    assert len(records) == 4
+    for i, rec in enumerate(records):
+        pr = rec['processing_record']
+        assert not [s for s in pr['issues']
+                    if 'mfcc' in s or 'egemaps' in s], pr['issues']
+        tdir = join(out_root, 'features', 'compacted_48',
+                    f'train/clip{i}')
+        n = pr['length']
+        mf = np.load(join(tdir, 'mfcc.npy'))
+        eg = np.load(join(tdir, 'egemaps.npy'))
+        assert mf.shape == (n, 39) and np.isfinite(mf).all()
+        assert eg.shape == (n, 88) and np.isfinite(eg).all()
+        # a 220 Hz tone is voiced: the F0 functional column is live
+        from fvt_tpu.preprocess.egemaps import COLUMNS
+        f0col = COLUMNS.index('F0semitoneFrom27.5Hz_sma3nz_amean')
+        assert abs(eg[0, f0col] - 36.0) < 1.0

@@ -1,0 +1,174 @@
+"""Native eGeMAPSv02 (preprocess/egemaps.py): column contract +
+analytic-signal behavior.
+
+The openSMILE package is absent in this image, so numerics cannot be
+compared against the binary (documented in the module docstring); these
+tests pin what IS analytically known: the 88-column contract
+(/root/reference/base/audio.py:99-117 consumers expect opensmile's
+eGeMAPSv02 Functionals layout, EGEMAPS_DIM=88 in
+abaw5_pre_processing/project/abaw5/configs.py:24), pitch/voicing on
+pure tones, jitter/shimmer separations, slope signs on sweeps, and the
+no-NaN guarantee on degenerate inputs.
+"""
+import wave
+
+import numpy as np
+import pytest
+
+from fvt_tpu.preprocess import egemaps as EG
+
+SR = 16000
+
+
+def tone(freq=220.0, dur=2.0, amp=0.3, sr=SR):
+    t = np.arange(int(dur * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float64)
+
+
+def col(vec, name):
+    return float(vec[EG.COLUMNS.index(name)])
+
+
+# ------------------------------------------------------------- contract
+def test_column_contract():
+    assert len(EG.COLUMNS) == 88
+    assert len(set(EG.COLUMNS)) == 88
+    # opensmile's csv order, spot-pinned at block boundaries
+    assert EG.COLUMNS[0] == 'F0semitoneFrom27.5Hz_sma3nz_amean'
+    assert EG.COLUMNS[9] == 'F0semitoneFrom27.5Hz_sma3nz_stddevFallingSlope'
+    assert EG.COLUMNS[10] == 'loudness_sma3_amean'
+    assert EG.COLUMNS[20] == 'spectralFlux_sma3_amean'
+    assert EG.COLUMNS[22] == 'mfcc1_sma3_amean'
+    assert EG.COLUMNS[30] == 'jitterLocal_sma3nz_amean'
+    assert EG.COLUMNS[34] == 'HNRdBACF_sma3nz_amean'
+    assert EG.COLUMNS[40] == 'F1frequency_sma3nz_amean'
+    assert EG.COLUMNS[58] == 'alphaRatioV_sma3nz_amean'
+    assert EG.COLUMNS[76] == 'alphaRatioUV_sma3nz_amean'
+    assert EG.COLUMNS[81] == 'loudnessPeaksPerSec'
+    assert EG.COLUMNS[87] == 'equivalentSoundLevel_dBp'
+
+
+# ----------------------------------------------------------- pure tone
+@pytest.fixture(scope='module')
+def tone_vec():
+    return EG.egemaps_functionals(tone(), SR)
+
+
+def test_tone_pitch(tone_vec):
+    # 220 Hz = 12*log2(220/27.5) = exactly 36 semitones above 27.5 Hz
+    assert abs(col(tone_vec, 'F0semitoneFrom27.5Hz_sma3nz_amean')
+               - 36.0) < 0.5
+    # steady pitch: tiny normalized deviation, ordered percentiles
+    assert col(tone_vec, 'F0semitoneFrom27.5Hz_sma3nz_stddevNorm') < 0.02
+    p20 = col(tone_vec, 'F0semitoneFrom27.5Hz_sma3nz_percentile20.0')
+    p50 = col(tone_vec, 'F0semitoneFrom27.5Hz_sma3nz_percentile50.0')
+    p80 = col(tone_vec, 'F0semitoneFrom27.5Hz_sma3nz_percentile80.0')
+    assert p20 <= p50 <= p80
+    assert abs(p50 - 36.0) < 0.5
+
+
+def test_tone_voicing_quality(tone_vec):
+    # one long voiced segment covering the file
+    assert col(tone_vec, 'VoicedSegmentsPerSec') < 1.5
+    assert col(tone_vec, 'MeanVoicedSegmentLengthSec') > 1.0
+    # clean periodicity: low jitter/shimmer, high HNR
+    assert col(tone_vec, 'jitterLocal_sma3nz_amean') < 0.03
+    assert col(tone_vec, 'shimmerLocaldB_sma3nz_amean') < 1.0
+    assert col(tone_vec, 'HNRdBACF_sma3nz_amean') > 10.0
+
+
+def test_tone_level():
+    loud = EG.egemaps_functionals(tone(amp=0.5), SR)
+    quiet = EG.egemaps_functionals(tone(amp=0.05), SR)
+    # 20 dB amplitude ratio == 20 dB equivalent-level difference
+    d = (col(loud, 'equivalentSoundLevel_dBp')
+         - col(quiet, 'equivalentSoundLevel_dBp'))
+    assert abs(d - 20.0) < 1.0
+    assert (col(loud, 'loudness_sma3_amean')
+            > col(quiet, 'loudness_sma3_amean'))
+
+
+def test_shimmer_separates_amplitude_modulation():
+    steady = EG.egemaps_functionals(tone(), SR)
+    t = np.arange(int(2.0 * SR)) / SR
+    am = (0.3 * (1.0 + 0.6 * np.sin(2 * np.pi * 30.0 * t))
+          * np.sin(2 * np.pi * 220.0 * t))
+    mod = EG.egemaps_functionals(am, SR)
+    assert (col(mod, 'shimmerLocaldB_sma3nz_amean')
+            > 2.0 * col(steady, 'shimmerLocaldB_sma3nz_amean'))
+
+
+def test_loudness_peaks_track_slow_am():
+    t = np.arange(int(4.0 * SR)) / SR
+    am = (0.3 * (1.0 + 0.8 * np.sin(2 * np.pi * 3.0 * t))
+          * np.sin(2 * np.pi * 220.0 * t))
+    vec = EG.egemaps_functionals(am, SR)
+    # 3 Hz envelope -> ~3 loudness peaks per second
+    assert 1.5 < col(vec, 'loudnessPeaksPerSec') < 6.0
+
+
+def test_pitch_sweep_slopes():
+    t = np.arange(int(2.0 * SR)) / SR
+    # linear 120 -> 240 Hz chirp: phase = 2pi*(120 t + 30 t^2)
+    sweep = 0.3 * np.sin(2 * np.pi * (120.0 * t + 30.0 * t * t))
+    vec = EG.egemaps_functionals(sweep, SR)
+    # one octave over 2 s = +6 semitones/s rising contour
+    rise = col(vec, 'F0semitoneFrom27.5Hz_sma3nz_meanRisingSlope')
+    assert 2.0 < rise < 20.0
+    assert (col(vec, 'F0semitoneFrom27.5Hz_sma3nz_percentile80.0')
+            > col(vec, 'F0semitoneFrom27.5Hz_sma3nz_percentile20.0') + 3.0)
+
+
+# ------------------------------------------------------- degenerate in
+def test_noise_mostly_unvoiced_and_finite():
+    rng = np.random.default_rng(0)
+    vec = EG.egemaps_functionals(0.1 * rng.standard_normal(2 * SR), SR)
+    assert np.isfinite(vec).all()
+    assert col(vec, 'VoicedSegmentsPerSec') < 5.0
+    # broadband spectrum: unvoiced spectral means populated
+    assert col(vec, 'spectralFluxUV_sma3nz_amean') >= 0.0
+
+
+def test_silence_is_finite_zeros():
+    vec = EG.egemaps_functionals(np.zeros(SR), SR)
+    assert vec.shape == (88,)
+    assert np.isfinite(vec).all()
+    assert col(vec, 'F0semitoneFrom27.5Hz_sma3nz_amean') == 0.0
+    assert col(vec, 'jitterLocal_sma3nz_amean') == 0.0
+    assert col(vec, 'equivalentSoundLevel_dBp') < -50.0
+
+
+def test_short_input_no_crash():
+    vec = EG.egemaps_functionals(np.zeros(100), SR)  # < one frame
+    assert vec.shape == (88,) and np.isfinite(vec).all()
+
+
+# ---------------------------------------------------------- per frame
+def test_per_frame_rows_shape_and_stationarity():
+    wav = tone(dur=3.0)
+    rows = EG.egemaps_per_frame(wav, SR, length=10, target_frequency=5.0)
+    assert rows.shape == (10, 88)
+    assert rows.dtype == np.float32
+    assert np.isfinite(rows).all()
+    # stationary signal -> every 1 s window sees the same pitch
+    i = EG.COLUMNS.index('F0semitoneFrom27.5Hz_sma3nz_amean')
+    assert np.ptp(rows[:, i]) < 1.0
+    assert abs(rows[0, i] - 36.0) < 0.5
+
+
+def test_extract_egemaps_per_frame_contract(tmp_path):
+    """The driver-facing entry (mfcc.extract_egemaps) with the
+    reference's (length, fps) windowing produces (length, 88)."""
+    from fvt_tpu.preprocess import mfcc as MF
+    wav = (tone(dur=2.0) * 32767).astype(np.int16)
+    p = str(tmp_path / 't.wav')
+    with wave.open(p, 'wb') as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(wav.tobytes())
+    out = str(tmp_path / 'egemaps.npy')
+    MF.extract_egemaps(p, out, length=8, target_frequency=4.0)
+    feats = np.load(out)
+    assert feats.shape == (8, 88)
+    assert np.isfinite(feats).all()

@@ -122,5 +122,8 @@ def test_mfcc_shape_and_deltas(tmp_path):
     MF.extract_mfcc(p, out, annotated_idx=np.arange(50))
     assert np.load(out).shape == (50, 39)
 
-    with pytest.raises(NotImplementedError):
-        MF.extract_egemaps(p, str(tmp_path / 'ege.npy'))
+    # opensmile is absent in this image -> the native eGeMAPS fallback
+    # produces the whole-file 88-d functional vector
+    ege = str(tmp_path / 'ege.npy')
+    MF.extract_egemaps(p, ege)
+    assert np.load(ege).shape == (1, 88)
