@@ -172,3 +172,60 @@ def test_extract_egemaps_per_frame_contract(tmp_path):
     feats = np.load(out)
     assert feats.shape == (8, 88)
     assert np.isfinite(feats).all()
+
+
+# ------------------------------------------------- modality end-to-end
+def test_egemaps_modality_trains():
+    """'egemaps' is a first-class feature modality (reference
+    configs.py:55 feature_dimension egemaps=(88,), models/model.py:390
+    input dim 88): a store carrying egemaps.npy per trial drives a CAN
+    training epoch + inference through the standard stack."""
+    import os
+    import tempfile
+    from os.path import join
+    from types import SimpleNamespace
+
+    from fvt_tpu import constants
+    from fvt_tpu.config.defaults import get_config
+    from fvt_tpu.experiment import Experiment
+    from synth_store import make_meld_store
+
+    root = tempfile.mkdtemp(prefix='fvt_ege_mod_')
+    store = make_meld_store(root, n_train=6, n_val=3, n_test=3,
+                            min_len=6, max_len=12)
+    # extend every trial with a separable 88-d egemaps stream
+    rng = np.random.default_rng(1)
+    centers = rng.normal(size=(7, 88)) * 3.0
+    feat_dir = join(root, 'features', 'compacted_48')
+    for split_dir in sorted(os.listdir(feat_dir)):
+        for v in sorted(os.listdir(join(feat_dir, split_dir))):
+            tdir = join(feat_dir, split_dir, v)
+            lab = int(np.load(join(
+                tdir, 'EXPR_continuous_label.npy'))[0])
+            n = len(np.load(join(tdir, 'EXPR_continuous_label.npy')))
+            np.save(join(tdir, 'egemaps.npy'),
+                    (centers[lab] + rng.normal(size=(n, 88))
+                     ).astype(np.float32))
+
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               model_name=constants.CAN,
+               modality='egemaps+bert+EXPR_continuous_label',
+               window_length=16, hop_length=8,
+               train_batch_size=4, eval_bucket_quantum=8,
+               num_workers=1, calc_mean_std=True, seed=0,
+               outd=tempfile.mkdtemp(prefix='fvt_ege_out_'))
+    args = SimpleNamespace(**cfg)
+
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    loss = trainer.train_one_epoch(loaders[constants.TRAINSET], 0)
+    assert np.isfinite(loss)
+    perf, per_video = trainer.inference(loaders[constants.VALIDSET])
+    assert len(per_video) == 3
+    for v, d in per_video.items():
+        assert d['logits'].shape[1] == 7, (v, d['logits'].shape)
