@@ -4,10 +4,10 @@ Two numbers, both honest:
 
   * e2e: the full challenge-inference path — on-disk 256x256 face store
     (the real disk contract, reference configs.py:20 / faces.py
-    OUT_SIZE=256) -> threaded loader (+host 256->48 resize) -> H2D ->
-    device crop/normalize -> ArcFace ResNet-50 (bf16) -> TCN/fusion ->
-    window-stitch -> host logits.  Matches
-    /root/reference/trainer.py:436-523.
+    OUT_SIZE=256) -> threaded loader (+host 256->48 resize + 40^2
+    center precrop, bit-identical) -> H2D -> device normalize ->
+    ArcFace ResNet-50 (bf16) -> TCN/fusion -> window-stitch -> host
+    logits.  Matches /root/reference/trainer.py:436-523.
   * model_forward: the device-only LFAN forward (Pallas serving path) on
     pre-staged 48x48 windows — the compute ceiling of the same workload.
 
@@ -108,6 +108,52 @@ def bench_model_forward():
     flops_per_frame = (flops_call / (BATCH_WINDOWS * WINDOW)
                        if flops_call else None)
     return fps, mfu, flops_per_frame
+
+
+def bench_backbone_quant():
+    """Secondary metric: frozen-backbone forward under --serve_quant
+    int8_static (MXU double-rate int8 path, ops/quant.py) vs the bf16
+    serving default, same 2400-frame workload as a 16-window batch's
+    spatial pass.  Reported alongside the headline because int8 CHANGES
+    numerics (quality delta bound in tools/quant_delta.py / DESIGN.md)
+    and therefore must stay an opt-in serving flag, not the default."""
+    import jax
+    import jax.numpy as jnp
+    from fvt_tpu.models.arcface import VisualBackbone
+
+    n_frames = 2400
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n_frames, 40, 40, 3))
+                    .astype(np.float32))
+
+    bf16 = VisualBackbone(dtype=jnp.bfloat16, conv_impl='xla')
+    variables = jax.jit(lambda r, v: bf16.init(r, v, train=False))(
+        jax.random.key(0), x[:8])
+
+    def timed(fwd):
+        np.asarray(fwd(variables, x))  # compile
+        np.asarray(fwd(variables, x))
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(fwd(variables, x))  # force to host (axon elision)
+        return n_frames * iters / (time.perf_counter() - t0)
+
+    bf16_fps = timed(jax.jit(
+        lambda v, xx, m=bf16: m.apply(v, xx, train=False)))
+
+    q = VisualBackbone(dtype=jnp.bfloat16, conv_impl='int8')
+    _, mut = jax.jit(lambda v, xx, m=q: m.apply(
+        v, xx, train=False, mutable=['act_scales']))(variables, x[:256])
+    scales = mut['act_scales']  # calibrated once; closed over below
+    int8_fps = timed(jax.jit(
+        lambda v, xx, m=q, s=scales: m.apply(
+            {**v, 'act_scales': s}, xx, train=False)))
+    return {
+        'backbone_bf16_fps': round(bf16_fps, 1),
+        'backbone_int8_fps': round(int8_fps, 1),
+        'backbone_int8_speedup': round(int8_fps / bf16_fps, 3),
+    }
 
 
 def _make_store():
@@ -296,6 +342,10 @@ def main():
                 raise
             time.sleep(5)
     try:
+        quant = bench_backbone_quant()
+    except Exception:
+        quant = None  # secondary metric: never sink the headline
+    try:
         base = bench_torch_reference()
         ratio = round(e2e_fps / base, 3)
     except Exception:
@@ -312,6 +362,7 @@ def main():
         'e2e_frames': n_frames,
         'torch_cpu_fps': round(base, 2) if base else None,
         'e2e_breakdown': breakdown,
+        'serving_quant': quant,
     }))
 
 

@@ -128,6 +128,12 @@ def get_config(ds: str) -> dict:
         # logits over the bench store: the model's first feature op is
         # a bf16 cast, so host-side rounding commutes); bench.py runs
         # with it on
+        'h2d_precrop_video': True,    # EVAL-time host center-crop of
+        # 48^2 video to the model's 40^2 BEFORE upload: 31% fewer video
+        # H2D bytes, BIT-IDENTICAL logits (the device eval transform's
+        # resize no-ops at 48 and its center crop is the same [4:44]
+        # slice; pinned by tests/test_precrop_h2d.py).  Train-time
+        # random crops stay on device (crop offset varies per window)
         'eval_device_windows': True,  # long-video inference uploads each
         # video ONCE and gathers windows ON DEVICE (each frame crosses
         # H2D exactly once, vs 1.5x with host-built overlap windows);

@@ -70,9 +70,20 @@ def train_video_transform(video: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
 
 
 def eval_video_transform(video: jnp.ndarray) -> jnp.ndarray:
-    x = _resize_frames(video.astype(jnp.float32), SCALE_SIZE)
-    off = (SCALE_SIZE - CROP_SIZE) // 2
-    x = x[:, :, off:off + CROP_SIZE, off:off + CROP_SIZE, :]
+    # Already CROP_SIZE^2: the host pre-cropped before upload
+    # (--h2d_precrop_video — the center crop of eval is deterministic,
+    # so slicing 48->40 host-side is bit-identical to doing it here and
+    # ships 31% fewer video bytes over H2D).  The shape test is static
+    # at trace time.  NB a *native* 40^2 store is out of the disk
+    # contract (stores are 256^2 or recompacted 48^2); under the
+    # reference it would be upscaled to 48 then cropped — here it is
+    # treated as pre-cropped.
+    if video.shape[-2] == CROP_SIZE and video.shape[-3] == CROP_SIZE:
+        x = video.astype(jnp.float32)
+    else:
+        x = _resize_frames(video.astype(jnp.float32), SCALE_SIZE)
+        off = (SCALE_SIZE - CROP_SIZE) // 2
+        x = x[:, :, off:off + CROP_SIZE, off:off + CROP_SIZE, :]
     x = x / 255.0
     return (x - 0.5) / 0.5
 

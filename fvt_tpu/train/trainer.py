@@ -458,6 +458,26 @@ class Trainer:
                 return arr.astype(ml_dtypes.bfloat16)
             return arr
 
+        # --h2d_precrop_video: eval's center crop is deterministic, so
+        # take it on the HOST (a [4:44] slice of the loader's 48^2
+        # output) and ship 40^2 uint8 — 31% fewer video H2D bytes,
+        # bit-identical logits (the device transform's resize no-ops at
+        # 48; at 40 it skips straight to normalize).  Guarded on the
+        # exact loader shape so any other store geometry falls through
+        # to the device path untouched.
+        precrop = getattr(self.args, 'h2d_precrop_video', True)
+        from fvt_tpu.data.transforms import CROP_SIZE, SCALE_SIZE
+
+        def maybe_precrop(batch):
+            v = batch.get(constants.VIDEO)
+            if (precrop and v is not None and v.dtype == np.uint8
+                    and v.shape[-3] == SCALE_SIZE
+                    and v.shape[-2] == SCALE_SIZE):
+                off = (SCALE_SIZE - CROP_SIZE) // 2
+                batch[constants.VIDEO] = np.ascontiguousarray(
+                    v[..., off:off + CROP_SIZE, off:off + CROP_SIZE, :])
+            return batch
+
         def dispatch_video_windows(batch, labels, trial, true_len):
             """Device-side windowing: upload the video ONCE (ladder-
             padded), gather + forward all its windows in one jit."""
@@ -600,6 +620,9 @@ class Trainer:
                 break
             batch, trials, true_lens, bucket = nxt
             labels = batch.pop(constants.EXPR)  # (B, bucket)
+            t0 = _pc()
+            batch = maybe_precrop(batch)
+            tm['dispatch_s'] += _pc() - t0
 
             windowed = (win_threshold is not None and len(trials) == 1
                         and true_lens[0] > win_threshold)
