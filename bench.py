@@ -256,7 +256,8 @@ def bench_e2e(flops_per_frame):
     wb = int(args.eval_window_batch)
     rng = np.random.default_rng(0)
     hb = {
-        'video': rng.integers(0, 255, size=(wb, WINDOW, CROP, CROP, 3)
+        # 40^2: the actual eval upload shape under --h2d_precrop_video
+        'video': rng.integers(0, 255, size=(wb, WINDOW, 40, 40, 3)
                               ).astype(np.uint8),
         'vggish': rng.normal(size=(wb, WINDOW, 128)).astype(np.float32),
         'bert': rng.normal(size=(wb, WINDOW, 768)).astype(np.float32),

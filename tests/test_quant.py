@@ -1,4 +1,6 @@
 """int8 serving quantization (ops/quant.py + --serve_quant plumbing)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -147,3 +149,67 @@ def test_serve_quant_rejected_for_training(tmp_path):
             '--serve_quant', 'int8',
             '--outd', str(tmp_path / 'exp'),
         ])
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get('FVT_SLOW_QUANT'),
+                    reason='~15 min on CPU (emulated int8 ResNet-50 '
+                           'convs); opt in with FVT_SLOW_QUANT=1 — '
+                           'passes as of r3')
+def test_int8_static_full_inference_pipeline(tmp_path):
+    """--serve_quant int8_static end-to-end at the TRAINER level: the
+    calibrated act_scales must reach BOTH eval paths — the bucketed
+    short-video step and the device-windowed (stitch) step, whose jits
+    are lazily rebuilt after calibration (trainer.calibrate_quant
+    resets _win_step/_dp_eval).  Pins that the quantized pipeline
+    stays close to the fp32/xla serving output (argmax agreement) on a
+    store that exercises both paths."""
+    import sys, os
+    from types import SimpleNamespace
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_store import make_meld_store
+    from fvt_tpu import constants
+    from fvt_tpu.config.defaults import get_config
+    from fvt_tpu.experiment import Experiment
+
+    store = make_meld_store(str(tmp_path / 'qstore'), n_train=3, n_val=4,
+                            n_test=2, min_len=4, max_len=24,
+                            with_video=True)
+
+    def build(serve_quant):
+        cfg = get_config('MELD')
+        cfg.update(dataset_path=store['dataset_path'],
+                   folds_dir=store['folds_dir'],
+                   modality='video+vggish+bert+EXPR_continuous_label',
+                   window_length=16, hop_length=8, eval_bucket_quantum=8,
+                   num_workers=1, calc_mean_std=True, seed=0,
+                   serve_quant=serve_quant)
+        exp = Experiment(SimpleNamespace(**cfg))
+        exp.prepare()
+        loaders = exp.init_loaders()
+        trainer = exp.init_trainer()
+        sample = exp._sample_batch(loaders)
+        trainer.init_state(sample)
+        return trainer, loaders, sample
+
+    ref_tr, ref_loaders, _ = build('none')
+    _, ref_logits = ref_tr.inference(ref_loaders[constants.VALIDSET])
+
+    q_tr, q_loaders, sample = build('int8_static')
+    scales = q_tr.calibrate_quant(sample)
+    import jax
+    assert len(jax.tree.leaves(scales)) > 0
+
+    lens = [item[2] for item in q_loaders[constants.VALIDSET].work_list]
+    assert any(l > 16 for l in lens) and any(l <= 16 for l in lens)
+
+    _, q_logits = q_tr.inference(q_loaders[constants.VALIDSET])
+    assert set(q_logits) == set(ref_logits)
+    agree = total = 0
+    for k in ref_logits:
+        a = np.argmax(ref_logits[k]['logits'], -1)
+        b = np.argmax(q_logits[k]['logits'], -1)
+        agree += (a == b).sum()
+        total += a.size
+    # int8 W8A8 on a random-init backbone: prediction flips stay rare
+    assert agree / total > 0.9, (agree, total)
