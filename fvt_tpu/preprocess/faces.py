@@ -277,3 +277,97 @@ def compact_video_npy(trial_dir: str, faces: np.ndarray,
         else:
             assert arr.shape[0] == n, \
                 f"{feature}: {arr.shape[0]} != {n} frames ({trial_dir})"
+
+
+# ---------------------------------------------------- sharded fold CLI
+def crop_faces_align(folds_dir: str, videos_root: str, out_root: str,
+                     split: str, nblocks: int = 1, process_block: int = 0,
+                     detector=None, video_ext: str = '.mp4',
+                     logs_root: Optional[str] = None) -> List[str]:
+    """Crop/align every video of one fold-split block
+    (c_expr_db.py:407-463 + its __main__ :828-864).
+
+    The split txt (``<folds_dir>/split-0/<split>.txt``, lines
+    ``<video_id>,<label>,<transcript>``) is divided into ``nblocks``
+    contiguous blocks (sharding.better_chunks_into_n, the reference's
+    block math) and only ``process_block`` is processed — the
+    embarrassingly-parallel job-array pattern the reference uses for
+    its preprocessing fleet.  Per-block log file + per-video frame logs
+    land under ``logs_root`` (default ``<out_root>-logs``) with the
+    reference's ``log-nblocks-N-process-block-K.txt`` naming so a fleet
+    run stays diagnosable per shard.
+
+    Divergence, documented: the reference stores top-10 faces per frame
+    for the valid split (c_expr_db.py:459-460) purely for later human
+    review; the downstream compaction only ever reads the top face
+    (compact_face_images.py:93-132), so this driver stores top-1
+    (``face-0.jpg``) for every split.
+
+    A video whose decode yields zero frames is logged as corrupted and
+    skipped (the reference's try/except cv2 probing, c_expr_db.py:
+    324-342).  Already-processed videos (``frames.log`` present) are
+    skipped for idempotent re-runs.  Returns the processed trial ids.
+    """
+    from fvt_tpu.preprocess.sharding import better_chunks_into_n
+
+    assert nblocks > 0, nblocks
+    assert 0 <= process_block < nblocks, (process_block, nblocks)
+    path_fold = join(folds_dir, 'split-0', f'{split}.txt')
+    assert os.path.isfile(path_fold), path_fold
+    with open(path_fold) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    assert nblocks <= len(lines), (nblocks, len(lines))
+    block = better_chunks_into_n(lines, nblocks)[process_block]
+
+    logs_root = logs_root or (out_root.rstrip(os.sep) + '-logs')
+    os.makedirs(logs_root, exist_ok=True)
+    log_path = join(logs_root, f'log-nblocks-{nblocks}-'
+                               f'process-block-{process_block}.txt')
+    detector = detector or default_detector()
+
+    done: List[str] = []
+    with open(log_path, 'a') as lf:
+        for ln in block:
+            trial = ln.split(',')[0]
+            p_video = join(videos_root, trial + video_ext)
+            out_dir = join(out_root, trial)
+            if os.path.isfile(join(out_dir, 'frames.log')):
+                lf.write(f'video: {p_video}. SKIP (already cropped)\n')
+                done.append(trial)
+                continue
+            if not os.path.isfile(p_video):
+                lf.write(f'video: {p_video}. XXXX MISSING\n')
+                continue
+            faces = process_one_video(p_video, out_dir, detector=detector,
+                                      store_jpgs=True)
+            if faces.shape[0] == 0:
+                lf.write(f'video: {p_video}. N-frames: 0  XXXX CORRUPTED\n')
+                continue
+            lf.write(f'video: {p_video}. N-frames: {faces.shape[0]}\n')
+            done.append(trial)
+    log(f'Done cropping faces: split={split}, nblocks={nblocks}, '
+        f'block={process_block} ({len(done)}/{len(block)} videos)')
+    return done
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        description='fvt_tpu face crop/align (sharded fold driver)')
+    p.add_argument('--folds_dir', required=True)
+    p.add_argument('--videos_root', required=True)
+    p.add_argument('--out_root', required=True)
+    p.add_argument('--split', required=True,
+                   choices=[constants.TRAINSET, constants.VALIDSET,
+                            constants.TESTSET])
+    p.add_argument('--nblocks', type=int, default=1)
+    p.add_argument('--process_block', type=int, default=0)
+    p.add_argument('--video_ext', default='.mp4')
+    a = p.parse_args(argv)
+    crop_faces_align(a.folds_dir, a.videos_root, a.out_root, a.split,
+                     nblocks=a.nblocks, process_block=a.process_block,
+                     video_ext=a.video_ext)
+
+
+if __name__ == '__main__':
+    main()

@@ -118,3 +118,51 @@ def test_default_detector_satisfies_the_contract():
         assert np.asarray(d['landmarks']).shape == (5, 2)
     scores = [d['score'] for d in dets]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_crop_faces_align_sharded_cli(tmp_path):
+    """Fold-level sharded crop driver (c_expr_db.py:407-463, __main__
+    :828-864): block math covers every video exactly once across
+    blocks, per-block logs use the reference's naming, corrupt/missing
+    videos are logged-and-skipped, and re-runs are idempotent."""
+    folds_dir = tmp_path / 'folds'
+    (folds_dir / 'split-0').mkdir(parents=True)
+    vids = tmp_path / 'trimmed'
+    vids.mkdir()
+    trials = ['a', 'b', 'c']
+    for t in trials:
+        _write_video(str(vids / f'{t}.avi'), _frames(4))
+    lines = [f'{t},{i},hello {t}' for i, t in enumerate(trials)]
+    lines.append('ghost,3,no file on disk')  # missing video
+    (folds_dir / 'split-0' / 'train.txt').write_text('\n'.join(lines) + '\n')
+
+    out_root = str(tmp_path / 'cropped_aligned')
+    done = []
+    for blk in range(2):
+        done += faces.crop_faces_align(
+            str(folds_dir), str(vids), out_root, 'train',
+            nblocks=2, process_block=blk,
+            detector=FakeDetector(hit_frames=range(100)),
+            video_ext='.avi')
+    assert sorted(done) == trials  # each video processed exactly once
+
+    for t in trials:
+        assert (tmp_path / 'cropped_aligned' / t / 'frames.log').is_file()
+        assert (tmp_path / 'cropped_aligned' / t / 'frame-0' /
+                'face-0.jpg').is_file()
+
+    logs = sorted(os.listdir(out_root + '-logs'))
+    assert logs == ['log-nblocks-2-process-block-0.txt',
+                    'log-nblocks-2-process-block-1.txt'], logs
+    joined = ''.join(
+        open(os.path.join(out_root + '-logs', f)).read() for f in logs)
+    assert 'XXXX MISSING' in joined  # the ghost video is diagnosable
+
+    # idempotent: a re-run of block 0 skips, not re-crops
+    redo = faces.crop_faces_align(
+        str(folds_dir), str(vids), out_root, 'train',
+        nblocks=2, process_block=0,
+        detector=FakeDetector(hit_frames=range(100)), video_ext='.avi')
+    assert redo  # still reports its trials as covered
+    assert 'SKIP (already cropped)' in open(os.path.join(
+        out_root + '-logs', 'log-nblocks-2-process-block-0.txt')).read()
