@@ -329,6 +329,29 @@ def bench_torch_reference() -> float:
 
 
 def main():
+    # Watchdog: the axon tunnel can wedge so hard that even device
+    # enumeration blocks forever (observed 2026-08-17: jax.devices()
+    # hangs in a fresh process).  A hung bench records NOTHING for the
+    # round; a loud timeout is diagnosable.  SIGALRM fires in the main
+    # thread regardless of where the tunnel RPC is blocked.
+    import signal
+
+    def _timeout(signum, frame):
+        print(json.dumps({
+            'metric': 'challenge_e2e_inference_throughput',
+            'value': None,
+            'unit': 'frames/sec/chip end-to-end',
+            'vs_baseline': None,
+            'error': f'bench watchdog expired after {wd}s — TPU '
+                     f'tunnel unresponsive (no measurement, not a 0)',
+        }), flush=True)
+        os._exit(2)
+
+    wd = int(os.environ.get('FVT_BENCH_WATCHDOG_S', '5400'))
+    if wd > 0:
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(wd)
+
     from fvt_tpu.utils.logger import enable_jit_cache
     enable_jit_cache()
     # the axon tunnel occasionally drops a remote_compile mid-flight;
@@ -351,6 +374,7 @@ def main():
         ratio = round(e2e_fps / base, 3)
     except Exception:
         base = ratio = None  # null, not a fake measured 0.0
+    signal.alarm(0)  # measurements done; never kill the report itself
     print(json.dumps({
         'metric': 'challenge_e2e_inference_throughput',
         'value': round(e2e_fps, 2),
