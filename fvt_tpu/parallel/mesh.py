@@ -15,6 +15,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS
@@ -25,6 +26,23 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS
             f"need {n_devices} devices, have {len(devices)}"
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_nd(shape: tuple, axes: tuple = (DATA_AXIS, MODEL_AXIS)
+                 ) -> Mesh:
+    """n-D mesh, e.g. ``make_mesh_nd((4, 2))`` -> axes ('data','model').
+
+    These models need no TP (<10 M trainable params, SURVEY §2.4), but
+    the sharding design must stay EXPRESSIBLE on a richer mesh: any
+    param can carry a PartitionSpec over 'model' and GSPMD inserts the
+    collectives.  tests/test_model_axis.py proves a 'model'-sharded
+    head reproduces single-device logits on a ('data','model') mesh.
+    """
+    n = int(np.prod(shape))
+    devices = jax.devices()
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    assert len(shape) == len(axes), (shape, axes)
+    return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
