@@ -149,6 +149,16 @@ assert len(COLUMNS) == 88
 
 
 # ------------------------------------------------------------------ pitch
+def _window_acf(size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(hanning window, its floored normalized autocorrelation) — the
+    Boersma-1993 taper compensation shared by the F0 tracker and the
+    HNR estimator; one implementation so the 1e-3 floor cannot drift
+    between voicing and HNR numerics."""
+    win = np.hanning(size)
+    wac = np.correlate(win, win, 'full')[size - 1:]
+    return win, np.maximum(wac / wac[0], 1e-3)
+
+
 def _f0_track(wav: np.ndarray, sr: int) -> Tuple[np.ndarray, np.ndarray]:
     """(f0_hz, voiced) per 10 ms frame from 60 ms analysis windows.
 
@@ -163,7 +173,7 @@ def _f0_track(wav: np.ndarray, sr: int) -> Tuple[np.ndarray, np.ndarray]:
     if n == 0:
         return np.zeros(0), np.zeros(0, bool)
 
-    win = np.hanning(size)
+    win, wac = _window_acf(size)
     fw = frames * win
     # FFT-based autocorrelation, normalized by lag-0
     nfft = 1
@@ -173,9 +183,6 @@ def _f0_track(wav: np.ndarray, sr: int) -> Tuple[np.ndarray, np.ndarray]:
     ac = np.fft.irfft(np.abs(spec) ** 2, axis=1)[:, :size]
     r0 = np.maximum(ac[:, 0], 1e-12)
     nacf = ac / r0[:, None]
-    # compensate the window's own autocorrelation taper (Boersma 1993)
-    wac = np.correlate(win, win, 'full')[size - 1:]
-    wac = np.maximum(wac / wac[0], 1e-3)
     nacf = nacf / wac[None, :]
 
     lag_lo = max(2, int(sr / F0_MAX))
@@ -286,9 +293,7 @@ def _jitter_shimmer_hnr(wav: np.ndarray, sr: int, f0: np.ndarray,
     jitter = np.zeros(n)
     shimmer = np.zeros(n)
     hnr = np.zeros(n)
-    win = np.hanning(size)
-    wac = np.correlate(win, win, 'full')[size - 1:]
-    wac = np.maximum(wac / wac[0], 1e-3)
+    win, wac = _window_acf(size)
     for t in np.nonzero(voiced)[0]:
         seg = wav[t * step:t * step + size]
         if len(seg) < size:
@@ -304,12 +309,17 @@ def _jitter_shimmer_hnr(wav: np.ndarray, sr: int, f0: np.ndarray,
             if ok.all() and (amp[:-1] > 1e-9).all() and len(amp) >= 2:
                 shimmer[t] = np.abs(
                     20.0 * np.log10(amp[1:] / amp[:-1])).mean()
-        # HNR from the window-compensated normalized ACF at the T0 lag
+        # HNR from the window-compensated normalized ACF at the T0 lag.
+        # Only ac[0] and ac[lag] are needed — two O(size) dot products;
+        # the previous np.correlate(fw, fw, 'full') computed the whole
+        # O(size^2) correlogram per voiced frame (~1M multiplies at
+        # 16 kHz) to read two values from it
         fw = seg * win
-        ac = np.correlate(fw, fw, 'full')[size - 1:]
         lag = int(round(t0))
         if 1 <= lag < size:
-            p = (ac[lag] / max(ac[0], 1e-12)) / wac[lag]
+            ac0 = float(fw @ fw)
+            aclag = float(fw[:-lag] @ fw[lag:])
+            p = (aclag / max(ac0, 1e-12)) / wac[lag]
             p = float(np.clip(p, 1e-6, 1.0 - 1e-6))
             hnr[t] = 10.0 * np.log10(p / (1.0 - p))
     return jitter, shimmer, hnr
@@ -431,13 +441,21 @@ def _formant_track(wav: np.ndarray, sr: int, lpc_order: int = 14
 
 
 def _harmonic_mag(mag_row: np.ndarray, freqs: np.ndarray,
-                  f: float) -> float:
-    """Magnitude at the spectral bin nearest frequency f (parabolic
-    interpolation over the local peak)."""
+                  f: float, spacing: Optional[float] = None) -> float:
+    """Magnitude of the harmonic nearest frequency f: the local bin
+    maximum over ±1 bin around the nearest bin.  ``spacing`` (the
+    harmonic spacing, i.e. f0) caps the search so two neighbouring
+    harmonics can never share a picked bin — for low-pitched voices
+    (f0 within ~2 FFT bins) an uncapped ±1-bin window would let H1 and
+    H2 collapse onto the same maximum and zero out logRelF0-H1-H2."""
     if f <= 0 or f >= freqs[-1]:
         return 0.0
+    df = float(freqs[1] - freqs[0])
+    half = 1
+    if spacing is not None and spacing / 2.0 <= df:
+        half = 0  # neighbour's midpoint is inside ±1 bin: pin to nearest
     i = int(np.argmin(np.abs(freqs - f)))
-    lo, hi = max(0, i - 1), min(len(mag_row), i + 2)
+    lo, hi = max(0, i - half), min(len(mag_row), i + half + 1)
     j = lo + int(np.argmax(mag_row[lo:hi]))
     return float(mag_row[j])
 
@@ -478,8 +496,10 @@ def egemaps_lld(wav: np.ndarray, sr: int) -> Dict[str, np.ndarray]:
     h1a3 = np.zeros(n)
     famp = np.zeros((n, 3))
     for t in np.nonzero(voiced)[0]:
-        h1 = _harmonic_mag(mag[t], freqs, f0[t])
-        h2 = _harmonic_mag(mag[t], freqs, 2.0 * f0[t])
+        h1 = _harmonic_mag(mag[t], freqs, f0[t],
+                           spacing=f0[t])
+        h2 = _harmonic_mag(mag[t], freqs, 2.0 * f0[t],
+                           spacing=f0[t])
         if h1 > 0 and h2 > 0:
             h1h2[t] = 20.0 * np.log10(h1 / h2)
         for k in range(3):
@@ -488,7 +508,8 @@ def egemaps_lld(wav: np.ndarray, sr: int) -> Dict[str, np.ndarray]:
                 continue
             # amplitude of the F0 harmonic closest to the formant peak
             harm = max(1, int(round(fk / f0[t])))
-            ak = _harmonic_mag(mag[t], freqs, harm * f0[t])
+            ak = _harmonic_mag(mag[t], freqs, harm * f0[t],
+                               spacing=f0[t])
             if ak > 0 and h1 > 0:
                 famp[t, k] = 20.0 * np.log10(ak / h1)
                 if k == 2:

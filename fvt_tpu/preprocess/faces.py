@@ -155,7 +155,18 @@ def default_detector():
                     HaarFaceDetector, CenterBoxDetector):
         try:
             return factory()
-        except Exception:
+        except FileNotFoundError:
+            if os.environ.get('FVT_RETINAFACE_WEIGHTS'):
+                # the user EXPLICITLY pointed at weights but the path is
+                # wrong — degrading to Haar/center-box here would
+                # silently produce store-incompatible crops
+                raise
+            log(f'detector {factory.__name__} unavailable (no weight '
+                f'file in image); trying next')
+            continue
+        except Exception as e:
+            log(f'detector {factory.__name__} unavailable '
+                f'({type(e).__name__}: {e}); trying next')
             continue
     raise RuntimeError('no face detector available')
 

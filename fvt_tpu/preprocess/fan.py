@@ -260,19 +260,8 @@ def decode_heatmaps(hm: np.ndarray, center, scale) -> np.ndarray:
 
 
 # ------------------------------------------------------------- weight port
-def _bn(sd, p):
-    return {'scale': np.asarray(sd[p + '.weight'], np.float32),
-            'bias': np.asarray(sd[p + '.bias'], np.float32)}, \
-           {'mean': np.asarray(sd[p + '.running_mean'], np.float32),
-            'var': np.asarray(sd[p + '.running_var'], np.float32)}
-
-
-def _conv(sd, p, bias: bool):
-    out = {'kernel': np.transpose(
-        np.asarray(sd[p + '.weight'], np.float32), (2, 3, 1, 0))}
-    if bias:
-        out['bias'] = np.asarray(sd[p + '.bias'], np.float32)
-    return out
+from fvt_tpu.preprocess.torch_port import (torch_bn as _bn,
+                                            torch_conv as _conv)
 
 
 def _convblock(sd, p):

@@ -248,16 +248,8 @@ def nms(boxes: np.ndarray, scores: np.ndarray, threshold: float
 
 
 # --------------------------------------------------------------- weight port
-def _tv_bn(sd, p):
-    return ({'scale': np.asarray(sd[f'{p}.weight'], np.float32),
-             'bias': np.asarray(sd[f'{p}.bias'], np.float32)},
-            {'mean': np.asarray(sd[f'{p}.running_mean'], np.float32),
-             'var': np.asarray(sd[f'{p}.running_var'], np.float32)})
-
-
-def _tv_conv(sd, p):
-    return {'kernel': np.asarray(sd[f'{p}.weight'],
-                                 np.float32).transpose(2, 3, 1, 0)}
+from fvt_tpu.preprocess.torch_port import (torch_bn as _tv_bn,
+                                            torch_conv as _tv_conv)
 
 
 def _convbn(sd, p, params, stats, name, conv_idx=0, bn_idx=1):
@@ -383,6 +375,13 @@ def expected_state_dict_shapes() -> Dict[str, tuple]:
 def _default_weights_path() -> Optional[str]:
     env = os.environ.get('FVT_RETINAFACE_WEIGHTS')
     if env:
+        # an explicitly-set path must not silently degrade to the
+        # Haar/center-box fallback chain (faces.default_detector
+        # catches per-factory exceptions) — fail loudly here instead
+        if not os.path.isfile(env):
+            raise FileNotFoundError(
+                f'FVT_RETINAFACE_WEIGHTS is set but no file exists at '
+                f'{env!r}')
         return env
     hub = os.environ.get('TORCH_HOME',
                          os.path.expanduser('~/.cache/torch'))
@@ -456,14 +455,20 @@ class RetinaFaceJAX:
         else:
             img = img_rgb
         x = (img.astype(np.float32) / 255.0 - NORM_MEAN) / NORM_STD
+        # CENTER pad, like ternaus predict_jsons (pad_to_size computes
+        # min_pad = (target - size) // 2 and unpad_from_size subtracts
+        # it) — a corner pad would shift content by a non-multiple of
+        # the stride-32 grid vs the reference and perturb sub-stride
+        # box/landmark alignment near borders
         pad_h = self.max_size - nh
         pad_w = self.max_size - nw
-        x = np.pad(x, ((0, pad_h), (0, pad_w), (0, 0)))
-        return x, scale, nh, nw
+        top, left = pad_h // 2, pad_w // 2
+        x = np.pad(x, ((top, pad_h - top), (left, pad_w - left), (0, 0)))
+        return x, scale, nh, nw, top, left
 
     def detect(self, img_rgb: np.ndarray) -> List[dict]:
         h, w = img_rgb.shape[:2]
-        x, scale, nh, nw = self._prepare(img_rgb)
+        x, scale, nh, nw, top, left = self._prepare(img_rgb)
         size = x.shape[0]
         loc, conf, ldm = self._fwd(self.variables, jnp.asarray(x[None]))
         loc = np.asarray(loc[0])
@@ -485,8 +490,10 @@ class RetinaFaceJAX:
         kept = nms(boxes, scores, self.nms_threshold)
         out = []
         for i in kept:
-            b = boxes[i] / scale
-            l5 = lands[i] / scale
+            # un-pad (ternaus unpad_from_size), then undo the resize
+            b = (boxes[i] - np.array([left, top, left, top],
+                                     np.float32)) / scale
+            l5 = (lands[i] - np.array([left, top], np.float32)) / scale
             b = np.array([np.clip(b[0], 0, w - 1), np.clip(b[1], 0, h - 1),
                           np.clip(b[2], 0, w - 1), np.clip(b[3], 0, h - 1)],
                          float)

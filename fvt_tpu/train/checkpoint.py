@@ -63,7 +63,8 @@ class Checkpointer:
         return (epoch + 1) % self.every == 0
 
     def save(self, epoch: int, state, trackers: Dict[Any, PerfTracker],
-             best_params: dict, loss_tracker: list, scheduler=None):
+             best_params: dict, loss_tracker: list, scheduler=None,
+             stopper_counter: Optional[int] = None):
         arrays = {
             'params': state.params,
             'batch_stats': state.batch_stats,
@@ -80,6 +81,10 @@ class Checkpointer:
             # stateful schedulers (MYWARMUP: current_lr/best/num_bad_epochs)
             # must resume exactly, not restart from base_lr
             'scheduler': scheduler.state_dict() if scheduler else {},
+            # EarlyStopper countdown: without it a resumed run resets the
+            # no-improvement budget and trains up to `budget` extra epochs
+            # vs the uninterrupted run
+            'stopper_counter': stopper_counter,
         }
         self.mngr.save(epoch, args=ocp.args.StandardSave(arrays))
         self.mngr.wait_until_finished()
@@ -121,6 +126,9 @@ class Checkpointer:
                     for ks, ts in meta['trackers'].items()}
         if scheduler is not None and meta.get('scheduler'):
             scheduler.load_state_dict(meta['scheduler'])
+        # exposed as an attribute so the 5-tuple contract stays stable
+        # (None for checkpoints written before this field existed)
+        self.restored_stopper_counter = meta.get('stopper_counter')
         log(f"restored checkpoint from epoch {meta['epoch']}")
         return (meta['epoch'], state, trackers, meta['best_params'],
                 meta['loss_tracker'])

@@ -15,7 +15,6 @@ The live loop of /root/reference/trainer.py:315-786, TPU-re-designed:
 """
 from __future__ import annotations
 
-import copy
 import datetime as dt
 import os
 import pickle as pkl
@@ -186,100 +185,105 @@ class Trainer:
             jax.profiler.start_trace(trace_dir)
             log(f"jax.profiler tracing epoch {epoch} -> {trace_dir}")
 
-        n_dev = len(self.mesh.devices.flat) if self.mesh is not None else 1
+        # the trace must close on EVERY exit (nan_guard raise,
+        # OOM mid-loop): a leaked start_trace corrupts exactly the
+        # epoch one most wants to inspect
+        try:
+            n_dev = len(self.mesh.devices.flat) if self.mesh is not None else 1
 
-        # losses accumulate ON DEVICE and sync once per epoch (the
-        # reference keeps running_loss as a GPU tensor too); a per-step
-        # float(loss) would serialize H2D transfers against compute
-        multihost = self.mesh is not None and jax.process_count() > 1
-        if multihost:
-            # each host builds only its row-slice of every global batch
-            # (parallel/multihost.py); the plan is seed-deterministic so
-            # all hosts agree on batch boundaries
-            source = loader.epoch_local(epoch, divisor=n_dev)
-        else:
-            source = ((b, None) for b in loader.epoch(epoch))
-
-        # ragged-batch accounting: batches not divisible by the device
-        # (and process) count are built IN FULL on every host and run
-        # replicated — correct but the replicated IO/compute is wasted
-        # work on a pod, so surface how often a bucket plan causes it
-        ragged_stat = {'ragged': 0, 'sharded': 0}
-
-        def to_device(batch, global_rows):
-            """(jbatch, step_fn) for one host batch — async device_put,
-            so the transfer queues while the previous step computes."""
-            local_rows = next(iter(batch.values())).shape[0]
-            bsz = local_rows if global_rows is None else global_rows
-            step_fn = self.train_step
-            if self.mesh is not None:
-                from fvt_tpu.parallel.mesh import shard_batch, replicated
-                if multihost and local_rows != bsz:
-                    from fvt_tpu.parallel import multihost as mh
-                    ragged_stat['sharded'] += 1
-                    jbatch = mh.global_batch(self.mesh, batch)
-                elif bsz % n_dev != 0 or multihost:
-                    ragged_stat['ragged'] += 1
-                    # ragged batch (the loader yields it in FULL on every
-                    # host): run it REPLICATED through the single-device
-                    # step — every chip computes the same small batch, so
-                    # the loss and batch-norm statistics match the
-                    # reference exactly (it consumes every batch,
-                    # trainer.py:345-391); padding + masking would
-                    # perturb BN batch stats
-                    repl = replicated(self.mesh)
-                    if multihost:
-                        if getattr(self.args, 'multihost_digest_check',
-                                   False):
-                            _assert_hosts_agree(batch)
-                        jbatch = {
-                            k: jax.make_array_from_process_local_data(
-                                repl, v)
-                            for k, v in batch.items()}
-                    else:
-                        jbatch = {k: jax.device_put(v, repl)
-                                  for k, v in batch.items()}
-                    step_fn = self._ragged_train_step()
-                else:
-                    ragged_stat['sharded'] += 1
-                    jbatch = shard_batch(batch, self.mesh)
+            # losses accumulate ON DEVICE and sync once per epoch (the
+            # reference keeps running_loss as a GPU tensor too); a per-step
+            # float(loss) would serialize H2D transfers against compute
+            multihost = self.mesh is not None and jax.process_count() > 1
+            if multihost:
+                # each host builds only its row-slice of every global batch
+                # (parallel/multihost.py); the plan is seed-deterministic so
+                # all hosts agree on batch boundaries
+                source = loader.epoch_local(epoch, divisor=n_dev)
             else:
-                jbatch = {k: jax.device_put(v) for k, v in batch.items()}
-            return jbatch, step_fn
+                source = ((b, None) for b in loader.epoch(epoch))
 
-        # one-batch H2D lookahead: batch i+1's transfer is queued before
-        # step i is dispatched, so the (tunnel-expensive) host->device
-        # copies overlap device compute instead of serializing with it
-        losses = []
-        prepared = None
-        for batch, global_rows in source:
-            nxt = to_device(batch, global_rows)
+            # ragged-batch accounting: batches not divisible by the device
+            # (and process) count are built IN FULL on every host and run
+            # replicated — correct but the replicated IO/compute is wasted
+            # work on a pod, so surface how often a bucket plan causes it
+            ragged_stat = {'ragged': 0, 'sharded': 0}
+
+            def to_device(batch, global_rows):
+                """(jbatch, step_fn) for one host batch — async device_put,
+                so the transfer queues while the previous step computes."""
+                local_rows = next(iter(batch.values())).shape[0]
+                bsz = local_rows if global_rows is None else global_rows
+                step_fn = self.train_step
+                if self.mesh is not None:
+                    from fvt_tpu.parallel.mesh import shard_batch, replicated
+                    if multihost and local_rows != bsz:
+                        from fvt_tpu.parallel import multihost as mh
+                        ragged_stat['sharded'] += 1
+                        jbatch = mh.global_batch(self.mesh, batch)
+                    elif bsz % n_dev != 0 or multihost:
+                        ragged_stat['ragged'] += 1
+                        # ragged batch (the loader yields it in FULL on every
+                        # host): run it REPLICATED through the single-device
+                        # step — every chip computes the same small batch, so
+                        # the loss and batch-norm statistics match the
+                        # reference exactly (it consumes every batch,
+                        # trainer.py:345-391); padding + masking would
+                        # perturb BN batch stats
+                        repl = replicated(self.mesh)
+                        if multihost:
+                            if getattr(self.args, 'multihost_digest_check',
+                                       False):
+                                _assert_hosts_agree(batch)
+                            jbatch = {
+                                k: jax.make_array_from_process_local_data(
+                                    repl, v)
+                                for k, v in batch.items()}
+                        else:
+                            jbatch = {k: jax.device_put(v, repl)
+                                      for k, v in batch.items()}
+                        step_fn = self._ragged_train_step()
+                    else:
+                        ragged_stat['sharded'] += 1
+                        jbatch = shard_batch(batch, self.mesh)
+                else:
+                    jbatch = {k: jax.device_put(v) for k, v in batch.items()}
+                return jbatch, step_fn
+
+            # one-batch H2D lookahead: batch i+1's transfer is queued before
+            # step i is dispatched, so the (tunnel-expensive) host->device
+            # copies overlap device compute instead of serializing with it
+            losses = []
+            prepared = None
+            for batch, global_rows in source:
+                nxt = to_device(batch, global_rows)
+                if prepared is not None:
+                    jbatch, step_fn = prepared
+                    # per-step stream folded INSIDE the jitted step from
+                    # (epoch_key, state.step) — a host-side fold_in here is
+                    # an extra 67 ms dispatch over the axon tunnel
+                    self.state, loss = step_fn(self.state, jbatch, epoch_key)
+                    losses.append(loss)
+                prepared = nxt
             if prepared is not None:
                 jbatch, step_fn = prepared
-                # per-step stream folded INSIDE the jitted step from
-                # (epoch_key, state.step) — a host-side fold_in here is
-                # an extra 67 ms dispatch over the axon tunnel
                 self.state, loss = step_fn(self.state, jbatch, epoch_key)
                 losses.append(loss)
-            prepared = nxt
-        if prepared is not None:
-            jbatch, step_fn = prepared
-            self.state, loss = step_fn(self.state, jbatch, epoch_key)
-            losses.append(loss)
 
-        losses = [float(l) for l in losses]
-        count = len(losses)
-        running = sum(losses)
-        if getattr(self.args, 'nan_guard', False) and \
-                not np.isfinite(running):
-            bad = next(i for i, l in enumerate(losses)
-                       if not np.isfinite(l))
-            raise FloatingPointError(
-                f"non-finite loss {losses[bad]} at epoch {epoch} "
-                f"step {bad} (lr={optim.get_lr(self.state.opt_state):.3e})")
+            losses = [float(l) for l in losses]
+            count = len(losses)
+            running = sum(losses)
+            if getattr(self.args, 'nan_guard', False) and \
+                    not np.isfinite(running):
+                bad = next(i for i, l in enumerate(losses)
+                           if not np.isfinite(l))
+                raise FloatingPointError(
+                    f"non-finite loss {losses[bad]} at epoch {epoch} "
+                    f"step {bad} (lr={optim.get_lr(self.state.opt_state):.3e})")
 
-        if profiling:
-            jax.profiler.stop_trace()
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
 
         # next-epoch lr (scheduler stepped after each epoch, trainer.py:694)
         if self.scheduler is not None:
@@ -753,6 +757,12 @@ class Trainer:
 
         stopper = EarlyStopper(getattr(self.args, 'early_stopping', 0),
                                self.args.min_num_epochs)
+        if restored is not None:
+            counter = getattr(checkpointer, 'restored_stopper_counter',
+                              None)
+            if counter is not None:
+                # resume the no-improvement countdown where it left off
+                stopper.counter = int(counter)
 
         for epoch in range(start_epoch, self.args.num_epochs):
             epoch_loss = self.train_one_epoch(train_loader, epoch)
@@ -788,7 +798,8 @@ class Trainer:
             if checkpointer is not None and checkpointer.should_save(epoch):
                 checkpointer.save(epoch, self.state, valid_tracker,
                                   best_params, loss_tracker,
-                                  scheduler=self.scheduler)
+                                  scheduler=self.scheduler,
+                                  stopper_counter=stopper.counter)
 
             if stopper.should_stop(epoch, improved):
                 log(fmsg(f"Early stopping at epoch {epoch}: no validation "

@@ -88,3 +88,41 @@ def test_mywarmup_scheduler_state_survives_resume(tmp_path):
     assert fresh.num_bad_epochs == sched.num_bad_epochs
     # the lr the trainer would adopt after restore continues the decay
     assert fresh.lr(3) == sched.current_lr
+
+
+def test_stopper_counter_survives_resume(tmp_path):
+    """The EarlyStopper no-improvement countdown is checkpointed; a
+    resumed run must not reset its budget (it would train up to
+    `budget` extra non-improving epochs vs an uninterrupted run)."""
+    import jax.numpy as jnp
+    import optax
+    from types import SimpleNamespace
+    from fvt_tpu.train.checkpoint import Checkpointer
+    from fvt_tpu.train.metrics import build_trackers
+
+    state = SimpleNamespace(
+        params={'dense': {'kernel': jnp.ones((2, 2))}},
+        batch_stats={}, opt_state=optax.sgd(0.1).init(
+            {'dense': {'kernel': jnp.ones((2, 2))}}),
+        step=jnp.asarray(3),
+        replace=None)
+
+    class S:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+        def replace(self, **kw):
+            d = dict(self.__dict__)
+            d.update(kw)
+            return S(**d)
+
+    state = S(params=state.params, batch_stats={}, opt_state=state.opt_state,
+              step=state.step)
+
+    cp = Checkpointer(str(tmp_path), every=1)
+    trackers = build_trackers('MELD', use_other_class=False)
+    cp.save(0, state, trackers, best_params={}, loss_tracker=[1.0],
+            stopper_counter=2)
+    out = cp.restore(state)
+    assert out is not None
+    assert cp.restored_stopper_counter == 2
