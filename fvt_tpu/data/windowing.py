@@ -75,7 +75,11 @@ def stitch_windows_np(window_outputs: np.ndarray,
     np.add.at(summed, flat, window_outputs.reshape(-1, ncls)
               .astype(np.float32))
     np.add.at(counts, flat, 1.0)
-    return summed / counts[:, None]
+    # a frame covered by NO window (possible when hop > window, a
+    # degenerate-but-accepted config) must stay 0 like the reference's
+    # Counter division, which only divides indices that appeared —
+    # summed/counts alone would emit NaN there and poison compute_perf
+    return summed / np.maximum(counts, 1.0)[:, None]
 
 
 def ladder_len(true_len: int, window_length: int, quantum: int = 0,
@@ -93,6 +97,7 @@ def ladder_len(true_len: int, window_length: int, quantum: int = 0,
     shape count stays O(3*window/quantum + log(L/window)).
     """
     assert true_len > window_length, (true_len, window_length)
+    assert growth > 1.0, growth  # <=1 would never reach true_len: hang
     quantum = quantum or min(100, window_length)
     linear_cap = 4 * window_length
     if true_len <= linear_cap:

@@ -81,19 +81,32 @@ def bn_affine(params: dict, stats: dict, eps: float = 1e-5):
 
 def safe_batch_tile(n: int, h: int, w: int, c: int,
                     itemsize: int, requested: int) -> int:
-    """Largest batch tile <= ``requested`` that divides ``n`` and fits
-    the measured Mosaic VMEM-stack boundary; 0 if none does.
+    """Largest batch tile <= ``requested`` that divides ``n`` and stays
+    inside the MEASURED Mosaic VMEM-stack envelope; 0 if none does
+    (caller falls back to the XLA op chain).
 
-    Empirical model from the v5e tile sweep in the module docstring:
-    stack ~ 6x the lane-padded fp32 tile volume (the ~18 live shifted-
-    slice relayout copies) + 3x the two (9,c,c) weight tensors.
-    Validated boundary points: (2,40,40,64) ok / (4,..) OOM;
-    (8,20,20,128) ok / (16,..) OOM; (16,10,10,256) OOM;
-    (32,5,5,512) OOM.
+    Two guards, both from the v5e tile sweep in the module docstring:
+
+      * a per-stage hard cap at the largest tile that actually RAN
+        ((2,40,40,64) ok, (8,20,20,128) ok) — stages where every probed
+        tile OOMed ((..,10,10,256), (..,5,5,512)) return 0 outright
+        rather than extrapolating the linear stack model into a region
+        with zero validated points (the model underestimated the one
+        large measured stack by ~4%, and stack growth need not stay
+        linear per stage);
+      * the linear estimate (stack ~ 6x lane-padded fp32 tile volume
+        from the ~18 live shifted-slice relayout copies + 3x the two
+        (9,c,c) weight tensors) against a budget BELOW the smallest
+        measured OOM (16.9 MB) — belt and braces for off-sweep shapes
+        that hash to a validated stage.
     """
-    budget = 14e6
+    measured_ok = {(40, 40): 2, (20, 20): 8}  # (h, w) -> max OK tile
+    cap = measured_ok.get((h, w))
+    if cap is None:
+        return 0  # no validated point at this stage: XLA chain
+    budget = 12e6  # > largest measured-OK stack (11.6M est), < 16.9M OOM
     weights = 3 * 2 * 9 * c * c * itemsize
-    tn = min(requested, n)
+    tn = min(requested, n, cap)
     while tn:
         while tn and n % tn:
             tn -= 1

@@ -191,14 +191,11 @@ def extract_mfcc(wav_path: str, output_path: str,
     feats = mfcc(samples, sample_rate=sr, hop_sec=hop_sec)
     feats = np.nan_to_num(feats)
     if annotated_idx is not None:
-        length = int(max(annotated_idx))
-        diff = length - len(feats) + 1
-        if diff > 0:
-            pad = (feats[-1][None] if len(feats) else
-                   np.zeros((1, feats.shape[1]), feats.dtype))
-            feats = np.concatenate(
-                [feats, np.repeat(pad, diff, axis=0)])
-        feats = feats[annotated_idx]
+        # ONE implementation of the compact_audio_feature edge-pad
+        # contract (incl. the empty-matrix degradation) for every
+        # compacted audio feature
+        from fvt_tpu.preprocess.audio import _pad_to_annotated
+        feats = _pad_to_annotated(feats, annotated_idx)[annotated_idx]
     os.makedirs(os.path.dirname(os.path.abspath(output_path)),
                 exist_ok=True)
     np.save(output_path, feats)
@@ -206,7 +203,8 @@ def extract_mfcc(wav_path: str, output_path: str,
 
 def extract_egemaps(wav_path: str, output_path: str,
                     length: int = None, target_frequency: float = None,
-                    annotated_idx: np.ndarray = None, **kwargs):
+                    annotated_idx: np.ndarray = None,
+                    target_frequence: float = None):
     """eGeMAPSv02 FUNCTIONALS (88-d), one vector per target frame over a
     1-second sliding window — the reference's exact windowing scheme
     (base/audio.py:99-117: starts = arange(length)/fps, ends = starts+1,
@@ -220,6 +218,13 @@ def extract_egemaps(wav_path: str, output_path: str,
     docstring records every approximation).  Stores produced with one
     backend should not be mixed with the other."""
     import os
+    if target_frequency is None:
+        # the reference API's own spelling (base/audio.py:99 names the
+        # parameter 'target_frequence'); accepted as an alias so callers
+        # porting reference code don't silently lose the per-frame path.
+        # No **kwargs: any OTHER misspelling raises TypeError instead of
+        # silently writing a (1, 88) whole-file matrix
+        target_frequency = target_frequence
     if os.path.isfile(output_path):
         return
     try:
@@ -252,14 +257,10 @@ def extract_egemaps(wav_path: str, output_path: str,
     feats = np.nan_to_num(np.asarray(feats, dtype=np.float32))
     if annotated_idx is not None:
         # compact_audio_feature contract: edge-pad so every annotated
-        # index exists, then gather (base/preprocessing.py:992-1018)
-        need = int(max(annotated_idx))
-        diff = need - len(feats) + 1
-        if diff > 0:
-            pad = (feats[-1][None] if len(feats) else
-                   np.zeros((1, 88), feats.dtype))
-            feats = np.concatenate([feats, np.repeat(pad, diff, axis=0)])
-        feats = feats[annotated_idx]
+        # index exists, then gather (base/preprocessing.py:992-1018) —
+        # shared with logmel/vggish/mfcc (audio._pad_to_annotated)
+        from fvt_tpu.preprocess.audio import _pad_to_annotated
+        feats = _pad_to_annotated(feats, annotated_idx)[annotated_idx]
     os.makedirs(os.path.dirname(os.path.abspath(output_path)),
                 exist_ok=True)
     np.save(output_path, feats)

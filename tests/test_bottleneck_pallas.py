@@ -62,10 +62,14 @@ def test_safe_batch_tile_matches_measured_boundary():
     # validated-OOM configs are clamped below the requested tile
     assert safe_batch_tile(2400, 40, 40, 64, 2, 4) < 4
     assert safe_batch_tile(2400, 20, 20, 128, 2, 16) < 16
-    assert safe_batch_tile(2400, 10, 10, 256, 2, 16) < 16
-    assert safe_batch_tile(2400, 5, 5, 512, 2, 32) == 0  # weights alone
-    # result always divides n
-    t = safe_batch_tile(6, 12, 12, 64, 4, 4)
+    # stages where EVERY probed tile OOMed have no validated envelope:
+    # the clamp returns 0 (XLA chain) instead of extrapolating
+    assert safe_batch_tile(2400, 10, 10, 256, 2, 16) == 0
+    assert safe_batch_tile(2400, 5, 5, 512, 2, 32) == 0
+    # off-sweep geometry: no measured point -> 0, never a guess
+    assert safe_batch_tile(6, 12, 12, 64, 4, 4) == 0
+    # result always divides n (validated stage, awkward n)
+    t = safe_batch_tile(6, 20, 20, 128, 4, 4)
     assert t and 6 % t == 0
 
 
