@@ -243,9 +243,12 @@ def bench_e2e(flops_per_frame):
     }
     # (b) loader in ISOLATION: same batch iterator, zero device work —
     # the pure host-side disk->resize->stack bound;
+    from fvt_tpu.data.transforms import CROP_SIZE
     t0 = time.perf_counter()
-    for _ in test_loader.batches(args.eval_video_batch,
-                                 windowed_threshold=WINDOW):
+    for _ in test_loader.batches(
+            args.eval_video_batch, windowed_threshold=WINDOW,
+            center_crop=(CROP_SIZE if getattr(args, 'h2d_precrop_video',
+                                              True) else None)):
         pass
     loader_s = time.perf_counter() - t0
     breakdown['loader_only_s'] = round(loader_s, 3)

@@ -55,7 +55,8 @@ class ExampleBuilder:
         self.host_resize = host_resize
 
     def _gather(self, path: str, length: int, index: np.ndarray,
-                feature: str, pad_to: Optional[int] = None) -> np.ndarray:
+                feature: str, pad_to: Optional[int] = None,
+                center_crop: Optional[int] = None) -> np.ndarray:
         target = self.window_length if pad_to is None else pad_to
         if length < target:
             gather_idx = pad_short_window_indices(length, target)
@@ -91,10 +92,15 @@ class ExampleBuilder:
                 if feature == constants.VIDEO and self.host_resize:
                     # fused gather+resize in C (band-limited kernel, no
                     # float frame materialized, GIL released); returns
-                    # None for non-256-contract stores -> normal path
+                    # None for non-256-contract stores -> normal path.
+                    # center_crop additionally folds eval's deterministic
+                    # 48->40 crop into the resize weights (bit-identical;
+                    # see native_store.gather_resize_rows)
                     data = native_store.gather_resize_rows(
-                        filename, gather_idx, SCALE_SIZE)
-                    if data is not None and data.shape[1] == SCALE_SIZE:
+                        filename, gather_idx, SCALE_SIZE,
+                        crop=center_crop)
+                    if data is not None and data.shape[1] in (
+                            SCALE_SIZE, center_crop):
                         return data
                 data = native_store.gather_rows(filename, gather_idx)
             if data is None:
@@ -105,15 +111,23 @@ class ExampleBuilder:
             data = np.zeros(shape, dtype=np.float32)
         return data
 
-    def build(self, item, pad_to: Optional[int] = None
-              ) -> Dict[str, np.ndarray]:
+    def build(self, item, pad_to: Optional[int] = None,
+              center_crop: Optional[int] = None) -> Dict[str, np.ndarray]:
         """``pad_to`` overrides the pad-by-repeat target for short trials
         (train-time bucketing, --train_bucketed); None keeps the
-        reference's pad-to-window semantics."""
+        reference's pad-to-window semantics.
+
+        ``center_crop`` (eval only — the crop is deterministic there,
+        base/dataset.py:487-539) emits video frames already center-
+        cropped from SCALE_SIZE to ``center_crop``: fused into the
+        native resize when that path runs, a plain slice otherwise.
+        Bit-identical to cropping the SCALE_SIZE output downstream."""
         path, trial, length, index = item
         out: Dict[str, np.ndarray] = {}
         for feature in self.modality:
-            data = self._gather(path, length, index, feature, pad_to=pad_to)
+            data = self._gather(path, length, index, feature, pad_to=pad_to,
+                                center_crop=(center_crop if feature ==
+                                             constants.VIDEO else None))
             if 'continuous_label' in feature:
                 if self.task == constants.REGRESSION:
                     # VA-style continuous labels: (T, D) -> selected dim
@@ -125,9 +139,19 @@ class ExampleBuilder:
                 else:
                     out[feature] = data.astype(np.int32).reshape(-1)
             elif feature == constants.VIDEO and data.ndim == 4:
-                if self.host_resize and data.shape[1] != SCALE_SIZE:
+                if self.host_resize and data.shape[1] not in (
+                        SCALE_SIZE, center_crop):
                     from fvt_tpu.data.host_resize import resize_frames_uint8
                     data = resize_frames_uint8(data, SCALE_SIZE)
+                if center_crop and data.shape[1] == data.shape[2] == \
+                        SCALE_SIZE and 0 < center_crop < SCALE_SIZE:
+                    # recompacted-48-store / python-fallback paths: the
+                    # crop is a slice here (the native path above already
+                    # emitted cropped frames)
+                    off = (SCALE_SIZE - center_crop) // 2
+                    data = np.ascontiguousarray(
+                        data[:, off:off + center_crop,
+                             off:off + center_crop])
                 out[feature] = data  # raw frames; device transform later
             else:
                 data = data.astype(np.float32)

@@ -164,9 +164,10 @@ class EvalLoader:
     def __len__(self):
         return len(self.work_list)
 
-    def _build(self, item) -> Tuple[Dict[str, np.ndarray], str, int, int]:
+    def _build(self, item, center_crop: Optional[int] = None
+               ) -> Tuple[Dict[str, np.ndarray], str, int, int]:
         path, trial, length, index = item
-        example = self.builder.build(item)
+        example = self.builder.build(item, center_crop=center_crop)
         true_len = self.builder.padded_length(length)
         bucket = round_up(true_len, self.bucket_quantum)
         padded = {}
@@ -195,14 +196,17 @@ class EvalLoader:
                 yield fut.result()
 
     def batches(self, batch_videos: int = 1,
-                windowed_threshold: Optional[int] = None):
+                windowed_threshold: Optional[int] = None,
+                center_crop: Optional[int] = None):
         """Group same-bucket videos into batches of up to ``batch_videos``.
 
         Yields (batch(B, bucket, ...), trials, true_lens, bucket).  Videos
         whose padded length exceeds ``windowed_threshold`` (the model
         window — they take the stitch path) are yielded as singletons.
         Outputs are per-video identical to the bs=1 path; only throughput
-        changes.
+        changes.  ``center_crop`` ships video frames already center-
+        cropped (eval's crop is deterministic; fused into the native
+        gather+resize — see ExampleBuilder.build).
         """
         def bucket_of(item):
             tl = self.builder.padded_length(item[2])
@@ -223,7 +227,7 @@ class EvalLoader:
                 jobs.append(items[s:s + batch_videos])
 
         def build_job(job):
-            built = [self._build(i) for i in job]
+            built = [self._build(i, center_crop=center_crop) for i in job]
             batch = {k: np.concatenate([ex[0][k] for ex in built], axis=0)
                      for k in built[0][0]}
             trials = [ex[1] for ex in built]

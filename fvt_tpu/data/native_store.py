@@ -165,7 +165,8 @@ def gather_rows(path: str, indices: np.ndarray,
 
 
 def gather_resize_rows(path: str, indices: np.ndarray, size: int,
-                       num_threads: int = 1) -> Optional[np.ndarray]:
+                       num_threads: int = 1,
+                       crop: Optional[int] = None) -> Optional[np.ndarray]:
     """Fused frame gather + antialiased-bilinear resize to (size, size)
     for a (N, H, W, C) uint8 .npy — the challenge-inference hot path.
 
@@ -174,6 +175,15 @@ def gather_resize_rows(path: str, indices: np.ndarray, size: int,
     uint8 rounding matches resize_frames_uint8 up to fp32 summation
     order (<= 1 lsb on exact .5 ties).  None -> caller falls back to
     gather + resize_frames_uint8.
+
+    ``crop`` (eval's deterministic center crop, reference
+    base/transforms3D.py GroupCenterCrop) fuses the crop INTO the
+    resize by handing the C kernel only the central ``crop`` rows of
+    each (size, dim) weight matrix: crop-after-round equals
+    round-after-crop for a row selection, so the output is bit-identical
+    to ``gather_resize_rows(...)[:, off:off+crop, off:off+crop]`` while
+    skipping the cropped pixels' FLOPs and the extra host copy.
+    Output shape is then (n, crop, crop, C).
     """
     lib = _load_lib()
     if lib is None or not hasattr(lib, 'fvt_gather_resize_u8'):
@@ -184,10 +194,17 @@ def gather_resize_rows(path: str, indices: np.ndarray, size: int,
     n_disk, h, w, c = shape
     if h == size and w == size:
         return None  # already at target size: plain gather is cheaper
+    if crop is not None and not 0 < crop < size:
+        crop = None  # degenerate crop: plain resize
 
     from fvt_tpu.data.host_resize import resize_weights
     wh = np.ascontiguousarray(resize_weights(h, size))
     ww = np.ascontiguousarray(resize_weights(w, size))
+    if crop is not None:
+        off = (size - crop) // 2
+        wh = np.ascontiguousarray(wh[off:off + crop])
+        ww = np.ascontiguousarray(ww[off:off + crop])
+        size = crop
 
     idx = np.ascontiguousarray(indices, dtype=np.int64)
     if idx.size and (idx.min() < 0 or idx.max() >= n_disk):

@@ -614,8 +614,15 @@ class Trainer:
                                          dtype=np.float32),
                 }
 
+        # with precrop on, the loader emits 40^2 frames directly: the
+        # crop rides the native resize's weight matrices (zero extra
+        # copies, 31% smaller pad/stack buffers); maybe_precrop below
+        # stays as the bit-identical fallback for 48^2 batches from any
+        # path that didn't crop (e.g. EvalLoader.__iter__ users)
         batch_iter = loader.batches(batch_videos,
-                                    windowed_threshold=win_threshold)
+                                    windowed_threshold=win_threshold,
+                                    center_crop=(CROP_SIZE if precrop
+                                                 else None))
         while True:
             t0 = _pc()
             nxt = next(batch_iter, None)

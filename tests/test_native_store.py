@@ -146,6 +146,70 @@ def test_gather_resize_declines_non_contract_inputs(tmp_path):
     assert native_store.gather_resize_rows(sized, np.arange(2), 48) is None
 
 
+def test_gather_resize_fused_center_crop_bit_identical(tmp_path):
+    """crop= folds eval's center crop into the resize weight matrices:
+    the output must equal cropping the full resize output BIT-identically
+    (same C kernel, same per-pixel dot products — crop-after-round is
+    round-after-crop for a row selection), incl. rectangular frames."""
+    if not native_store.ensure_built():
+        pytest.skip('native library failed to build')
+    rng = np.random.default_rng(2)
+    video = rng.integers(0, 256, size=(9, 96, 64, 3)).astype(np.uint8)
+    p = str(tmp_path / 'video.npy')
+    np.save(p, video)
+
+    idx = np.asarray([0, 5, 5, 8, 2], np.int64)
+    full = native_store.gather_resize_rows(p, idx, 48)
+    crop = native_store.gather_resize_rows(p, idx, 48, crop=40)
+    assert crop is not None and crop.shape == (5, 40, 40, 3)
+    off = (48 - 40) // 2
+    np.testing.assert_array_equal(
+        crop, full[:, off:off + 40, off:off + 40])
+    # degenerate crops fall back to the plain resize
+    same = native_store.gather_resize_rows(p, idx, 48, crop=48)
+    np.testing.assert_array_equal(same, full)
+
+
+def test_builder_center_crop_all_paths_agree(tmp_path):
+    """ExampleBuilder(center_crop=40) is bit-identical to slicing the
+    uncropped 48^2 output, on each video path: native fused resize,
+    python-fallback resize, and the recompacted video_48 store."""
+    if not native_store.ensure_built():
+        pytest.skip('native library failed to build')
+    from fvt_tpu.data.dataset import ExampleBuilder
+
+    rng = np.random.default_rng(3)
+    tdir = str(tmp_path / 'trial')
+    os.makedirs(tdir)
+    video = rng.integers(0, 256, size=(10, 256, 256, 3)).astype(np.uint8)
+    np.save(os.path.join(tdir, 'video.npy'), video)
+    np.save(os.path.join(tdir, 'EXPR_continuous_label.npy'),
+            np.zeros((10,), np.int64))
+    item = [tdir, 't', 10, np.arange(10)]
+    off = (48 - 40) // 2
+
+    for use_native in (True, False):
+        b = ExampleBuilder(['video'], window_length=8,
+                           use_native=use_native)
+        full = b.build(item)['video']
+        crop = b.build(item, center_crop=40)['video']
+        assert crop.shape == (10, 40, 40, 3)
+        np.testing.assert_array_equal(
+            crop, full[:, off:off + 40, off:off + 40],
+            err_msg=f'use_native={use_native}')
+
+    # recompacted store: 48^2 frames on disk are gathered as plain rows,
+    # the crop is a slice
+    from fvt_tpu.preprocess.recompact import recompact_trial
+    recompact_trial(tdir, size=48)
+    b = ExampleBuilder(['video'], window_length=8, use_native=True)
+    full = b.build(item)['video']
+    assert full.shape == (10, 48, 48, 3)
+    crop = b.build(item, center_crop=40)['video']
+    np.testing.assert_array_equal(
+        crop, full[:, off:off + 40, off:off + 40])
+
+
 def test_builder_uses_fused_resize_when_available(tmp_path):
     """ExampleBuilder's video branch produces identical output whether
     the fused C path or the python fallback runs."""
