@@ -30,7 +30,7 @@ import time
 import numpy as np
 
 WINDOW = 300
-BATCH_WINDOWS = 16  # +12% over 8 (measured)
+BATCH_WINDOWS = 32  # +12% over 8, +6% over 16 (measured on v5e)
 CROP = 48  # stored face crops are rescaled to 48 then cropped to 40
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -131,16 +131,24 @@ def bench_backbone_quant():
         jax.random.key(0), x[:8])
 
     def timed(fwd):
+        # the RATIO is the metric here, so the harness must not carry a
+        # constant D2H term: the full (2400, 512) fp32 feature D2H is
+        # ~5 MB/step, which at a bad tunnel hour (0.04 GB/s) adds
+        # ~120 ms/step to BOTH paths and compresses the ratio toward 1
+        # (observed: the same int8 path read 1.31x and 0.94x on two
+        # sessions).  A fused scalar mean consumes every output element
+        # (no axon elision) in the same dispatch and ships 4 bytes.
         np.asarray(fwd(variables, x))  # compile
         np.asarray(fwd(variables, x))
         iters = 10
         t0 = time.perf_counter()
         for _ in range(iters):
-            np.asarray(fwd(variables, x))  # force to host (axon elision)
+            np.asarray(fwd(variables, x))
         return n_frames * iters / (time.perf_counter() - t0)
 
     bf16_fps = timed(jax.jit(
-        lambda v, xx, m=bf16: m.apply(v, xx, train=False)))
+        lambda v, xx, m=bf16: m.apply(v, xx, train=False)
+        .astype(jnp.float32).mean()))
 
     q = VisualBackbone(dtype=jnp.bfloat16, conv_impl='int8')
     _, mut = jax.jit(lambda v, xx, m=q: m.apply(
@@ -148,11 +156,13 @@ def bench_backbone_quant():
     scales = mut['act_scales']  # calibrated once; closed over below
     int8_fps = timed(jax.jit(
         lambda v, xx, m=q, s=scales: m.apply(
-            {**v, 'act_scales': s}, xx, train=False)))
+            {**v, 'act_scales': s}, xx, train=False)
+        .astype(jnp.float32).mean()))
     return {
         'backbone_bf16_fps': round(bf16_fps, 1),
         'backbone_int8_fps': round(int8_fps, 1),
         'backbone_int8_speedup': round(int8_fps / bf16_fps, 3),
+        'harness': 'fused-mean output (compute rate; no per-step D2H)',
     }
 
 
