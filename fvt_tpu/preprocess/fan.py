@@ -403,6 +403,11 @@ class FANLandmarks:
     def predict(self, img_rgb: np.ndarray, bbox) -> np.ndarray:
         center, scale = bbox_to_center_scale(bbox)
         crop = crop_face(img_rgb.astype(np.float32), center, scale)
+        # face_alignment's crop buffer is uint8 and cv2.resize emits
+        # uint8 before the /255 normalize: quantize like it does (cv2's
+        # fixed-point INTER_LINEAR differs from this float evaluation by
+        # <=1 lsb on uint8-range inputs)
+        crop = np.clip(np.rint(crop), 0.0, 255.0)
         x = jnp.asarray(crop[None] / 255.0, jnp.float32)
         hm = np.asarray(self._fwd(self.variables, x)[0])
         return decode_heatmaps(hm, center, scale)
@@ -413,7 +418,14 @@ def extract_landmarks_68_native(img_rgb: np.ndarray,
                                 fan: Optional[FANLandmarks] = None
                                 ) -> np.ndarray:
     """Native 68-pt extraction: detector -> FAN (no torch packages in
-    the compute path; mirrors faces.extract_landmarks_68's contract)."""
+    the compute path; mirrors faces.extract_landmarks_68's contract).
+
+    Fidelity note: the reference's FaceAlignment detects the face box
+    with its built-in SFD detector before cropping; this native path
+    uses ``default_detector()`` (RetinaFace when weights are present).
+    FAN's crop is box-derived (center/scale), so a slightly different
+    box jitters the crop window — landmark outputs agree to a few px,
+    not bit-exactly, with the package path."""
     if fan is None:
         fan = FANLandmarks()
     if detector is None:

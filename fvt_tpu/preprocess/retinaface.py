@@ -488,16 +488,45 @@ class RetinaFaceJAX:
         scores = scores[keep]
 
         kept = nms(boxes, scores, self.nms_threshold)
-        out = []
-        for i in kept:
-            # un-pad (ternaus unpad_from_size), then undo the resize
-            b = (boxes[i] - np.array([left, top, left, top],
-                                     np.float32)) / scale
-            l5 = (lands[i] - np.array([left, top], np.float32)) / scale
-            b = np.array([np.clip(b[0], 0, w - 1), np.clip(b[1], 0, h - 1),
-                          np.clip(b[2], 0, w - 1), np.clip(b[3], 0, h - 1)],
-                         float)
-            out.append({'bbox': b, 'score': float(scores[i]),
-                        'landmarks': l5.astype(np.float32)})
+        out = postprocess_detections(boxes, lands, scores, kept,
+                                     left, top, self.max_size, h, w)
         out.sort(key=lambda d: d['score'], reverse=True)
         return out
+
+
+def postprocess_detections(boxes: np.ndarray, lands: np.ndarray,
+                           scores: np.ndarray, kept: List[int],
+                           left: int, top: int, max_size: int,
+                           h: int, w: int) -> List[dict]:
+    """ternaus ``predict_jsons`` output semantics, exactly:
+
+      * boxes are truncated to int AT THE PADDED SCALE
+        (``boxes[keep].int()``), un-padded, rescaled by
+        ``resize_coeff = max(h, w) / max_size`` and truncated to int
+        AGAIN (``.astype(int)``);
+      * landmarks are un-padded as float, rescaled, truncated to int
+        ONCE;
+      * box corners are clipped with the reference's asymmetric
+        convention (``x_max`` to ``[x_min + 1, w - 1]``).
+
+    The double truncation loses sub-pixel precision on purpose: the
+    reference's stores were built from these integer coordinates
+    (retinaface_align.py:204-207 consumes them verbatim), and the
+    5-point warp is exactly reproducible only from the same integers.
+    """
+    resize_coeff = max(h, w) / max_size
+    unpad_b = np.array([left, top, left, top])
+    unpad_l = np.array([left, top], np.float32)
+    out = []
+    for i in kept:
+        b = boxes[i].astype(int)                      # trunc @ padded
+        b = ((b - unpad_b) * resize_coeff).astype(int)  # trunc @ frame
+        l5 = ((lands[i] - unpad_l) * resize_coeff).astype(int)
+        x_min = int(np.clip(b[0], 0, w - 1))
+        x_max = int(np.clip(b[2], x_min + 1, w - 1))
+        y_min = int(np.clip(b[1], 0, h - 1))
+        y_max = int(np.clip(b[3], y_min + 1, h - 1))
+        out.append({'bbox': np.array([x_min, y_min, x_max, y_max], float),
+                    'score': float(scores[i]),
+                    'landmarks': l5.astype(np.float32)})
+    return out

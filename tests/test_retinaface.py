@@ -81,6 +81,36 @@ def test_nms_oracle():
     assert RF.nms(boxes[:0], scores[:0], 0.4) == []
 
 
+def test_postprocess_matches_ternaus_int_semantics():
+    """Hand oracle for predict_jsons' double int truncation + asymmetric
+    clip: boxes trunc at the padded scale, unpad, rescale, trunc again;
+    landmarks trunc once after rescale; x_max clips to [x_min+1, w-1]."""
+    max_size, h, w = 128, 96, 80  # scale = 128/96, pads: left=27, top=0
+    left, top = 27, 0
+    coeff = 96 / 128
+    boxes = np.array([[30.7, 10.9, 70.2, 90.6]], np.float32)
+    lands = np.array([[[31.5, 20.4], [60.9, 20.2], [45.1, 40.8],
+                       [35.3, 60.9], [55.8, 61.2]]], np.float32)
+    scores = np.array([0.97])
+    out = RF.postprocess_detections(boxes, lands, scores, [0],
+                                    left, top, max_size, h, w)
+    assert len(out) == 1
+    # box: trunc -> [30,10,70,90]; unpad x by 27 -> [3,10,43,90];
+    # * 0.75 -> [2.25, 7.5, 32.25, 67.5] -> trunc [2, 7, 32, 67]
+    np.testing.assert_array_equal(out[0]['bbox'], [2, 7, 32, 67])
+    want_l5 = ((lands[0] - [27, 0]) * coeff).astype(int)
+    np.testing.assert_array_equal(out[0]['landmarks'], want_l5)
+    assert out[0]['score'] == pytest.approx(0.97)
+
+    # degenerate thin box at the border: x_max >= x_min + 1 enforced
+    bx = np.array([[127.0, 0.0, 127.5, 1.0]], np.float32)
+    out = RF.postprocess_detections(bx, lands[:, :, :], scores, [0],
+                                    0, 0, max_size, h, w)
+    x0, y0, x1, y1 = out[0]['bbox']
+    assert x1 >= x0 + 1 or x1 == w - 1
+    assert 0 <= x0 <= w - 1 and 0 <= y0 <= h - 1
+
+
 def test_port_and_forward_shapes():
     """The synthetic torch-layout state dict ports into the flax model
     with the SAME tree the model initializes (no orphan/missing leaves)
