@@ -55,10 +55,12 @@ constant: openSMILE scales by 32767.0 where HTK's int16 convention
 suggests 32768; a uniform scale s shifts only c0 by ln(s^2)*sqrt(2/26)
 (DCT of a constant), i.e. a <=4e-5 absolute c0 delta between the two.
 
-eGeMAPS functionals remain supported only WITH openSMILE (see
-``extract_egemaps``) — the 88 functionals are defined by its
-implementation.  Neither modality is in the reference's default feature
-set (vggish/bert/video; project/abaw5/configs.py:143 gates mfcc to 0).
+eGeMAPS functionals use openSMILE when it is importable (canonical
+numerics) and otherwise the NATIVE spec-conformant eGeMAPSv02 in
+``preprocess/egemaps.py`` (all 25 LLDs + 88 functionals in opensmile's
+column order; approximations documented there).  Neither modality is in
+the reference's default feature set (vggish/bert/video;
+project/abaw5/configs.py:143 gates mfcc to 0).
 """
 from __future__ import annotations
 
