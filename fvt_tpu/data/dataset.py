@@ -148,7 +148,8 @@ class ExampleBuilder:
                     # recompacted-48-store / python-fallback paths: the
                     # crop is a slice here (the native path above already
                     # emitted cropped frames)
-                    off = (SCALE_SIZE - center_crop) // 2
+                    from fvt_tpu.data.transforms import center_crop_offset
+                    off = center_crop_offset(SCALE_SIZE, center_crop)
                     data = np.ascontiguousarray(
                         data[:, off:off + center_crop,
                              off:off + center_crop])

@@ -201,7 +201,8 @@ def gather_resize_rows(path: str, indices: np.ndarray, size: int,
     wh = np.ascontiguousarray(resize_weights(h, size))
     ww = np.ascontiguousarray(resize_weights(w, size))
     if crop is not None:
-        off = (size - crop) // 2
+        from fvt_tpu.data.transforms import center_crop_offset
+        off = center_crop_offset(size, crop)
         wh = np.ascontiguousarray(wh[off:off + crop])
         ww = np.ascontiguousarray(ww[off:off + crop])
         size = crop

@@ -22,6 +22,16 @@ SCALE_SIZE = 48
 CROP_SIZE = 40
 
 
+def center_crop_offset(size: int, crop: int) -> int:
+    """THE center-crop offset convention (torch CenterCrop floor,
+    reference base/transforms3D.py GroupCenterCrop).  Every site that
+    center-crops — the device transform, trainer.maybe_precrop, the
+    ExampleBuilder slice, and native_store's fused resize weights —
+    must use this one helper so the advertised bit-identity between
+    those paths can never drift on a convention change."""
+    return (size - crop) // 2
+
+
 def _resize_frames(video: jnp.ndarray, size: int) -> jnp.ndarray:
     """(B, T, H, W, 3) -> (B, T, size, size, 3), bilinear+antialias.
 
@@ -82,7 +92,7 @@ def eval_video_transform(video: jnp.ndarray) -> jnp.ndarray:
         x = video.astype(jnp.float32)
     else:
         x = _resize_frames(video.astype(jnp.float32), SCALE_SIZE)
-        off = (SCALE_SIZE - CROP_SIZE) // 2
+        off = center_crop_offset(SCALE_SIZE, CROP_SIZE)
         x = x[:, :, off:off + CROP_SIZE, off:off + CROP_SIZE, :]
     x = x / 255.0
     return (x - 0.5) / 0.5

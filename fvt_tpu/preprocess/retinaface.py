@@ -437,7 +437,10 @@ class RetinaFaceJAX:
 
     # -- preprocessing (ternaus predict_jsons contract) ----------------
     def _prepare(self, img_rgb: np.ndarray
-                 ) -> Tuple[np.ndarray, float, int, int]:
+                 ) -> Tuple[np.ndarray, int, int]:
+        """Returns (padded normalized image, top pad, left pad); the
+        inverse mapping in postprocess_detections needs only the pads —
+        its resize_coeff = max(h, w) / max_size re-derives the scale."""
         h, w = img_rgb.shape[:2]
         scale = self.max_size / max(h, w)
         nh, nw = int(round(h * scale)), int(round(w * scale))
@@ -464,11 +467,11 @@ class RetinaFaceJAX:
         pad_w = self.max_size - nw
         top, left = pad_h // 2, pad_w // 2
         x = np.pad(x, ((top, pad_h - top), (left, pad_w - left), (0, 0)))
-        return x, scale, nh, nw, top, left
+        return x, top, left
 
     def detect(self, img_rgb: np.ndarray) -> List[dict]:
         h, w = img_rgb.shape[:2]
-        x, scale, nh, nw, top, left = self._prepare(img_rgb)
+        x, top, left = self._prepare(img_rgb)
         size = x.shape[0]
         loc, conf, ldm = self._fwd(self.variables, jnp.asarray(x[None]))
         loc = np.asarray(loc[0])

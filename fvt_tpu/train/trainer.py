@@ -470,14 +470,15 @@ class Trainer:
         # exact loader shape so any other store geometry falls through
         # to the device path untouched.
         precrop = getattr(self.args, 'h2d_precrop_video', True)
-        from fvt_tpu.data.transforms import CROP_SIZE, SCALE_SIZE
+        from fvt_tpu.data.transforms import (CROP_SIZE, SCALE_SIZE,
+                                             center_crop_offset)
 
         def maybe_precrop(batch):
             v = batch.get(constants.VIDEO)
             if (precrop and v is not None and v.dtype == np.uint8
                     and v.shape[-3] == SCALE_SIZE
                     and v.shape[-2] == SCALE_SIZE):
-                off = (SCALE_SIZE - CROP_SIZE) // 2
+                off = center_crop_offset(SCALE_SIZE, CROP_SIZE)
                 batch[constants.VIDEO] = np.ascontiguousarray(
                     v[..., off:off + CROP_SIZE, off:off + CROP_SIZE, :])
             return batch
