@@ -40,7 +40,7 @@ yield 0.0 (openSMILE's undefined-value convention), never NaN.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
