@@ -30,7 +30,9 @@ import time
 import numpy as np
 
 WINDOW = 300
-BATCH_WINDOWS = 32  # +12% over 8, +6% over 16 (measured on v5e)
+BATCH_WINDOWS = 48  # +6% over 16, +3.2% over 32; 64 adds +0.2% for
+# 33% more latency/memory — scaling is flat past 48 (same-session v5e
+# sweep: 32/48/64 = 23228/23973/24016 frames/s)
 CROP = 48  # stored face crops are rescaled to 48 then cropped to 40
 
 REPO = os.path.dirname(os.path.abspath(__file__))
