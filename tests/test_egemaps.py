@@ -144,6 +144,48 @@ def test_short_input_no_crash():
 
 
 # ---------------------------------------------------------- per frame
+def test_functionals_rows_match_per_window_oracle():
+    """The vectorized batch path (masked cumulative sums, strided
+    percentiles) must reproduce the per-window oracle row for row,
+    including tail-clamped short windows, empty windows and windows
+    with no voiced (or no unvoiced) frames."""
+    rng = np.random.default_rng(3)
+    t = np.arange(4 * SR) / SR
+    # voiced tone bursts separated by noise/silence -> mixed voicing
+    wav = (0.3 * np.sin(2 * np.pi * 150 * t)
+           * (np.sin(2 * np.pi * 0.7 * t) > 0)
+           + 0.02 * rng.standard_normal(len(t)))
+    lld = EG.egemaps_lld(wav, SR)
+    sm = EG.smooth_tracks(lld)
+    n = len(sm['voiced'])
+    win = 100
+    starts = np.array([0, 7, 50, n - win, n - 30, n - 1])
+    ends = np.minimum(starts + win, n)
+    level = rng.normal(size=len(starts))
+
+    rows = EG.functionals_rows(sm, starts, ends, level)
+    for r in range(len(starts)):
+        want = EG._functionals_window(sm, int(starts[r]), int(ends[r]),
+                                      float(level[r]))
+        np.testing.assert_allclose(rows[r], want, rtol=2e-5, atol=2e-5,
+                                   err_msg=f"row {r}")
+
+
+def test_whole_file_equals_single_full_window():
+    """egemaps_functionals == the batch path over one full-range window
+    (smoothing happens once at the LLD level, so both see identical
+    tracks)."""
+    wav = tone(dur=1.5)
+    vec = EG.egemaps_functionals(wav, SR)
+    lld = EG.egemaps_lld(wav, SR)
+    sm = EG.smooth_tracks(lld)
+    n = len(sm['voiced'])
+    level = vec[EG.COLUMNS.index('equivalentSoundLevel_dBp')]
+    rows = EG.functionals_rows(sm, np.array([0]), np.array([n]),
+                               np.array([level]))
+    np.testing.assert_allclose(rows[0], vec, rtol=2e-5, atol=2e-5)
+
+
 def test_per_frame_rows_shape_and_stationarity():
     wav = tone(dur=3.0)
     rows = EG.egemaps_per_frame(wav, SR, length=10, target_frequency=5.0)
