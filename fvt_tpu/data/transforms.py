@@ -96,8 +96,3 @@ def eval_video_transform(video: jnp.ndarray) -> jnp.ndarray:
         x = x[:, :, off:off + CROP_SIZE, off:off + CROP_SIZE, :]
     x = x / 255.0
     return (x - 0.5) / 0.5
-
-
-def normalize_features(x: jnp.ndarray, mean: jnp.ndarray, std: jnp.ndarray
-                       ) -> jnp.ndarray:
-    return (x - mean) / std

@@ -113,3 +113,20 @@ def test_tcn_attention_block_parity():
     model = TCNAttentionBlock(k_size=8, v_size=16)
     got = model.apply({'params': params}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_positional_encoding_parity():
+    """layers.PositionalEncoding == reference transformer.py:22-47
+    (a model-zoo surface class; no live consumer in either tree)."""
+    from models.transformer import PositionalEncoding as Ref
+    from fvt_tpu.models.layers import PositionalEncoding
+
+    ref = Ref(d_model=32, max_len=64)
+    ref.eval()
+    x = np.random.default_rng(2).normal(size=(3, 50, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    model = PositionalEncoding(d_model=32, max_len=64)
+    got = model.apply({}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
