@@ -191,3 +191,43 @@ def test_h2d_bf16_features_close_and_smaller(setup):
         ref = a[k]['logits']
         scale = np.abs(ref).max()
         assert np.abs(b[k]['logits'] - ref).max() / scale < 0.02, k
+
+
+def test_device_windowed_geometric_ladder_matches_oracle(tmp_path):
+    """Videos LONGER than 4x the model window land in ladder_len's
+    GEOMETRIC region (the module-setup store stops at 2.5x, i.e. the
+    linear-quantum region): the live device-window path must still
+    equal the per-video oracle with the larger ladder pad discarded."""
+    root = str(tmp_path / 'longstore')
+    store = make_meld_store(root, n_train=3, n_val=3, n_test=3,
+                            min_len=70, max_len=160)
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               modality='vggish+bert+EXPR_continuous_label',
+               window_length=16, hop_length=8, eval_bucket_quantum=8,
+               num_workers=1, calc_mean_std=True, seed=0)
+    args = SimpleNamespace(**cfg)
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    val = loaders[constants.VALIDSET]
+
+    from fvt_tpu.data import windowing as W
+    assert all(W.ladder_len(item[2], args.window_length) >= item[2]
+               and item[2] > 4 * args.window_length
+               for item in val.work_list), 'store must hit the geometric region'
+
+    _, per_video = trainer.inference(val)
+    checked = 0
+    for batch, trials, true_lens, _ in val.batches(
+            1, windowed_threshold=args.window_length):
+        batch.pop(constants.EXPR)
+        ref = trainer._forward_windows(batch, true_lens[0])
+        np.testing.assert_allclose(per_video[trials[0]]['logits'], ref,
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f'trial={trials[0]}')
+        checked += 1
+    assert checked == 3
