@@ -64,7 +64,8 @@ class PreprocessingDriver:
                  transcriber=None,
                  text_embedder=None,
                  extract_mfcc: bool = False,
-                 extract_egemaps: bool = False):
+                 extract_egemaps: bool = False,
+                 landmarker=None):
         self.ds = ds
         self.split = split
         self.part = part
@@ -93,6 +94,11 @@ class PreprocessingDriver:
         # extract_egemaps to 0 — "can be really slow to extract")
         self.extract_mfcc = extract_mfcc
         self.extract_egemaps = extract_egemaps
+        # landmarker: cropped-face RGB uint8 -> (68, 2) float32 (or None
+        # on failure); gates the landmark.npy chain step
+        # (base/preprocessing.py:631-648). Injectable; the CLI wires the
+        # native 2D-FAN-4 port when --landmarks is passed.
+        self.landmarker = landmarker
 
         os.makedirs(join(output_root, 'features', NPY_FOLDER),
                     exist_ok=True)
@@ -195,6 +201,33 @@ class PreprocessingDriver:
         except Exception as e:
             record['issues'].append(f'cnn failed: {e}')
 
+        # 2c. 68-pt landmarks per compacted face frame -> landmark.npy
+        # (reference chain step extract_facial_landmark_fn,
+        # base/preprocessing.py:631-648: the FacenetController csv's
+        # cols 5..141 are x_0..x_67 then y_0..y_67 in the CROPPED-face
+        # frame, zeros((68, 2)) when detection fails — video.py:249-292).
+        # video.npy rows are already annotated-index aligned, so rows
+        # map 1:1.
+        try:
+            lm_path = join(tdir, 'landmark.npy')
+            if self.landmarker is not None and not os.path.isfile(lm_path) \
+                    and os.path.isfile(join(tdir, 'video.npy')):
+                faces = np.load(join(tdir, 'video.npy'), mmap_mode='r')
+                rows = np.zeros((faces.shape[0], 136), np.float32)
+                for i in range(faces.shape[0]):
+                    try:
+                        lm = self.landmarker(np.asarray(faces[i]))
+                    except Exception:
+                        lm = None  # per-frame degradation: zeros row
+                    if lm is not None:
+                        lm = np.asarray(lm, np.float32)
+                        assert lm.shape == (68, 2), lm.shape
+                        rows[i, :68] = lm[:, 0]
+                        rows[i, 68:] = lm[:, 1]
+                np.save(lm_path, rows)
+        except Exception as e:
+            record['issues'].append(f'landmarks failed: {e}')
+
         # 3. text: [transcribe -> punctuation ->] embedding -> alignment
         # (chain order of base/preprocessing.py:381-415)
         try:
@@ -273,6 +306,11 @@ def main(argv=None):
                    help='extract 88-d eGeMAPSv02 functionals per '
                         'annotated frame (reference extract_egemaps '
                         'step, off by default)')
+    p.add_argument('--landmarks', action='store_true',
+                   help='write 136-d landmark.npy per compacted face '
+                        'frame via the native 2D-FAN-4 port (reference '
+                        'extract_facial_landmark step, off by default; '
+                        'needs the 2DFAN4 weight file)')
     args = p.parse_args(argv)
 
     vggish_params = None
@@ -293,12 +331,18 @@ def main(argv=None):
     transcriber = (textalign.make_vosk_transcriber(args.vosk_model_dir)
                    if args.transcribe else None)
 
+    landmarker = None
+    if args.landmarks:
+        from fvt_tpu.preprocess.fan import make_full_frame_landmarker
+        landmarker = make_full_frame_landmarker()
+
     driver = PreprocessingDriver(
         args.dataset_name, args.split, args.part, args.nparts,
         args.video_root, args.output_root, args.folds_dir, args.fold,
         vggish_params=vggish_params, bert=bert, arcface=arcface,
         transcriber=transcriber,
-        extract_mfcc=args.mfcc, extract_egemaps=args.egemaps)
+        extract_mfcc=args.mfcc, extract_egemaps=args.egemaps,
+        landmarker=landmarker)
     driver.run()
 
 

@@ -413,6 +413,22 @@ class FANLandmarks:
         return decode_heatmaps(hm, center, scale)
 
 
+def make_full_frame_landmarker(weights_path: Optional[str] = None):
+    """Landmarker over ALREADY-CROPPED faces (the driver's landmark.npy
+    chain step): the whole image is the face, so the FAN crop derives
+    from the full-frame box.  The reference's FacenetController instead
+    runs face_alignment.get_landmarks on its MTCNN crop, whose internal
+    SFD box jitters the FAN window — outputs agree to a few px, not
+    bit-exactly (video.py:249-292)."""
+    fan = FANLandmarks(weights_path)
+
+    def landmarker(img_rgb: np.ndarray) -> np.ndarray:
+        h, w = img_rgb.shape[:2]
+        return fan.predict(img_rgb, (0, 0, w, h))
+
+    return landmarker
+
+
 def extract_landmarks_68_native(img_rgb: np.ndarray,
                                 detector=None,
                                 fan: Optional[FANLandmarks] = None

@@ -223,3 +223,55 @@ def test_optional_audio_feature_steps(video_store, tmp_path):
         from fvt_tpu.preprocess.egemaps import COLUMNS
         f0col = COLUMNS.index('F0semitoneFrom27.5Hz_sma3nz_amean')
         assert abs(eg[0, f0col] - 36.0) < 1.0
+
+
+def test_landmark_chain_step(video_store, tmp_path):
+    """The gated landmark.npy step (reference extract_facial_landmark_fn,
+    base/preprocessing.py:631-648): one (68, 2) landmark set per
+    compacted face frame, stored as the FacenetController csv layout
+    x_0..x_67 then y_0..y_67 (video.py:249-292), zeros when the
+    landmarker fails on a frame.  Runs only when video.npy exists (the
+    crop+compact pass precedes feature extraction)."""
+    out_root = str(tmp_path / 'out_lm')
+
+    # crop+compact pass first, like the real pipeline order
+    feat_dir = join(out_root, 'features', 'compacted_48')
+    for i in range(4):
+        trial = f'train/clip{i}'
+        tdir = join(feat_dir, trial)
+        os.makedirs(tdir, exist_ok=True)
+        n = 10 + i
+        np.save(join(tdir, 'video.npy'),
+                np.zeros((n, 32, 32, 3), np.uint8))
+
+    calls = []
+
+    def fake_landmarker(face):
+        calls.append(face.shape)
+        if len(calls) == 3:
+            raise RuntimeError('detector blinked')  # per-frame degrade
+        lm = np.zeros((68, 2), np.float32)
+        lm[:, 0] = np.arange(68)            # x block
+        lm[:, 1] = 100.0 + np.arange(68)    # y block
+        return lm
+
+    drv = PreprocessingDriver(
+        constants.MELD, constants.TRAINSET, part=0, nparts=1,
+        video_root=join(video_store, 'raw'),
+        output_root=out_root,
+        folds_dir=join(video_store, 'folds'),
+        landmarker=fake_landmarker)
+    drv.run()
+
+    lm = np.load(join(feat_dir, 'train/clip0', 'landmark.npy'))
+    assert lm.shape == (10, 136) and lm.dtype == np.float32
+    np.testing.assert_array_equal(lm[0, :68], np.arange(68))   # x first
+    np.testing.assert_array_equal(lm[0, 68:], 100 + np.arange(68))
+    assert (lm[2] == 0).all()  # the blinked frame degrades to zeros
+    assert (lm[[0, 1, 3]] != 0).any(axis=1).all()
+    assert calls[0] == (32, 32, 3)
+
+    # idempotent: a second pass never re-invokes the landmarker
+    n_calls = len(calls)
+    drv.run()
+    assert len(calls) == n_calls
