@@ -35,6 +35,13 @@ MULTIPLIER = {
     'EXPR_continuous_label': 1, 'VA_continuous_label': 1,
     'continuous_label': 1, 'mfcc': 1, 'egemaps': 1, 'vggish': 1,
     'logmel': 1, 'bert': 1,
+    # beyond the reference: its configs.py:32-44 multiplier omits
+    # 'landmark' even though its TCN settings (configs.py:117) define
+    # the encoder — the modality was never actually loadable there.
+    # With the driver's --landmarks step producing landmark.npy, the
+    # entry makes it a usable CAN/JMT modality here
+    # (test_driver_merge.py::test_landmark_modality_trains).
+    'landmark': 1,
 }
 
 # LFAN per-modality TCN channel stacks (configs.py:61-77)

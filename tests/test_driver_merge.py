@@ -275,3 +275,56 @@ def test_landmark_chain_step(video_store, tmp_path):
     n_calls = len(calls)
     drv.run()
     assert len(calls) == n_calls
+
+
+def test_landmark_modality_trains(tmp_path):
+    """'landmark' is a usable 136-d feature modality: the reference
+    defines its TCN encoder (configs.py:117) but omits it from the
+    dataset multiplier, so it was never loadable there; with the
+    driver's --landmarks producer and the multiplier entry, a store
+    carrying landmark.npy drives a CAN epoch + inference end to end."""
+    import tempfile
+    from types import SimpleNamespace
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_store import make_meld_store
+    from fvt_tpu.config.defaults import get_config
+    from fvt_tpu.experiment import Experiment
+
+    root = str(tmp_path / 'lmstore')
+    store = make_meld_store(root, n_train=6, n_val=3, n_test=3,
+                            min_len=6, max_len=12)
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(7, 136)) * 3.0
+    feat_dir = join(root, 'features', 'compacted_48')
+    for split_dir in sorted(os.listdir(feat_dir)):
+        for v in sorted(os.listdir(join(feat_dir, split_dir))):
+            tdir = join(feat_dir, split_dir, v)
+            lab_arr = np.load(join(tdir, 'EXPR_continuous_label.npy'))
+            lab, n = int(lab_arr[0]), len(lab_arr)
+            np.save(join(tdir, 'landmark.npy'),
+                    (centers[lab] + rng.normal(size=(n, 136))
+                     ).astype(np.float32))
+
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               model_name=constants.CAN,
+               modality='landmark+bert+EXPR_continuous_label',
+               window_length=16, hop_length=8,
+               train_batch_size=4, eval_bucket_quantum=8,
+               num_workers=1, calc_mean_std=True, seed=0,
+               outd=tempfile.mkdtemp(prefix='fvt_lm_out_'))
+    args = SimpleNamespace(**cfg)
+
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    loss = trainer.train_one_epoch(loaders[constants.TRAINSET], 0)
+    assert np.isfinite(loss)
+    perf, per_video = trainer.inference(loaders[constants.VALIDSET])
+    assert len(per_video) == 3
+    for v, d in per_video.items():
+        assert d['logits'].shape[1] == 7, (v, d['logits'].shape)
