@@ -55,3 +55,59 @@ def test_compact_cli(tmp_path):
     assert video.any()  # jpgs actually loaded
     # longer vggish got truncated to the frame count
     assert np.load(join(tdir, 'vggish.npy')).shape[0] == n
+
+
+def test_cnn_modality_trains(tmp_path):
+    """'cnn' (offline ArcFace embeddings, the reference's feed-CNN-
+    instead-of-raw-video option: configs.py TCN settings 'cnn',
+    preprocess visual.py cnn.npy) drives a CAN epoch + inference as a
+    first-class 512-d modality."""
+    import os
+    import tempfile
+    from os.path import join
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from fvt_tpu import constants
+    from fvt_tpu.config.defaults import get_config
+    from fvt_tpu.experiment import Experiment
+    from synth_store import make_meld_store
+
+    root = str(tmp_path / 'cnnstore')
+    store = make_meld_store(root, n_train=6, n_val=3, n_test=3,
+                            min_len=6, max_len=12)
+    rng = np.random.default_rng(4)
+    centers = rng.normal(size=(7, 512)) * 3.0
+    feat_dir = join(root, 'features', 'compacted_48')
+    for split_dir in sorted(os.listdir(feat_dir)):
+        for v in sorted(os.listdir(join(feat_dir, split_dir))):
+            tdir = join(feat_dir, split_dir, v)
+            lab_arr = np.load(join(tdir, 'EXPR_continuous_label.npy'))
+            lab, n = int(lab_arr[0]), len(lab_arr)
+            np.save(join(tdir, 'cnn.npy'),
+                    (centers[lab] + rng.normal(size=(n, 512))
+                     ).astype(np.float32))
+
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               model_name=constants.CAN,
+               modality='cnn+bert+EXPR_continuous_label',
+               window_length=16, hop_length=8,
+               train_batch_size=4, eval_bucket_quantum=8,
+               num_workers=1, calc_mean_std=True, seed=0,
+               outd=tempfile.mkdtemp(prefix='fvt_cnn_out_'))
+    args = SimpleNamespace(**cfg)
+
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    loss = trainer.train_one_epoch(loaders[constants.TRAINSET], 0)
+    assert np.isfinite(loss)
+    perf, per_video = trainer.inference(loaders[constants.VALIDSET])
+    assert len(per_video) == 3
+    for v, d in per_video.items():
+        assert d['logits'].shape[1] == 7, (v, d['logits'].shape)
