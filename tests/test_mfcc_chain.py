@@ -161,3 +161,55 @@ def test_scale_constant_only_moves_c0():
     expect = np.log(4.0) * np.sqrt(2.0 / 26) * 26
     np.testing.assert_allclose(b[:, 12] - a[:, 12],
                                expect, rtol=1e-3)
+
+
+def test_mfcc_modality_trains(tmp_path):
+    """'mfcc' (39-d HTK chain, reference configs.py TCN settings 'mfcc')
+    drives a CAN epoch + inference as a first-class modality."""
+    import os
+    import sys
+    import tempfile
+    from os.path import join
+    from types import SimpleNamespace
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth_store import make_meld_store
+    from fvt_tpu import constants
+    from fvt_tpu.config.defaults import get_config
+    from fvt_tpu.experiment import Experiment
+
+    root = str(tmp_path / 'mfccstore')
+    store = make_meld_store(root, n_train=6, n_val=3, n_test=3,
+                            min_len=6, max_len=12)
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(7, 39)) * 3.0
+    feat_dir = join(root, 'features', 'compacted_48')
+    for split_dir in sorted(os.listdir(feat_dir)):
+        for v in sorted(os.listdir(join(feat_dir, split_dir))):
+            tdir = join(feat_dir, split_dir, v)
+            lab_arr = np.load(join(tdir, 'EXPR_continuous_label.npy'))
+            lab, n = int(lab_arr[0]), len(lab_arr)
+            np.save(join(tdir, 'mfcc.npy'),
+                    (centers[lab] + rng.normal(size=(n, 39))
+                     ).astype(np.float32))
+
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               model_name=constants.CAN,
+               modality='mfcc+bert+EXPR_continuous_label',
+               window_length=16, hop_length=8,
+               train_batch_size=4, eval_bucket_quantum=8,
+               num_workers=1, calc_mean_std=True, seed=0,
+               outd=tempfile.mkdtemp(prefix='fvt_mfcc_out_'))
+    args = SimpleNamespace(**cfg)
+
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    loss = trainer.train_one_epoch(loaders[constants.TRAINSET], 0)
+    assert np.isfinite(loss)
+    perf, per_video = trainer.inference(loaders[constants.VALIDSET])
+    assert len(per_video) == 3
