@@ -713,7 +713,7 @@ def _contour_funcs(x: np.ndarray, sel: np.ndarray = None) -> list:
             float(p80 - p20)] + _slope_stats(x, sel)
 
 
-# The 14 sma3nz-voiced amean/stddevNorm tracks of columns 31-58, in
+# The 14 sma3nz-voiced amean/stddevNorm tracks of columns 30-57, in
 # opensmile's csv order (followed by the V spectral/mfcc blocks).
 _VOICED_MEAN_TRACKS = (
     'jitterLocal', 'shimmerLocaldB', 'HNRdBACF',
@@ -779,8 +779,12 @@ def functionals_from_lld(lld: Dict[str, np.ndarray],
     sm = smooth_tracks(lld)
     n = len(sm['voiced'])
     if wav_slice is not None and len(wav_slice):
-        level = 10.0 * np.log10(float(np.mean(
-            np.asarray(wav_slice, np.float64) ** 2)) + 1e-12)
+        # same channel downmix as egemaps_per_frame (mean over channels
+        # BEFORE squaring) so stereo input reports one level definition
+        mono = np.asarray(wav_slice, np.float64)
+        if mono.ndim > 1:
+            mono = mono.mean(axis=1)
+        level = 10.0 * np.log10(float(np.mean(mono ** 2)) + 1e-12)
     elif n:  # reconstruct from the loudness track when no waveform given
         level = 10.0 * np.log10(float(np.mean(
             lld['loudness'][:n] ** (1 / 0.3))) + 1e-12)
@@ -818,18 +822,29 @@ def functionals_rows(sm: Dict[str, np.ndarray], starts: np.ndarray,
     def mean_stdnorm(x, which):
         """amean + stddevNorm per row over all/voiced/unvoiced frames,
         matching _amean_stdnorm (incl. its empty -> (0, 0) and
-        |mean|<=1e-12 -> 0 conventions)."""
+        |mean|<=1e-12 -> 0 conventions).  The sums run on the
+        track-mean-CENTERED values: E[(x-off)^2] - E[x-off]^2 keeps full
+        precision for high-mean/low-variance tracks (F1frequency ~500 Hz)
+        where raw E[x^2] - mean^2 catastrophically cancels."""
         m = {'all': None, 'v': vmask, 'uv': uvmask}[which]
         cnt = {'all': cnt_all, 'v': cnt_v, 'uv': cnt_uv}[which]
-        xm = x if m is None else x * m
+        if m is None:
+            off = float(x.mean()) if len(x) else 0.0
+            xc = x - off
+            xm = xc
+        else:
+            msum = float(m.sum())
+            off = float((x * m).sum() / msum) if msum > 0 else 0.0
+            xc = x - off
+            xm = xc * m
         c1 = csum(xm)
-        c2 = csum(xm * x)  # == x^2 * m (m is 0/1)
+        c2 = csum(xm * xc)  # == (x-off)^2 * m (m is 0/1)
         s1 = c1[ends] - c1[starts]
         s2 = c2[ends] - c2[starts]
         cn = np.maximum(cnt, 1.0)
-        mean = s1 / cn
-        std = np.sqrt(np.maximum(s2 / cn - mean * mean, 0.0))
-        mean = np.where(cnt > 0, mean, 0.0)
+        cmean = s1 / cn
+        std = np.sqrt(np.maximum(s2 / cn - cmean * cmean, 0.0))
+        mean = np.where(cnt > 0, off + cmean, 0.0)
         stdn = np.where((cnt > 0) & (np.abs(mean) > 1e-12),
                         std / np.maximum(np.abs(mean), 1e-300), 0.0)
         return mean, stdn

@@ -283,7 +283,6 @@ def test_landmark_modality_trains(tmp_path):
     dataset multiplier, so it was never loadable there; with the
     driver's --landmarks producer and the multiplier entry, a store
     carrying landmark.npy drives a CAN epoch + inference end to end."""
-    import tempfile
     from types import SimpleNamespace
     import sys
     sys.path.insert(0, os.path.dirname(__file__))
@@ -314,7 +313,7 @@ def test_landmark_modality_trains(tmp_path):
                window_length=16, hop_length=8,
                train_batch_size=4, eval_bucket_quantum=8,
                num_workers=1, calc_mean_std=True, seed=0,
-               outd=tempfile.mkdtemp(prefix='fvt_lm_out_'))
+               outd=str(tmp_path / 'lm_out'))
     args = SimpleNamespace(**cfg)
 
     exp = Experiment(args)

@@ -217,13 +217,12 @@ def test_extract_egemaps_per_frame_contract(tmp_path):
 
 
 # ------------------------------------------------- modality end-to-end
-def test_egemaps_modality_trains():
+def test_egemaps_modality_trains(tmp_path):
     """'egemaps' is a first-class feature modality (reference
     configs.py:55 feature_dimension egemaps=(88,), models/model.py:390
     input dim 88): a store carrying egemaps.npy per trial drives a CAN
     training epoch + inference through the standard stack."""
     import os
-    import tempfile
     from os.path import join
     from types import SimpleNamespace
 
@@ -232,7 +231,7 @@ def test_egemaps_modality_trains():
     from fvt_tpu.experiment import Experiment
     from synth_store import make_meld_store
 
-    root = tempfile.mkdtemp(prefix='fvt_ege_mod_')
+    root = str(tmp_path / 'ege_store')
     store = make_meld_store(root, n_train=6, n_val=3, n_test=3,
                             min_len=6, max_len=12)
     # extend every trial with a separable 88-d egemaps stream
@@ -257,7 +256,7 @@ def test_egemaps_modality_trains():
                window_length=16, hop_length=8,
                train_batch_size=4, eval_bucket_quantum=8,
                num_workers=1, calc_mean_std=True, seed=0,
-               outd=tempfile.mkdtemp(prefix='fvt_ege_out_'))
+               outd=str(tmp_path / 'ege_out'))
     args = SimpleNamespace(**cfg)
 
     exp = Experiment(args)

@@ -168,7 +168,6 @@ def test_mfcc_modality_trains(tmp_path):
     drives a CAN epoch + inference as a first-class modality."""
     import os
     import sys
-    import tempfile
     from os.path import join
     from types import SimpleNamespace
 
@@ -201,7 +200,7 @@ def test_mfcc_modality_trains(tmp_path):
                window_length=16, hop_length=8,
                train_batch_size=4, eval_bucket_quantum=8,
                num_workers=1, calc_mean_std=True, seed=0,
-               outd=tempfile.mkdtemp(prefix='fvt_mfcc_out_'))
+               outd=str(tmp_path / 'mfcc_out'))
     args = SimpleNamespace(**cfg)
 
     exp = Experiment(args)

@@ -63,7 +63,6 @@ def test_cnn_modality_trains(tmp_path):
     preprocess visual.py cnn.npy) drives a CAN epoch + inference as a
     first-class 512-d modality."""
     import os
-    import tempfile
     from os.path import join
     from types import SimpleNamespace
 
@@ -97,7 +96,7 @@ def test_cnn_modality_trains(tmp_path):
                window_length=16, hop_length=8,
                train_batch_size=4, eval_bucket_quantum=8,
                num_workers=1, calc_mean_std=True, seed=0,
-               outd=tempfile.mkdtemp(prefix='fvt_cnn_out_'))
+               outd=str(tmp_path / 'cnn_out'))
     args = SimpleNamespace(**cfg)
 
     exp = Experiment(args)
