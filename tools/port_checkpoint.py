@@ -1,19 +1,28 @@
-"""Convert reference torch checkpoints to fvt_tpu msgpack artifacts.
+"""Convert checkpoints between the reference torch stack and fvt_tpu —
+both directions.
 
-Usage:
+torch -> fvt_tpu (msgpack):
   python tools/port_checkpoint.py --model_name LFAN \
-      --modality vggish+bert --num_classes 7 \
+      --modality vggish+bert \
       --in model.pt --out model.msgpack
   python tools/port_checkpoint.py --backbone arcface \
       --in res50_ir_0.887.pth --out arcface.msgpack
   python tools/port_checkpoint.py --backbone vggish \
       --in vggish.pth --out vggish.msgpack
+
+fvt_tpu -> torch (reverse; loads into the reference model classes with
+``load_state_dict(strict=True)`` — /root/reference/experiment.py:242-247):
+  python tools/port_checkpoint.py --reverse --model_name LFAN \
+      --modality vggish+bert \
+      --in best-models/FRAMES_VOTE/model.msgpack --out model.pt
 """
 from __future__ import annotations
 
 import argparse
 import os
 import sys
+
+import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -28,12 +37,28 @@ def main(argv=None):
     p.add_argument('--modality', default='vggish+bert')
     p.add_argument('--backbone', default=None,
                    choices=['arcface', 'vggish'])
+    p.add_argument('--reverse', action='store_true',
+                   help='fvt_tpu msgpack -> reference torch model.pt')
     args = p.parse_args(argv)
 
     import torch
     from flax import serialization
     from fvt_tpu.config import model_config as MC
     from fvt_tpu.models import torch_port as port
+
+    if args.reverse:
+        from fvt_tpu.models import torch_export
+        assert args.model_name, '--reverse needs --model_name'
+        with open(args.inp, 'rb') as f:
+            tree = serialization.msgpack_restore(f.read())
+        sd = torch_export.export_state_dict(
+            args.model_name, tree['params'], tree.get('batch_stats', {}),
+            args.modality.split('+'))
+        # copy: msgpack_restore returns non-writable views torch warns on
+        torch.save({k: torch.from_numpy(np.array(v))
+                    for k, v in sd.items()}, args.out)
+        print(f"exported {args.inp} -> {args.out} ({len(sd)} keys)")
+        return
 
     sd = torch.load(args.inp, map_location='cpu')
 
