@@ -43,7 +43,13 @@ class Experiment:
         feat = join(self.dataset_path, 'features')
 
         def load(split):
-            return load_pickle(join(feat, f"dataset_info_{ds}_{split}.pkl"))
+            from fvt_tpu.preprocess.version import check
+            path = join(feat, f"dataset_info_{ds}_{split}.pkl")
+            info = load_pickle(path)
+            msg = check(info, source=path)
+            if msg is not None:
+                log(f"WARNING: {msg}")
+            return info
 
         if ds == constants.MELD:
             return {s: load(s) for s in constants.SPLITS}

@@ -253,14 +253,18 @@ class PreprocessingDriver:
 
     # ---------------------------------------------------------------- run
     def run(self) -> List[dict]:
+        from fvt_tpu.preprocess.version import EXTRACTOR_VERSION, stamp
+
         shard = self.task_trial_list()
         records = []
-        dataset_info = {'trial': [], 'trial_no': [], 'subject_no': [],
-                        'length': [], 'partition': [],
-                        'pseudo_partition': [],
-                        'data_folder': NPY_FOLDER}
+        dataset_info = stamp({'trial': [], 'trial_no': [],
+                              'subject_no': [],
+                              'length': [], 'partition': [],
+                              'pseudo_partition': [],
+                              'data_folder': NPY_FOLDER})
         for i, info in enumerate(shard):
             record = self.process_trial(info)
+            record['extractor_version'] = EXTRACTOR_VERSION
             records.append({'processing_record': record})
             if 'length' in record:
                 dataset_info['trial'].append(record['trial'])

@@ -34,12 +34,22 @@ def get_pairs(features_path: str, ds: str, split: str
 
 
 def merge_dataset_info(features_path: str, pairs, ds: str, split: str):
+    from fvt_tpu.preprocess.version import STAMP_KEY
+
     out = None
     for i, (di, _) in enumerate(pairs):
         data = load_pickle(join(features_path, di))
         if i == 0:
             out = copy.deepcopy(data)
         else:
+            # mixing extractor generations inside one store silently
+            # changes per-frame features — refuse (preprocess/version.py)
+            if data.get(STAMP_KEY) != out.get(STAMP_KEY):
+                raise ValueError(
+                    f'shard {di} was built by extractor generation '
+                    f'{data.get(STAMP_KEY)} but earlier shards by '
+                    f'{out.get(STAMP_KEY)}; re-run the stale shards '
+                    f'before merging')
             for key in ('trial', 'trial_no', 'length', 'partition',
                         'pseudo_partition', 'subject_no'):
                 out[key].extend(data[key])

@@ -14,6 +14,7 @@ import numpy as np
 import yaml
 
 from fvt_tpu import constants
+from fvt_tpu.preprocess.version import stamp
 from fvt_tpu.utils.io import save_pickle
 
 CLASSES = [constants.SURPRISE, constants.FEAR, constants.DISGUST,
@@ -77,8 +78,8 @@ def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
             lengths.append(length)
             lines.append(f"{trial},{label},compound transcript {i}")
 
-        save_pickle({'data_folder': 'compacted_48', 'trial': trials,
-                     'length': lengths, 'partition': split},
+        save_pickle(stamp({'data_folder': 'compacted_48', 'trial': trials,
+                           'length': lengths, 'partition': split}),
                     join(root, 'features', f"dataset_info_{ds}_{split}.pkl"))
         with open(join(folds_dir, f"{split}.txt"), 'w') as f:
             f.write('\n'.join(lines) + '\n')
@@ -141,8 +142,8 @@ def make_meld_store(root: str, n_train=12, n_val=6, n_test=6,
             lengths.append(length)
             lines.append(f"{trial},{label},synthetic transcript {i}")
 
-        save_pickle({'data_folder': 'compacted_48', 'trial': trials,
-                     'length': lengths, 'partition': split},
+        save_pickle(stamp({'data_folder': 'compacted_48', 'trial': trials,
+                           'length': lengths, 'partition': split}),
                     join(root, 'features', f"dataset_info_{ds}_{split}.pkl"))
         with open(join(folds_dir, f"{split}.txt"), 'w') as f:
             f.write('\n'.join(lines) + '\n')
