@@ -51,6 +51,7 @@ def main():
                window_length=8, hop_length=4, eval_bucket_quantum=8,
                train_batch_size=8, num_workers=1,
                calc_mean_std=True, seed=0, data_parallel=True,
+               multihost_digest_check=True,  # desync guard exercised too
                outd=outd)
     args = SimpleNamespace(**cfg)
     exp = Experiment(args)
