@@ -84,7 +84,13 @@ class _TorchBNCore(nn.Module):
     normalization uses the BIASED batch variance, but the running_var
     EMA accumulates the UNBIASED (n/(n-1)) estimator
     (torch/nn/modules/batchnorm.py) — flax stores the biased one, which
-    drifts train-path running stats from the reference."""
+    drifts train-path running stats from the reference.
+
+    Stats are computed in at-least-float32 (bf16 activations upcast;
+    float64 activations — e.g. the x64 lockstep-equivalence twin,
+    tools/twin_train.py — keep full precision rather than being silently
+    truncated to float32, which showed up as a systematic ~1e-6
+    activation delta vs torch under jax_enable_x64)."""
     use_running_average: bool
     momentum_torch: float
     eps: float
@@ -92,6 +98,7 @@ class _TorchBNCore(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
         scale = self.param('scale', nn.initializers.ones, (c,))
         bias = self.param('bias', nn.initializers.zeros, (c,))
         ra_mean = self.variable('batch_stats', 'mean',
@@ -105,16 +112,18 @@ class _TorchBNCore(nn.Module):
             n = 1
             for d in red:
                 n *= x.shape[d]
-            xf = x.astype(jnp.float32)
+            xf = x.astype(stat_dtype)
             mean = jnp.mean(xf, axis=red)
             var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
             if not self.is_initializing():
                 m = self.momentum_torch
                 unbiased = var * (n / max(n - 1, 1))
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+                ra_mean.value = ((1.0 - m) * ra_mean.value
+                                 + m * mean).astype(ra_mean.value.dtype)
+                ra_var.value = ((1.0 - m) * ra_var.value
+                                + m * unbiased).astype(ra_var.value.dtype)
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(x.dtype)
+        return ((x.astype(stat_dtype) - mean) * inv + bias).astype(x.dtype)
 
 
 class TorchBatchNorm(nn.Module):

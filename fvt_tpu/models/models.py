@@ -114,11 +114,17 @@ class LFAN(nn.Module):
 
 
 class CAN(nn.Module):
-    """Gated attention fusion network (model.py:571-684)."""
+    """Gated attention fusion network (model.py:571-684).
+
+    ``tcn_dropout=None`` keeps the reference default (TemporalConvNet's
+    0.2, temporal_convolutional_model.py:13); the override exists for
+    deterministic lockstep-equivalence runs (tools/twin_train.py).
+    """
     modality: Sequence[str]
     output_dim: int
     task: str = constants.CLASSIFICATION
     tcn_settings: Optional[Dict[str, Any]] = None
+    tcn_dropout: Optional[float] = None
     spatial_video: Optional[nn.Module] = None
     spatial_audio: Optional[nn.Module] = None
     frozen_eval: bool = False  # --frozen_eval_backbones (see
@@ -134,6 +140,8 @@ class CAN(nn.Module):
         for modal in self.modality:
             h = TemporalConvNet(settings[modal]['channel'],
                                 kernel_size=settings[modal]['kernel_size'],
+                                dropout=(0.2 if self.tcn_dropout is None
+                                         else self.tcn_dropout),
                                 name=f'temporal_{modal}')(
                 x[modal], train=train)
             feats[modal] = TorchBatchNorm(
@@ -163,6 +171,8 @@ class JMT(nn.Module):
     model_name: str = constants.JMT
     task: str = constants.CLASSIFICATION
     tcn_settings: Optional[Dict[str, Any]] = None
+    tcn_dropout: Optional[float] = None  # None = reference default 0.2;
+    # override for deterministic lockstep runs (tools/twin_train.py)
     spatial_video: Optional[nn.Module] = None
     spatial_audio: Optional[nn.Module] = None
     frozen_eval: bool = False  # --frozen_eval_backbones (see
@@ -179,6 +189,8 @@ class JMT(nn.Module):
         for modal in self.modality:
             h = TemporalConvNet(settings[modal]['channel'],
                                 kernel_size=settings[modal]['kernel_size'],
+                                dropout=(0.2 if self.tcn_dropout is None
+                                         else self.tcn_dropout),
                                 name=f'temporal_{modal}')(
                 x[modal], train=train)
             feats[modal] = TorchBatchNorm(

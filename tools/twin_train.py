@@ -6,9 +6,10 @@ with matched config, and compare
     (FRAMES_VOTE / FRAMES_AVG_PROBS / FRAMES_AVG_LOGITS,
     /root/reference/trainer.py:716-750, metrics.py:196-462),
   * the per-epoch validation W-F1 curves,
-  * a deterministic LOCKSTEP leg (dropout zeroed, matched init, same
-    fixed batch cycle in both stacks): per-step train losses and the
-    final held-out eval loss must agree at fp32-drift tolerance — this
+  * a deterministic LOCKSTEP leg per model family (LFAN/CAN/JMT/MT;
+    dropout zeroed, matched init, same fixed batch cycle in both
+    stacks): per-step train losses and the final held-out eval loss
+    must agree at fp32-drift tolerance — this
     is the per-step optimizer/model interaction check that full-run
     loss envelopes can't be (with dropout live and independent
     shuffles, trajectories on a tiny separable store legitimately
@@ -216,8 +217,69 @@ def _train_fvt(workdir: str, data: str, epochs: int, lr: float,
     return outd, losses, curves
 
 
-def _lockstep_probe(init_pt: str, n_steps: int = 12, n_batches: int = 4,
-                    B: int = 4, T: int = 300, lr: float = 0.01) -> dict:
+def _make_lockstep_ref(model_name: str, T: int):
+    """Construct the torch reference model for a lockstep leg.
+
+    LFAN/CAN run feature-only (vggish+bert).  JMT/MT require a raw
+    'video' stream through a frozen spatial backbone (model.py:1138-1143
+    reshapes (B, T, C, W, H) unconditionally), so they get a tiny FROZEN
+    stand-in linear backbone (requires_grad=False like the reference's
+    load_visual_backbone, model.py:1115-1117) — identical weights are
+    grafted into the fvt side."""
+    import torch
+    from conftest import add_reference_to_path
+    add_reference_to_path()
+    from fvt_tpu.config import model_config as MC
+    from fvt_tpu import constants
+
+    if model_name == 'LFAN':
+        from models.model import LFAN as RefLFAN
+        return RefLFAN(backbone_settings=MC.BACKBONE_SETTINGS,
+                       output_dim=7, task=constants.CLASSIFICATION,
+                       modality=['vggish', 'bert'], example_length=T,
+                       kernel_size=5, tcn_channel=MC.TCN_CHANNELS,
+                       modal_dim=32, num_heads=2, root_dir='',
+                       device='cpu')
+    if model_name == 'CAN':
+        from models.model import CAN as RefCAN
+        return RefCAN(task=constants.CLASSIFICATION,
+                      modalities=['vggish', 'bert'],
+                      tcn_settings=MC.TCN_SETTINGS,
+                      backbone_settings=MC.BACKBONE_SETTINGS,
+                      output_dim=7, root_dir='', device='cpu')
+    if model_name in ('JMT', 'MT'):
+        from models.model import JMT as RefJMT
+
+        class _DummySpatialTorch(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                torch.manual_seed(7)
+                self.fc = torch.nn.Linear(3 * 8 * 8, 512)
+                for p in self.parameters():
+                    p.requires_grad = False
+
+            def forward(self, x):
+                return self.fc(x.reshape(x.shape[0], -1))
+
+        orig = RefJMT.load_visual_backbone
+        RefJMT.load_visual_backbone = (
+            lambda self, backbone_settings: _DummySpatialTorch())
+        try:
+            return RefJMT(task=constants.CLASSIFICATION,
+                          modalities=['video', 'vggish'],
+                          tcn_settings=MC.TCN_SETTINGS,
+                          backbone_settings=MC.BACKBONE_SETTINGS,
+                          output_dim=7, root_dir='', device='cpu',
+                          model_name=model_name)
+        finally:
+            RefJMT.load_visual_backbone = orig
+    raise ValueError(f'unknown lockstep model: {model_name}')
+
+
+def _lockstep_probe(init_pt: str, model_name: str = 'LFAN',
+                    n_steps: int = 12, n_batches: int = 4,
+                    B: int = 4, T: int = 300, lr: float = 0.01,
+                    x64: bool = False) -> dict:
     """Deterministic N-step lockstep: both stacks start from the SAME
     init (``init_pt``), dropout zeroed everywhere, and take ``n_steps``
     optimizer steps on the SAME cycle of fixed batches — per-step train
@@ -229,32 +291,30 @@ def _lockstep_probe(init_pt: str, n_steps: int = 12, n_batches: int = 4,
     from matched init on an identical batch), so curve gaps are RNG
     weather, while a lockstep mismatch would be an optimizer/model
     interaction bug.  Matches /root/reference/trainer.py:399-430 (train
-    step) + optimizer construction."""
+    step) + optimizer construction.  ``model_name`` covers all four
+    fusion families (LFAN/CAN default feature-only; JMT/MT run a raw
+    video stream through a frozen stand-in backbone, exercising the
+    split_frozen no-grad/no-decay path against torch requires_grad=False)."""
     import torch
     import jax
     import jax.numpy as jnp
     import optax
     from conftest import add_reference_to_path
     add_reference_to_path()
-    from models.model import LFAN as RefLFAN
     from fvt_tpu.config import model_config as MC
     from fvt_tpu.config.defaults import get_config
     from fvt_tpu import constants
     from fvt_tpu.models import torch_port as port
-    from fvt_tpu.models.models import LFAN
+    from fvt_tpu.models.models import LFAN, CAN, JMT
     from fvt_tpu.train import optim as O
     from fvt_tpu.train.steps import create_train_state, make_train_step
 
-    modality = ['vggish', 'bert']
     sd = torch.load(init_pt, map_location='cpu')
 
     # --- torch reference, dropout zeroed, TRAIN mode
-    ref = RefLFAN(backbone_settings=MC.BACKBONE_SETTINGS, output_dim=7,
-                  task=constants.CLASSIFICATION, modality=modality,
-                  example_length=T, kernel_size=5,
-                  tcn_channel=MC.TCN_CHANNELS, modal_dim=32, num_heads=2,
-                  root_dir='', device='cpu')
-    ref.init()
+    ref = _make_lockstep_ref(model_name, T)
+    if model_name == 'LFAN':
+        ref.init()
     ref.load_state_dict(sd, strict=True)
     for m in ref.modules():
         if isinstance(m, torch.nn.Dropout):
@@ -265,69 +325,167 @@ def _lockstep_probe(init_pt: str, n_steps: int = 12, n_batches: int = 4,
                           nesterov=True, weight_decay=1e-4)
 
     # --- fvt_tpu, dropout-zero model, same ported init
-    params, stats = port.lfan_from_torch(sd, modality, MC.TCN_CHANNELS,
-                                         MC.EMBEDDING_DIM)
-    model = LFAN(modality=tuple(modality), output_dim=7,
-                 tcn_dropout=0.0, fusion_dropout=0.0)
+    if model_name == 'LFAN':
+        modality = ('vggish', 'bert')
+        params, stats = port.lfan_from_torch(sd, list(modality),
+                                             MC.TCN_CHANNELS,
+                                             MC.EMBEDDING_DIM)
+        model = LFAN(modality=modality, output_dim=7,
+                     tcn_dropout=0.0, fusion_dropout=0.0)
+    elif model_name == 'CAN':
+        modality = ('vggish', 'bert')
+        params, stats = port.can_from_torch(sd, list(modality),
+                                            MC.TCN_SETTINGS)
+        model = CAN(modality=modality, output_dim=7, tcn_dropout=0.0)
+    else:  # JMT / MT
+        modality = ('video', 'vggish')
+        params, stats = port.jmt_from_torch(sd, list(modality),
+                                            MC.TCN_SETTINGS,
+                                            joint=(model_name == 'JMT'))
+        # graft the frozen stand-in backbone: torch flattens (C, H, W),
+        # flax flattens (H, W, C) — permute the columns accordingly
+        import flax.linen as nn
+        from fvt_tpu.models.layers import TorchLinear
+
+        w = port._np(sd['spatial.visual.fc.weight'])  # (512, 3*8*8)
+        w = w.reshape(512, 3, 8, 8).transpose(0, 2, 3, 1).reshape(512, -1)
+        params['spatial_video'] = {'dense': {'dense': {
+            'kernel': w.T,
+            'bias': port._np(sd['spatial.visual.fc.bias'])}}}
+
+        class _DummySpatialJax(nn.Module):
+            @nn.compact
+            def __call__(self, x, *, train: bool = False):  # (N,H,W,C)
+                return TorchLinear(512, name='dense')(
+                    x.reshape(x.shape[0], -1))
+
+        model = JMT(modality=modality, output_dim=7,
+                    model_name=model_name, tcn_dropout=0.0,
+                    spatial_video=_DummySpatialJax())
     hp = O.standardize_opt_params({**get_config('MELD'), 'opt__lr': lr})
     optimizer = O.build_optimizer(hp)
 
+    prev_x64 = bool(jax.config.jax_enable_x64)
+    dt = np.float64 if x64 else np.float32
+    if x64:
+        # float64 twin: fp32 rounding drift through the deep attention
+        # stacks is chaotic (measured ~x3-20 amplification per step on
+        # JMT: 5e-6 -> 2.2e-3 over 4 steps while step-0 forward parity
+        # holds); re-running in float64 collapses the deltas by orders
+        # of magnitude IF the math is identical — the decisive
+        # drift-vs-bug discriminator, so JMT/MT lockstep legs run x64
+        jax.config.update('jax_enable_x64', True)
+        ref.double()
+        params = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+        stats = jax.tree.map(lambda a: np.asarray(a, np.float64), stats)
+
     rng = np.random.default_rng(0)
-    batches = [(rng.normal(size=(B, T, 128)).astype(np.float32),
-                rng.normal(size=(B, T, 768)).astype(np.float32),
-                rng.integers(0, 7, size=(B, T)))
-               for _ in range(n_batches + 1)]
+    if model_name in ('JMT', 'MT'):
+        batches = [(rng.normal(size=(B, T, 3, 8, 8)).astype(dt),
+                    rng.normal(size=(B, T, 128)).astype(dt),
+                    rng.integers(0, 7, size=(B, T)))
+                   for _ in range(n_batches + 1)]
+    else:
+        batches = [(rng.normal(size=(B, T, 128)).astype(dt),
+                    rng.normal(size=(B, T, 768)).astype(dt),
+                    rng.integers(0, 7, size=(B, T)))
+                   for _ in range(n_batches + 1)]
     held_out, batches = batches[-1], batches[:-1]
 
-    def fvt_batch(vg, bt, lab):
-        return {'vggish': jnp.asarray(vg), 'bert': jnp.asarray(bt),
-                constants.EXPR: jnp.asarray(lab.astype(np.int32))}
+    if model_name in ('JMT', 'MT'):
+        def fvt_batch(vid, vg, lab):
+            return {'video': jnp.asarray(vid.transpose(0, 1, 3, 4, 2)),
+                    'vggish': jnp.asarray(vg),
+                    constants.EXPR: jnp.asarray(lab.astype(np.int32))}
 
-    state = create_train_state(model, optimizer,
-                               fvt_batch(*batches[0]), jax.random.key(0))
-    state = state.replace(params=jax.tree.map(jnp.asarray, params),
-                          batch_stats=jax.tree.map(jnp.asarray, stats))
-    step = make_train_step(model, optimizer)
+        def ref_inputs(vid, vg):
+            return {'video': torch.from_numpy(vid.copy()),
+                    'vggish': torch.from_numpy(vg[:, None].copy())}
+    else:
+        def fvt_batch(vg, bt, lab):
+            return {'vggish': jnp.asarray(vg), 'bert': jnp.asarray(bt),
+                    constants.EXPR: jnp.asarray(lab.astype(np.int32))}
 
-    ref_losses, fvt_losses = [], []
-    for i in range(n_steps):
-        vg, bt, lab = batches[i % n_batches]
-        out = ref({'vggish': torch.from_numpy(vg[:, None].copy()),
-                   'bert': torch.from_numpy(bt[:, None].copy())})
-        loss = crit(out.reshape(B * T, 7),
-                    torch.from_numpy(lab.reshape(-1)))
-        opt.zero_grad()
-        loss.backward()
-        opt.step()
-        ref_losses.append(float(loss.detach()))
-        state, fvt_loss = step(state, fvt_batch(vg, bt, lab),
-                               jax.random.key(i))
-        fvt_losses.append(float(fvt_loss))
+        def ref_inputs(vg, bt):
+            return {'vggish': torch.from_numpy(vg[:, None].copy()),
+                    'bert': torch.from_numpy(bt[:, None].copy())}
 
-    # held-out eval loss at the final weights, both stacks in EVAL mode
-    vg, bt, lab = held_out
-    ref.eval()
-    with torch.no_grad():
-        out = ref({'vggish': torch.from_numpy(vg[:, None].copy()),
-                   'bert': torch.from_numpy(bt[:, None].copy())})
-        ref_eval = float(crit(out.reshape(B * T, 7),
-                              torch.from_numpy(lab.reshape(-1))))
-    logits = model.apply({'params': state.params,
-                          'batch_stats': state.batch_stats},
-                         {'vggish': jnp.asarray(vg),
-                          'bert': jnp.asarray(bt)}, train=False)
-    fvt_eval = float(optax.softmax_cross_entropy_with_integer_labels(
-        logits.reshape(-1, 7),
-        jnp.asarray(lab.reshape(-1).astype(np.int32))).mean())
+    try:
+        from fvt_tpu.train.steps import split_frozen
+        init_batch = fvt_batch(*batches[0])
+        if x64:
+            # init only shapes the param tree (replaced below); flax
+            # initializes float32 kernels, so feed it float32 inputs
+            init_batch = {k: (v.astype(jnp.float32)
+                              if v.dtype == jnp.float64 else v)
+                          for k, v in init_batch.items()}
+        state = create_train_state(model, optimizer, init_batch,
+                                   jax.random.key(0))
+        state = state.replace(params=jax.tree.map(jnp.asarray, params),
+                              batch_stats=jax.tree.map(jnp.asarray, stats))
+        # re-init the optimizer state from the (possibly float64)
+        # grafted params so momentum buffers carry the run's dtype
+        state = state.replace(
+            opt_state=optimizer.init(split_frozen(state.params)[0]))
+        step = make_train_step(model, optimizer)
 
-    dsteps = [abs(a - b) for a, b in zip(ref_losses, fvt_losses)]
-    return {'n_steps': n_steps,
-            'ref_losses': [round(x, 6) for x in ref_losses],
-            'fvt_losses': [round(x, 6) for x in fvt_losses],
-            'max_step_loss_delta': max(dsteps),
-            'final_eval_loss_ref': ref_eval,
-            'final_eval_loss_fvt': fvt_eval,
-            'final_eval_loss_delta': abs(ref_eval - fvt_eval)}
+        ref_losses, fvt_losses = [], []
+        for i in range(n_steps):
+            a, b, lab = batches[i % n_batches]
+            out = ref(ref_inputs(a, b))
+            loss = crit(out.reshape(B * T, 7),
+                        torch.from_numpy(lab.reshape(-1)))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ref_losses.append(float(loss.detach()))
+            state, fvt_loss = step(state, fvt_batch(a, b, lab),
+                                   jax.random.key(i))
+            fvt_losses.append(float(fvt_loss))
+
+        # held-out eval loss at the final weights, both stacks EVAL mode
+        a, b, lab = held_out
+        ref.eval()
+        with torch.no_grad():
+            out = ref(ref_inputs(a, b))
+            ref_eval = float(crit(out.reshape(B * T, 7),
+                                  torch.from_numpy(lab.reshape(-1))))
+        fvt_in = fvt_batch(a, b, lab)
+        del fvt_in[constants.EXPR]
+        logits = model.apply({'params': state.params,
+                              'batch_stats': state.batch_stats},
+                             fvt_in, train=False)
+        fvt_eval = float(optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, 7),
+            jnp.asarray(lab.reshape(-1).astype(np.int32))).mean())
+
+        dsteps = [abs(x - y) for x, y in zip(ref_losses, fvt_losses)]
+        out = {'model': model_name,
+               'n_steps': n_steps,
+               'x64': x64,
+               'ref_losses': [round(x, 9) for x in ref_losses],
+               'fvt_losses': [round(x, 9) for x in fvt_losses],
+               'max_step_loss_delta': max(dsteps),
+               'final_eval_loss_ref': ref_eval,
+               'final_eval_loss_fvt': fvt_eval,
+               'final_eval_loss_delta': abs(ref_eval - fvt_eval)}
+        if model_name in ('JMT', 'MT'):
+            # the frozen stand-in backbone must not move in EITHER stack
+            # (torch: requires_grad=False; fvt: steps.split_frozen keeps
+            # 'spatial*' out of grads AND the optimizer/weight decay)
+            fin_sd = ref.state_dict()
+            out['frozen_drift_torch'] = max(
+                float((fin_sd[k].double() - sd[k].double()).abs().max())
+                for k in sd if k.startswith('spatial.'))
+            init_leaves = jax.tree.leaves(params['spatial_video'])
+            fin_leaves = jax.tree.leaves(state.params['spatial_video'])
+            out['frozen_drift_fvt'] = max(
+                float(jnp.abs(jnp.asarray(x) - y).max())
+                for x, y in zip(init_leaves, fin_leaves))
+        return out
+    finally:
+        if x64:
+            jax.config.update('jax_enable_x64', prev_x64)
 
 
 def _compare_per_frame(ref_pkl: str, fvt_pkl: str):
@@ -379,9 +537,31 @@ def main(workdir: str = '/tmp/fvt_twin', epochs: int = 5,
     fvt_test = _test_wf1(fvt_outd)
 
     # ---- leg 2b: deterministic lockstep (dropout off, same batches) -------
-    print('== twin_train: lockstep probe (12 steps, dropout off) ==',
+    # LFAN uses the twin run's shared init; the other three families get
+    # fresh seeded torch inits (the equivalence claim is per-family:
+    # same init -> same per-step losses through both optimizers).
+    # Each family runs in float64 — the exactness proof (machine-epsilon
+    # agreement: rounding removed, any residual delta would be a real
+    # model/optimizer bug) — and the flagship additionally in float32,
+    # the production dtype, whose deltas are pure rounding drift
+    # (chaotically amplified by deep attention stacks, hence bounded
+    # loosely rather than tightly).
+    import torch
+    lockstep = {}
+    for mn in ('LFAN', 'CAN', 'JMT', 'MT'):
+        print(f'== twin_train: lockstep probe {mn} x64 (12 steps, '
+              f'dropout off) ==', flush=True)
+        if mn == 'LFAN':
+            pt = init_pt
+        else:
+            torch.manual_seed(11)
+            m = _make_lockstep_ref(mn, 300)
+            pt = join(workdir, f'lockstep_init_{mn}.pt')
+            torch.save(m.state_dict(), pt)
+        lockstep[mn] = _lockstep_probe(pt, model_name=mn, x64=True)
+    print('== twin_train: lockstep probe LFAN f32 (production dtype) ==',
           flush=True)
-    lockstep = _lockstep_probe(init_pt)
+    lockstep['LFAN_f32'] = _lockstep_probe(init_pt, model_name='LFAN')
 
     # ---- leg 3: fvt best model deploys back into the reference -----------
     print('== twin_train: reverse deployment (fvt -> torch) ==', flush=True)
@@ -438,9 +618,16 @@ def main(workdir: str = '/tmp/fvt_twin', epochs: int = 5,
     checks['both_losses_decreased'] = bool(
         ref_losses[-1] < 0.6 * ref_losses[0]
         and fvt_losses[-1] < 0.6 * fvt_losses[0])
-    checks['lockstep_steps_match'] = bool(
-        lockstep['max_step_loss_delta'] <= 5e-3
-        and lockstep['final_eval_loss_delta'] <= 5e-3)
+    checks['lockstep_exact_x64'] = bool(all(
+        lockstep[mn]['max_step_loss_delta'] <= 1e-9
+        and lockstep[mn]['final_eval_loss_delta'] <= 1e-9
+        for mn in ('LFAN', 'CAN', 'JMT', 'MT')))
+    checks['lockstep_f32_drift_bounded'] = bool(
+        lockstep['LFAN_f32']['max_step_loss_delta'] <= 5e-3
+        and lockstep['LFAN_f32']['final_eval_loss_delta'] <= 5e-3)
+    checks['lockstep_frozen_backbones_fixed'] = bool(
+        lockstep['JMT']['frozen_drift_torch'] == 0.0
+        and lockstep['JMT']['frozen_drift_fvt'] == 0.0)
     checks['reverse_logits_fp32'] = bool(rev_maxd < 1e-4 and rev_agree)
     checks['reverse_wf1_exact'] = bool(
         abs(rev_test['FRAMES_VOTE']['W_F1']
