@@ -355,7 +355,12 @@ def expected_state_dict_shapes() -> Dict[str, tuple]:
 
 def _default_weights_path() -> Optional[str]:
     p = os.environ.get('FVT_FAN_WEIGHTS')
-    if p and os.path.isfile(p):
+    if p:
+        # an explicitly-set path must fail loudly, not silently degrade
+        # to "weights absent" (mirrors retinaface._default_weights_path)
+        if not os.path.isfile(p):
+            raise FileNotFoundError(
+                f'FVT_FAN_WEIGHTS is set but no file exists at {p!r}')
         return p
     hub = os.path.join(
         os.environ.get('TORCH_HOME',

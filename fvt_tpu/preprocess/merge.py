@@ -33,23 +33,33 @@ def get_pairs(features_path: str, ds: str, split: str
     return pairs
 
 
-def merge_dataset_info(features_path: str, pairs, ds: str, split: str):
+def check_generations(features_path: str, pairs) -> None:
+    """Refuse mixed extractor generations BEFORE anything is written:
+    mixing generations inside one store silently changes per-frame
+    features (preprocess/version.py), and a refusal that has already
+    overwritten the records master would leave the store inconsistent."""
     from fvt_tpu.preprocess.version import STAMP_KEY
 
+    first = None
+    for i, (di, _) in enumerate(pairs):
+        stamp = load_pickle(join(features_path, di)).get(STAMP_KEY)
+        if i == 0:
+            first = (di, stamp)
+        elif stamp != first[1]:
+            raise ValueError(
+                f'shard {di} was built by extractor generation '
+                f'{stamp} but {first[0]} by {first[1]}; re-run the '
+                f'stale shards before merging')
+
+
+def merge_dataset_info(features_path: str, pairs, ds: str, split: str):
+    check_generations(features_path, pairs)
     out = None
     for i, (di, _) in enumerate(pairs):
         data = load_pickle(join(features_path, di))
         if i == 0:
             out = copy.deepcopy(data)
         else:
-            # mixing extractor generations inside one store silently
-            # changes per-frame features — refuse (preprocess/version.py)
-            if data.get(STAMP_KEY) != out.get(STAMP_KEY):
-                raise ValueError(
-                    f'shard {di} was built by extractor generation '
-                    f'{data.get(STAMP_KEY)} but earlier shards by '
-                    f'{out.get(STAMP_KEY)}; re-run the stale shards '
-                    f'before merging')
             for key in ('trial', 'trial_no', 'length', 'partition',
                         'pseudo_partition', 'subject_no'):
                 out[key].extend(data[key])
@@ -75,6 +85,7 @@ def merge_results(features_path: str, ds: str, split: str):
     if not pairs:
         log(f"no shards for {ds} {split}; skipping merge")
         return None
+    check_generations(features_path, pairs)  # before any write
     merge_processing_records(features_path, pairs, ds, split)
     return merge_dataset_info(features_path, pairs, ds, split)
 

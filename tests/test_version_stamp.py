@@ -64,6 +64,11 @@ def test_merge_refuses_mixed_generations(tmp_path):
                     join(feat, f'processing_records_MELD_train_2_{i}.pkl'))
     with pytest.raises(ValueError, match='generation'):
         merge_results(feat, 'MELD', 'train')
+    # the refusal must leave the store untouched: no half-written
+    # masters (the records master is merged AFTER the generation check)
+    assert not os.path.exists(join(feat, 'dataset_info_MELD_train.pkl'))
+    assert not os.path.exists(
+        join(feat, 'processing_records_MELD_train.pkl'))
 
     # same generation merges fine
     save_pickle(V.stamp(dict(base)),

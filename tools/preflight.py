@@ -57,6 +57,16 @@ sys.path.insert(0, os.path.join(REPO, 'tests'))
 TOL = dict(rtol=2e-4, atol=2e-5)
 
 
+def _force_cpu():
+    """Pin jax to CPU before first use. The fp32-tolerance parity checks
+    must not run on the TPU (reduced-precision matmul passes would fail a
+    correct port, and a wedged tunnel would hang the gate). On axon the
+    env var JAX_PLATFORMS is ignored once the PJRT plugin is importable;
+    only this config call reliably wins (CLAUDE.md)."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+
 def _hub_path(fname: str) -> str | None:
     hub = os.environ.get('TORCH_HOME', os.path.expanduser('~/.cache/torch'))
     p = os.path.join(hub, 'hub', 'checkpoints', fname)
@@ -315,6 +325,7 @@ CHECKS = {
 
 
 def run_all() -> dict:
+    _force_cpu()
     report = {}
     for name, fn in CHECKS.items():
         try:

@@ -106,9 +106,15 @@ def _stage_refrun(workdir: str, name: str, data: str) -> str:
     shutil.rmtree(join(refrun, 'folds', 'MELD'))
     shutil.copytree(join(data, 'abaw7', 'MELD', 'folds', 'MELD'),
                     join(refrun, 'folds', 'MELD'))
-    launcher = RI.LAUNCHER.replace(
-        "sys.argv = ['main.py']",
-        TWIN_PATCH + "\nsys.argv = ['main.py']")
+    anchor = "sys.argv = ['main.py']"
+    # str.replace is silent on a missed anchor: the patch would no-op,
+    # TWIN_LOSS_FILE would never be written, and worse, a zero-epoch
+    # TWIN_LOAD_PT leg would evaluate RANDOM-init reference weights and
+    # report a real-looking equivalence failure. Fail here instead.
+    assert anchor in RI.LAUNCHER, (
+        'reference_interop.LAUNCHER no longer contains the twin-patch '
+        f'anchor {anchor!r}; update TWIN_PATCH injection in twin_train')
+    launcher = RI.LAUNCHER.replace(anchor, TWIN_PATCH + '\n' + anchor)
     with open(join(refrun, '_run_cpu.py'), 'w') as f:
         f.write(launcher)
     return refrun
@@ -625,9 +631,10 @@ def main(workdir: str = '/tmp/fvt_twin', epochs: int = 5,
     checks['lockstep_f32_drift_bounded'] = bool(
         lockstep['LFAN_f32']['max_step_loss_delta'] <= 5e-3
         and lockstep['LFAN_f32']['final_eval_loss_delta'] <= 5e-3)
-    checks['lockstep_frozen_backbones_fixed'] = bool(
-        lockstep['JMT']['frozen_drift_torch'] == 0.0
-        and lockstep['JMT']['frozen_drift_fvt'] == 0.0)
+    checks['lockstep_frozen_backbones_fixed'] = bool(all(
+        lockstep[mn]['frozen_drift_torch'] == 0.0
+        and lockstep[mn]['frozen_drift_fvt'] == 0.0
+        for mn in ('JMT', 'MT')))
     checks['reverse_logits_fp32'] = bool(rev_maxd < 1e-4 and rev_agree)
     checks['reverse_wf1_exact'] = bool(
         abs(rev_test['FRAMES_VOTE']['W_F1']
