@@ -39,6 +39,18 @@ def test_env_var_pointing_at_missing_file_raises(monkeypatch):
         preflight._weights('FVT_VGGISH_WEIGHTS', 'vggish.pth')
 
 
+def test_fan_env_var_pointing_at_missing_file_fails_loudly(monkeypatch):
+    """All four weight resources honor the same env-var contract: an
+    explicitly-set path that doesn't exist is a FAILURE, not 'absent'."""
+    from fvt_tpu.preprocess import fan
+    monkeypatch.setenv('FVT_FAN_WEIGHTS', '/nonexistent/2DFAN4.zip')
+    with pytest.raises(FileNotFoundError):
+        fan._default_weights_path()
+    report = preflight.run_all()
+    assert report['fan']['ok'] is False
+    assert 'fan' in report['summary']['failed']
+
+
 def test_fake_vggish_weights_run_the_parity_check(tmp_path, monkeypatch):
     """A random-init reference VGGish saved as a .pth must flow through
     the REAL check: torch load -> port -> forward comparison."""
