@@ -100,7 +100,6 @@ def _avg_pool2(x):
 
 
 def _upsample2_nearest(x):
-    n, h, w, c = x.shape
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
@@ -395,15 +394,21 @@ class FANLandmarks:
 
     @staticmethod
     def load_weights(path: str) -> dict:
-        """torch-hub zips need torch to deserialize; .npz works bare."""
+        """torch-hub zips need torch to deserialize; .npz works bare.
+
+        The published ``2DFAN4-cd938726ad.zip`` is a TorchScript archive
+        (face_alignment >=1.2 loads it with ``torch.jit.load``), which
+        ``torch.load(weights_only=True)`` refuses outright — so try the
+        jit loader first and fall back to a plain state-dict file."""
         if path.endswith('.npz'):
             with np.load(path) as z:
                 return {k: z[k] for k in z.files}
         import torch  # torch (cpu) is available in this image
-        return {k: v.cpu().numpy()
-                for k, v in torch.load(
-                    path, map_location='cpu',
-                    weights_only=True).items()}
+        try:
+            sd = torch.jit.load(path, map_location='cpu').state_dict()
+        except RuntimeError:  # not a TorchScript archive
+            sd = torch.load(path, map_location='cpu', weights_only=True)
+        return {k: v.cpu().numpy() for k, v in sd.items()}
 
     def predict(self, img_rgb: np.ndarray, bbox) -> np.ndarray:
         center, scale = bbox_to_center_scale(bbox)

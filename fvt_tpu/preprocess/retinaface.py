@@ -422,14 +422,13 @@ class RetinaFaceJAX:
 
     @staticmethod
     def load_weights(path: str) -> dict:
-        import pickle
-        import zipfile
-        if zipfile.is_zipfile(path):  # torch >=1.6 zip serialization
-            import torch
-            sd = torch.load(path, map_location='cpu')
-        else:
-            with open(path, 'rb') as f:
-                sd = pickle.load(f)
+        # torch.load unconditionally: the published
+        # retinaface_resnet50_2020-07-20.pth may predate torch 1.6's zip
+        # serialization, and a plain pickle.load of that legacy
+        # multi-object stream returns its magic-number int, not the
+        # state dict. torch handles both formats.
+        import torch
+        sd = torch.load(path, map_location='cpu', weights_only=True)
         if isinstance(sd, dict) and 'state_dict' in sd:
             sd = sd['state_dict']
         params, stats = port_torch_state_dict(sd)
@@ -473,10 +472,13 @@ class RetinaFaceJAX:
         h, w = img_rgb.shape[:2]
         x, top, left = self._prepare(img_rgb)
         size = x.shape[0]
-        loc, conf, ldm = self._fwd(self.variables, jnp.asarray(x[None]))
-        loc = np.asarray(loc[0])
-        scores = np.asarray(conf[0][:, 1])
-        ldm = np.asarray(ldm[0])
+        loc_d, conf_d, ldm_d = self._fwd(self.variables,
+                                         jnp.asarray(x[None]))
+        # D2H discipline: pull only the score column first (~0.7 MB at
+        # 512^2), threshold on host, then gather the few kept rows on
+        # device — NOT the full loc/ldm tensors (~11 MB/frame, which on
+        # the axon tunnel costs more than the whole forward)
+        scores = np.asarray(conf_d[0][:, 1])
 
         key = (size, size)
         if key not in self._priors:
@@ -486,8 +488,11 @@ class RetinaFaceJAX:
         keep = scores > self.threshold
         if not keep.any():
             return []
-        boxes = decode_boxes(loc[keep], priors[keep]) * size
-        lands = decode_landmarks(ldm[keep], priors[keep]) * size
+        sel = jnp.asarray(np.nonzero(keep)[0])
+        locldm = np.asarray(jnp.concatenate(
+            [loc_d[0][sel], ldm_d[0][sel]], axis=1))
+        boxes = decode_boxes(locldm[:, :4], priors[keep]) * size
+        lands = decode_landmarks(locldm[:, 4:], priors[keep]) * size
         scores = scores[keep]
 
         kept = nms(boxes, scores, self.nms_threshold)

@@ -51,6 +51,46 @@ def test_fan_env_var_pointing_at_missing_file_fails_loudly(monkeypatch):
     assert 'fan' in report['summary']['failed']
 
 
+def test_fake_fan_weights_run_the_native_check(tmp_path, monkeypatch):
+    """A synthetic FAN state dict must flow through the weights-PRESENT
+    path of check_fan (this path once crashed on a stale symbol name
+    that the absent/missing-file tests never reached)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import numpy as np
+    from test_fan import synth_state_dict
+
+    sd = synth_state_dict(np.random.default_rng(5))
+    path = str(tmp_path / 'fan_sd.npz')
+    np.savez(path, **sd)
+    monkeypatch.setenv('FVT_FAN_WEIGHTS', path)
+
+    res = preflight.check_fan()
+    assert res['present'] and res['ok'], res
+    assert res['native_landmarks'] == 68
+
+
+def test_fake_retinaface_torch_save_loads(tmp_path, monkeypatch):
+    """check_retinaface's weights-present path on a torch-saved .pth
+    (the published file's format; the old non-zip pickle fallback
+    returned a magic-number int on legacy archives)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import numpy as np
+    import torch
+    from test_retinaface import synth_state_dict
+
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in synth_state_dict(scale=1e-4).items()}
+    path = str(tmp_path / 'retinaface_resnet50_2020-07-20.pth')
+    torch.save(sd, path)
+    monkeypatch.setenv('FVT_RETINAFACE_WEIGHTS', path)
+
+    res = preflight.check_retinaface()
+    assert res['present'], res
+    assert res['ok'], res
+
+
 def test_fake_vggish_weights_run_the_parity_check(tmp_path, monkeypatch):
     """A random-init reference VGGish saved as a .pth must flow through
     the REAL check: torch load -> port -> forward comparison."""

@@ -146,15 +146,15 @@ def test_port_and_forward_shapes():
 
 def test_detector_contract_end_to_end(tmp_path):
     """RetinaFaceJAX behind the faces.py contract: weights loaded from a
-    (synthetic, pickled) checkpoint file, detect() returns the
+    (synthetic, torch-saved) checkpoint file, detect() returns the
     bbox/score/landmarks dicts sorted by score, thresholding works."""
-    import pickle
+    import torch
     # near-zero weights -> head logits ~0 -> softmax scores ~0.5: the
     # 0.9 threshold must reject everything, threshold 0 returns all
-    sd = synth_state_dict(scale=1e-4)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in synth_state_dict(scale=1e-4).items()}
     path = str(tmp_path / 'retinaface_resnet50_2020-07-20.pth')
-    with open(path, 'wb') as f:
-        pickle.dump(sd, f)
+    torch.save(sd, path)
 
     det = RF.RetinaFaceJAX(confidence_threshold=0.9, max_size=128,
                            weights_path=path)

@@ -205,7 +205,7 @@ def check_fan() -> dict:
     path = FAN._default_weights_path()
     if path is None:
         return {'present': False}
-    lmk = FAN.FANLandmarker(weights_path=path)
+    lmk = FAN.make_full_frame_landmarker(weights_path=path)
     img = _face_image()
     pts = lmk(img)
     assert pts is None or (np.asarray(pts).shape == (68, 2)
