@@ -43,10 +43,6 @@ def _load_lib():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
-    lib.fvt_read_slice.restype = ctypes.c_int
-    lib.fvt_read_slice.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
     try:
         lib.fvt_gather_resize_u8.restype = ctypes.c_int
         lib.fvt_gather_resize_u8.argtypes = [
@@ -152,8 +148,11 @@ def gather_rows(path: str, indices: np.ndarray,
     row_bytes = row_elems * dtype.itemsize
 
     idx = np.ascontiguousarray(indices, dtype=np.int64)
-    assert idx.size == 0 or (idx.min() >= 0 and idx.max() < shape[0]), \
-        (path, shape)
+    if idx.size and (idx.min() < 0 or idx.max() >= shape[0]):
+        # degrade like every other failure path (the C side validates
+        # too and returns -3); an assert would raise inside loader
+        # worker threads and vanish under python -O
+        return None
     out = np.empty((idx.size,) + shape[1:], dtype=dtype)
     rc = lib.fvt_gather_rows(
         path.encode(), offset, row_bytes,

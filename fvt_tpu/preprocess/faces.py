@@ -273,9 +273,16 @@ def compact_video_npy(trial_dir: str, faces: np.ndarray,
                                                    constants.BERT,
                                                    constants.EXPR)):
     """Write video.npy and reconcile other modality lengths
-    (compact_face_images.py:204-292)."""
+    (compact_face_images.py:204-292).
+
+    Writes go to a temp name and are atomically renamed: np.save opens
+    'wb' and truncates in place, and a reader (the loader's native mmap
+    gather, or numpy's own mmap fallback) that validated its indices
+    against the OLD size would SIGBUS mid-copy when the file shrinks
+    under it.  rename swaps the inode instead, so in-flight readers keep
+    their (complete) old mapping."""
     n = faces.shape[0]
-    np.save(join(trial_dir, 'video.npy'), faces)
+    _atomic_save(join(trial_dir, 'video.npy'), faces)
     for feature in features:
         path = join(trial_dir, f'{feature}.npy')
         if not os.path.isfile(path):
@@ -284,10 +291,20 @@ def compact_video_npy(trial_dir: str, faces: np.ndarray,
         if arr.shape[0] > n:
             log(f"truncating {feature} {arr.shape[0]} -> {n} frames "
                 f"({trial_dir})")
-            np.save(path, arr[:n])
+            _atomic_save(path, arr[:n])
         else:
             assert arr.shape[0] == n, \
                 f"{feature}: {arr.shape[0]} != {n} frames ({trial_dir})"
+
+
+def _atomic_save(path: str, arr: np.ndarray):
+    tmp = f'{path}.{os.getpid()}.tmp.npy'
+    try:
+        np.save(tmp, arr)
+        os.replace(tmp, path)
+    finally:
+        if os.path.isfile(tmp):
+            os.remove(tmp)
 
 
 # ---------------------------------------------------- sharded fold CLI

@@ -26,6 +26,18 @@ struct MappedFile {
     void* data = nullptr;
     size_t size = 0;
     bool ok = false;
+    MappedFile() = default;
+    MappedFile(const MappedFile&) = delete;
+    MappedFile& operator=(const MappedFile&) = delete;
+    MappedFile(MappedFile&& o) noexcept
+        : data(o.data), size(o.size), ok(o.ok) {
+        o.data = nullptr;
+        o.size = 0;
+        o.ok = false;
+    }
+    // RAII so the mapping is released on EVERY exit path, including the
+    // catch-all in the extern "C" wrappers
+    ~MappedFile() { if (data) ::munmap(data, size); }
 };
 
 MappedFile map_file(const char* path) {
@@ -38,9 +50,35 @@ MappedFile map_file(const char* path) {
     mf.data = ::mmap(nullptr, mf.size, PROT_READ, MAP_SHARED, fd, 0);
     ::close(fd);
     if (mf.data == MAP_FAILED) { mf.data = nullptr; return mf; }
-    ::madvise(mf.data, mf.size, MADV_WILLNEED);
     mf.ok = true;
     return mf;
+}
+
+// Readahead hint for ONLY the row span a gather will touch — used by
+// fvt_gather_rows, whose callers (train-path window gathers) read one
+// random clip per call: a blanket whole-file MADV_WILLNEED there is
+// pure read amplification on a multi-hundred-MB video.npy.
+// fvt_gather_resize_u8 deliberately keeps the whole-file hint instead:
+// its caller (challenge/eval inference) consumes each video as a
+// SEQUENCE of overlapping window gathers, and the whole-file hint at
+// the first window pipelines readahead for all later windows (measured
+// in-bench: 10.0k frames/s loader vs 5.7-7.5k with span-only advise).
+void advise_rows(const MappedFile& mf, int64_t header, int64_t row_bytes,
+                 const int64_t* idx, int64_t n) {
+    if (n <= 0) return;
+    int64_t lo = idx[0], hi = idx[0];
+    for (int64_t i = 1; i < n; ++i) {
+        if (idx[i] < lo) lo = idx[i];
+        if (idx[i] > hi) hi = idx[i];
+    }
+    const long page = ::sysconf(_SC_PAGESIZE);
+    int64_t begin = header + lo * row_bytes;
+    int64_t end = header + (hi + 1) * row_bytes;
+    begin -= begin % page;
+    if (end > static_cast<int64_t>(mf.size))
+        end = static_cast<int64_t>(mf.size);
+    ::madvise(static_cast<uint8_t*>(mf.data) + begin,
+              static_cast<size_t>(end - begin), MADV_WILLNEED);
 }
 
 void copy_range(const uint8_t* base, int64_t header, int64_t row_bytes,
@@ -60,12 +98,14 @@ extern "C" {
 // Gather n rows of row_bytes each from a .npy file (data starts at
 // header_offset) into out.  Returns 0 on success, negative errno-style
 // codes on failure (-3: an index would read past the mapped file — e.g.
-// a truncated or header-inconsistent file; the Python caller falls back
-// to numpy instead of faulting).  Thread-safe; spawns worker threads for
-// large copies.
+// a truncated or header-inconsistent file; -4: a C++ exception, e.g.
+// thread/allocation failure under memory pressure — exceptions must not
+// escape the C ABI into ctypes, where they would std::terminate the
+// process instead of letting Python fall back to numpy).  Thread-safe;
+// spawns worker threads for large copies.
 int fvt_gather_rows(const char* path, int64_t header_offset,
                     int64_t row_bytes, const int64_t* idx, int64_t n,
-                    uint8_t* out, int num_threads) {
+                    uint8_t* out, int num_threads) try {
     if (header_offset < 0 || row_bytes <= 0 || n < 0) return -2;
     MappedFile mf = map_file(path);
     if (!mf.ok) return -1;
@@ -73,17 +113,12 @@ int fvt_gather_rows(const char* path, int64_t header_offset,
     const uint8_t* base = static_cast<const uint8_t*>(mf.data);
     const int64_t total = n * row_bytes;
     const int64_t data_bytes = static_cast<int64_t>(mf.size) - header_offset;
-    if (row_bytes > data_bytes) {
-        ::munmap(mf.data, mf.size);
-        return -2;
-    }
+    if (row_bytes > data_bytes) return -2;
     const int64_t max_row = data_bytes / row_bytes;  // rows actually on disk
     for (int64_t i = 0; i < n; ++i) {
-        if (idx[i] < 0 || idx[i] >= max_row) {
-            ::munmap(mf.data, mf.size);
-            return -3;
-        }
+        if (idx[i] < 0 || idx[i] >= max_row) return -3;
     }
+    advise_rows(mf, header_offset, row_bytes, idx, n);
 
     int nt = num_threads;
     if (nt <= 1 || total < (1 << 20)) {
@@ -101,9 +136,9 @@ int fvt_gather_rows(const char* path, int64_t header_offset,
         }
         for (auto& w : workers) w.join();
     }
-
-    ::munmap(mf.data, mf.size);
     return 0;
+} catch (...) {
+    return -4;
 }
 
 }  // extern "C"
@@ -234,21 +269,20 @@ int fvt_gather_resize_u8(const char* path, int64_t header_offset,
                          const int64_t* idx, int64_t n,
                          int64_t h, int64_t w, int64_t c, int64_t s,
                          const float* wh, const float* ww,
-                         uint8_t* out, int num_threads) {
+                         uint8_t* out, int num_threads) try {
     if (header_offset < 0 || n < 0 || h <= 0 || w <= 0 || c <= 0 || s <= 0)
         return -2;
     const int64_t row_bytes = h * w * c;  // uint8
     MappedFile mf = map_file(path);
     if (!mf.ok) return -1;
     const int64_t data_bytes = static_cast<int64_t>(mf.size) - header_offset;
-    if (row_bytes > data_bytes) { ::munmap(mf.data, mf.size); return -2; }
+    if (row_bytes > data_bytes) return -2;
     const int64_t max_row = data_bytes / row_bytes;
     for (int64_t i = 0; i < n; ++i) {
-        if (idx[i] < 0 || idx[i] >= max_row) {
-            ::munmap(mf.data, mf.size);
-            return -3;
-        }
+        if (idx[i] < 0 || idx[i] >= max_row) return -3;
     }
+    // whole-file hint on purpose — see advise_rows' comment
+    ::madvise(mf.data, mf.size, MADV_WILLNEED);
     const uint8_t* base = static_cast<const uint8_t*>(mf.data);
     const std::vector<Band> hb = bands_of(wh, s, h);
     const std::vector<Band> wb = bands_of(ww, s, w);
@@ -271,31 +305,9 @@ int fvt_gather_resize_u8(const char* path, int64_t header_offset,
         }
         for (auto& wk : workers) wk.join();
     }
-    ::munmap(mf.data, mf.size);
     return 0;
-}
-
-}  // extern "C"
-
-extern "C" {
-
-// Contiguous slice [start, start+n) — the common eval whole-video read.
-int fvt_read_slice(const char* path, int64_t header_offset,
-                   int64_t row_bytes, int64_t start, int64_t n,
-                   uint8_t* out) {
-    if (header_offset < 0 || row_bytes <= 0 || start < 0 || n < 0) return -2;
-    MappedFile mf = map_file(path);
-    if (!mf.ok) return -1;
-    if (header_offset + (start + n) * row_bytes >
-            static_cast<int64_t>(mf.size)) {
-        ::munmap(mf.data, mf.size);
-        return -3;
-    }
-    const uint8_t* base = static_cast<const uint8_t*>(mf.data);
-    std::memcpy(out, base + header_offset + start * row_bytes,
-                static_cast<size_t>(n * row_bytes));
-    ::munmap(mf.data, mf.size);
-    return 0;
+} catch (...) {
+    return -4;
 }
 
 }  // extern "C"

@@ -103,10 +103,10 @@ def test_truncated_file_falls_back_not_segfault(tmp_path):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 1)
     assert rc == -3
 
-    rc2 = lib.fvt_read_slice(
-        p.encode(), offset, 8 * 4, 5, 20,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-    assert rc2 == -3
+    # the python wrapper degrades to None on the same inputs (and on
+    # indices past the header's shape), never raising in a loader thread
+    assert native_store.gather_rows(p, idx) is None
+    assert native_store.gather_rows(p, np.asarray([200], np.int64)) is None
 
 
 # ------------------------------------------------- fused gather + resize
