@@ -88,9 +88,14 @@ class Checkpointer:
         }
         self.mngr.save(epoch, args=ocp.args.StandardSave(arrays))
         self.mngr.wait_until_finished()
-        # tracker/meta state sidecar (orbax here has no pickle handler)
-        with open(join(self.dir, f'meta_{epoch}.pkl'), 'wb') as f:
+        # tracker/meta state sidecar (orbax here has no pickle handler).
+        # Written atomically: a partial pickle from a mid-write crash
+        # would poison restore; a MISSING sidecar (crash between the
+        # orbax save and this write) is handled by restore()'s fallback.
+        tmp = join(self.dir, f'meta_{epoch}.pkl.tmp')
+        with open(tmp, 'wb') as f:
             pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, join(self.dir, f'meta_{epoch}.pkl'))
         live = {f'meta_{s}.pkl' for s in self.mngr.all_steps()}
         for old in os.listdir(self.dir):
             if old.startswith('meta_') and old not in live:
@@ -104,8 +109,22 @@ class Checkpointer:
         """Returns (epoch, state, trackers, best_params, loss_tracker).
 
         ``scheduler`` (if given) is restored in place from the saved
-        state_dict, so MYWARMUP continues with its plateau-decayed lr."""
-        step = self.mngr.latest_step()
+        state_dict, so MYWARMUP continues with its plateau-decayed lr.
+
+        A step whose meta sidecar is missing (the process died between
+        the orbax array save and the sidecar write) is skipped in favor
+        of the newest step that has BOTH halves — otherwise one crash in
+        that window would brick --resume with a FileNotFoundError."""
+        step, meta = None, None
+        for s in sorted(self.mngr.all_steps(), reverse=True):
+            mp = join(self.dir, f'meta_{s}.pkl')
+            if os.path.isfile(mp):
+                with open(mp, 'rb') as f:
+                    meta = pickle.load(f)
+                step = s
+                break
+            log(f"WARNING: checkpoint step {s} has arrays but no meta "
+                f"sidecar (crash mid-save?); trying an older step")
         if step is None:
             return None
         arrays_tpl = {
@@ -116,8 +135,6 @@ class Checkpointer:
         }
         arrays = self.mngr.restore(
             step, args=ocp.args.StandardRestore(arrays_tpl))
-        with open(join(self.dir, f'meta_{step}.pkl'), 'rb') as f:
-            meta = pickle.load(f)
 
         state = state_template.replace(
             params=arrays['params'], batch_stats=arrays['batch_stats'],

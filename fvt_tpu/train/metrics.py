@@ -25,8 +25,17 @@ from fvt_tpu import constants
 
 
 def softmax(x: np.ndarray) -> np.ndarray:
+    """Row softmax, bit-identical to the reference (metrics.py:43-48)
+    for every sane logit, with a guarded max-shift ONLY for rows whose
+    exp would overflow (float32 inf above ~88.7): an unshifted overflow
+    row becomes inf/inf = NaN and argmax silently returns class 0,
+    corrupting the FRAMES_AVG_PROBS aggregation.  For rows with
+    max <= 80 the shift is exactly 0.0, so ``x - shift`` is the same
+    array and parity is preserved bitwise."""
     assert x.ndim == 2, x.ndim
-    _exp = np.exp(x)
+    m = np.max(x, axis=1, keepdims=True)
+    shift = np.where(m > 80.0, m, x.dtype.type(0.0))
+    _exp = np.exp(x - shift)
     return _exp / np.sum(_exp, axis=1).reshape((-1, 1))
 
 
@@ -144,6 +153,15 @@ def compute_f1_score(trgs: list, preds: list, f1_type: str
     return f1_s, w_f1
 
 
+def _f1_both(trgs: list, preds: list) -> Tuple[np.ndarray, float, float]:
+    """(per-class F1, macro F1, weighted F1) from ONE per-class pass —
+    compute_perf needs both aggregations of the same arrays."""
+    f1_s, support, _ = _per_class_f1(np.asarray(trgs), np.asarray(preds))
+    total = support.sum()
+    w_f1 = float(np.sum(f1_s * support) / total) if total > 0 else 0.0
+    return f1_s, float(np.mean(f1_s)), w_f1
+
+
 def compute_class_acc(trgs: list, preds: list) -> float:
     t = np.array(trgs, dtype=np.float32)
     p = np.array(preds, dtype=np.float32)
@@ -192,8 +210,7 @@ def compute_perf(data: dict, dataset_name: str, use_other_class: bool,
         _perf = copy.deepcopy(perf_tpl)
 
         preds, trgs = format_trg_pred_frames(data, ignore_class=ignore_class)
-        f1_per_cl, macro_f1 = compute_f1_score(trgs, preds, constants.MACRO_F1)
-        _, w_f1 = compute_f1_score(trgs, preds, constants.W_F1)
+        f1_per_cl, macro_f1, w_f1 = _f1_both(trgs, preds)
         acc = compute_class_acc(trgs, preds)
         cnf = compute_confusion_matrix(trgs, preds)
 
@@ -216,9 +233,7 @@ def compute_perf(data: dict, dataset_name: str, use_other_class: bool,
                 f"/root/reference/metrics.py:89-145.)")
         for k in preds[0]:
             preds_k = [item[k] for item in preds]
-            f1_per_cl, macro_f1 = compute_f1_score(
-                trgs, preds_k, constants.MACRO_F1)
-            _, w_f1 = compute_f1_score(trgs, preds_k, constants.W_F1)
+            f1_per_cl, macro_f1, w_f1 = _f1_both(trgs, preds_k)
             acc = compute_class_acc(trgs, preds_k)
             cnf = compute_confusion_matrix(trgs, preds_k)
 

@@ -277,14 +277,23 @@ def build_scheduler(hp, num_epochs: int, min_num_epochs: int
 
 
 def standardize_opt_params(config: dict):
-    """'opt__lr' -> attribute 'lr' etc. (instantiators.py:32-57)."""
+    """'opt__lr' -> attribute 'lr' etc. (instantiators.py:32-57).
+
+    opt__-derived names win DETERMINISTICALLY over plain keys that
+    collide (the config carries both 'mode' = TRAINING/EVALUATION and
+    'opt__mode' = min/max; relying on dict insertion order to make
+    hp.mode end up as the optimizer's would silently flip MYWARMUP's
+    plateau direction if the defaults were ever reordered — the
+    reference's pop-then-set port makes the same precedence explicit)."""
     class HP:
         pass
 
     hp = HP()
+    opt_names = {k.split('__', 1)[1] for k in config if
+                 k.startswith('opt__')}
     for k, v in config.items():
         if k.startswith('opt__'):
             setattr(hp, k.split('__', 1)[1], v)
-        else:
+        elif k not in opt_names:
             setattr(hp, k, v)
     return hp

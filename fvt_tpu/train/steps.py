@@ -88,9 +88,13 @@ def cross_entropy_frames(logits: jnp.ndarray, labels: jnp.ndarray
         logits.reshape(b * t, c), labels.reshape(b * t)).mean()
 
 
-def make_train_step(model, optimizer,
+def train_step_body(model, optimizer,
                     task: str = constants.CLASSIFICATION) -> Callable:
-    @jax.jit
+    """The UNJITTED train step: forward (+ batch-stat update), loss,
+    backward, optimizer update.  One body shared by the single-chip jit
+    (make_train_step) and the DP pjit (parallel.dp.make_dp_train_step):
+    the two wrappers differ only in sharding/donation kwargs, so their
+    semantics cannot drift apart."""
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng_key: jax.Array):
         # per-step stream derived INSIDE the jit from (epoch key, step
@@ -132,6 +136,11 @@ def make_train_step(model, optimizer,
         return new_state, loss
 
     return train_step
+
+
+def make_train_step(model, optimizer,
+                    task: str = constants.CLASSIFICATION) -> Callable:
+    return jax.jit(train_step_body(model, optimizer, task))
 
 
 def make_eval_step(model, needs_time_mask: bool = False,

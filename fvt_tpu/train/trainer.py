@@ -779,10 +779,19 @@ class Trainer:
             current_perf, _ = self.inference(valid_loader)
             improved = False
             for item in valid_tracker:
+                # best-model copy keeps the reference's `>=` semantics
+                # (metrics.py:410: a tie refreshes the best snapshot),
+                # but the early-stop countdown resets only on a STRICT
+                # improvement, like the legacy trainer it models
+                # (/root/reference/trainer.py:228 uses `>`): an exact
+                # plateau is not an improvement.
+                prev_best = valid_tracker[item].best_value
                 valid_tracker[item].append(current_perf)
                 if valid_tracker[item].is_last_best:
                     best_params[item] = host_best()
-                    improved = True
+                    if (prev_best is None
+                            or valid_tracker[item].best_value > prev_best):
+                        improved = True
                 log(f"{constants.VALIDSET}: "
                     f"{valid_tracker[item].current_status_str}")
                 log(f"{constants.VALIDSET}: "
@@ -803,13 +812,20 @@ class Trainer:
                 self.state = self.state.replace(opt_state=optim.set_lr(
                     self.state.opt_state, self.scheduler.lr(epoch + 1)))
 
+            # apply this epoch's countdown update BEFORE checkpointing so
+            # the saved counter is the post-epoch value — a resumed run
+            # then continues the countdown exactly where an uninterrupted
+            # one would (saving the pre-update counter gave a resumed run
+            # one extra no-improvement epoch)
+            stop = stopper.should_stop(epoch, improved)
+
             if checkpointer is not None and checkpointer.should_save(epoch):
                 checkpointer.save(epoch, self.state, valid_tracker,
                                   best_params, loss_tracker,
                                   scheduler=self.scheduler,
                                   stopper_counter=stopper.counter)
 
-            if stopper.should_stop(epoch, improved):
+            if stop:
                 log(fmsg(f"Early stopping at epoch {epoch}: no validation "
                          f"improvement in {stopper.budget} epochs"))
                 break

@@ -126,3 +126,47 @@ def test_stopper_counter_survives_resume(tmp_path):
     out = cp.restore(state)
     assert out is not None
     assert cp.restored_stopper_counter == 2
+
+
+def test_restore_falls_back_when_meta_sidecar_missing(tmp_path):
+    """A crash between the orbax array save and the meta-sidecar write
+    leaves a step with arrays but no meta_<step>.pkl; restore() must
+    fall back to the newest step that has BOTH halves instead of
+    raising FileNotFoundError (which would brick --resume)."""
+    import jax.numpy as jnp
+    import optax
+    from fvt_tpu.train.checkpoint import Checkpointer
+    from fvt_tpu.train.metrics import build_trackers
+
+    class S:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+        def replace(self, **kw):
+            d = {k: v for k, v in self.__dict__.items()}
+            d.update(kw)
+            return S(**d)
+
+    params = {'dense': {'kernel': jnp.ones((2, 2))}}
+    state = S(params=params, batch_stats={},
+              opt_state=optax.sgd(0.1).init(params),
+              step=jnp.asarray(0))
+
+    cp = Checkpointer(str(tmp_path), every=1)
+    trackers = build_trackers('MELD', use_other_class=False)
+    cp.save(0, state, trackers, best_params={}, loss_tracker=[2.0],
+            stopper_counter=5)
+    cp.save(1, state, trackers, best_params={}, loss_tracker=[2.0, 1.5],
+            stopper_counter=4)
+    # simulate the crash window: step 1 has arrays but no meta
+    os.remove(join(cp.dir, 'meta_1.pkl'))
+
+    out = cp.restore(state)
+    assert out is not None
+    epoch, _, _, _, losses = out
+    assert epoch == 0 and losses == [2.0]
+    assert cp.restored_stopper_counter == 5
+
+    # nothing restorable at all -> None, not an exception
+    os.remove(join(cp.dir, 'meta_0.pkl'))
+    assert cp.restore(state) is None

@@ -239,3 +239,21 @@ def test_mywarmup_min_mode_rejected_at_parse(store, tmp_path):
             '--opt__name_lr_scheduler', 'MYWARMUP',
             '--outd', str(tmp_path / 'exp_mw'),
         ])
+
+
+def test_early_stopping_fires_on_exact_plateau(store, tmp_path):
+    """On the tiny separable store the validation master saturates
+    (exactly repeated value); a TIE refreshes the best-model snapshot
+    (PerfTracker `>=`, reference metrics.py:410) but is NOT an
+    improvement for the early-stop countdown (legacy reference
+    trainer.py:228 uses `>`), so the run must stop well before
+    num_epochs instead of the countdown resetting on every plateau."""
+    import json
+    outd = str(tmp_path / 'exp')
+    _run_training(store, outd, 'LFAN', epochs=30, extra=(
+        '--min_num_epochs', '2', '--early_stopping', '3'))
+    assert os.path.isfile(join(outd, 'passed.txt'))
+    with open(join(outd, 'log.txt')) as f:
+        logtxt = f.read()
+    assert 'Early stopping at epoch' in logtxt, \
+        'run trained all 30 epochs despite a saturated validation metric'

@@ -177,3 +177,20 @@ def test_compute_perf_all_ignored_raises_with_message():
     }
     with pytest.raises(ValueError, match='ignored class'):
         M.compute_perf(data, constants.C_EXPR_DB, use_other_class=True)
+
+
+def test_softmax_overflow_guard_and_bit_parity():
+    """Rows whose logits would overflow np.exp (float32 > ~88.7) are
+    max-shifted instead of going NaN; for sane rows the output is
+    BIT-identical to the reference's unshifted formula."""
+    from fvt_tpu.train.metrics import softmax
+
+    sane = np.array([[1.0, 2.0, 3.0], [-5.0, 0.0, 79.9]], np.float32)
+    ref = np.exp(sane) / np.exp(sane).sum(1, keepdims=True)
+    np.testing.assert_array_equal(softmax(sane), ref)
+
+    hot = np.array([[200.0, 0.0, 0.0], [90.0, 89.0, -10.0]], np.float32)
+    out = softmax(hot)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out.sum(1), 1.0, rtol=1e-6)
+    assert out[0].argmax() == 0 and out[1].argmax() == 0

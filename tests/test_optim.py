@@ -163,3 +163,18 @@ def test_mywarmup_wired_in_trainer(tmp_path):
         '--opt__lr', '1e-3',
     ])
     assert os.path.isfile(os.path.join(outd, 'passed.txt'))
+
+
+def test_standardize_opt_params_mode_collision_is_deterministic():
+    """'opt__mode' (min/max) must win over the run-mode key 'mode'
+    regardless of dict insertion order (relying on order silently
+    flipped MYWARMUP's plateau direction if defaults were reordered)."""
+    from fvt_tpu.train.optim import standardize_opt_params
+
+    hp = standardize_opt_params(
+        {'mode': 'TRAINING', 'opt__mode': 'min', 'opt__lr': 0.1})
+    assert hp.mode == 'min' and hp.lr == 0.1
+    # reversed insertion order: same result
+    hp = standardize_opt_params(
+        {'opt__mode': 'min', 'opt__lr': 0.1, 'mode': 'TRAINING'})
+    assert hp.mode == 'min'
