@@ -176,7 +176,14 @@ def _parse_eval(args) -> SimpleNamespace:
     config['fold_to_run'] = 0
     config['num_workers'] = 0
     config['fd_exp'] = fd_exp
+    # eval_set names the output artifacts (eval-<set>-perf.pkl etc.),
+    # exactly like the reference's log/result naming (parseit.py:460,
+    # 495-497); the evaluated loader is the test split, which on the
+    # challenge dataset aliases the whole store. Validate membership at
+    # parse like the reference (parseit.py:456) so a typo fails here.
     config['eval_set'] = args.eval_set or constants.TESTSET
+    assert config['eval_set'] in (constants.TRAINSET, constants.VALIDSET,
+                                  constants.TESTSET), config['eval_set']
     config['case_best_model'] = args.case_best_model
     # retarget folds to the eval dataset (parseit.py:482) and undo any
     # debug subsampling from the training run (parseit.py:484-488) —
@@ -200,6 +207,13 @@ def _parse_eval(args) -> SimpleNamespace:
     assert config.get('serve_quant', 'none') in ('none', 'int8',
                                                  'int8_static'), \
         config.get('serve_quant')
+    if config.get('serve_quant') == 'int8_static':
+        # same incompatibility sanity_check enforces at TRAINING parse:
+        # the Pallas serving step applies the backbone itself and would
+        # silently drop the calibrated static scales
+        assert not config.get('pallas_serving', False), \
+            '--serve_quant int8_static is incompatible with ' \
+            '--pallas_serving (use dynamic int8 there)'
 
     assert os.path.isdir(config['folds_dir']), (
         f"eval folds_dir not found: {config['folds_dir']!r} — the "

@@ -28,6 +28,28 @@ def _stack(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([e[k] for e in examples], axis=0) for k in keys}
 
 
+def _pump(jobs: Sequence, build, num_threads: int, prefetch: int
+          ) -> Iterator:
+    """Submit-ahead prefetch pipeline: keep up to ``prefetch`` builds in
+    flight on a thread pool, yield results in job order.  The ONE
+    implementation behind TrainLoader.epoch/epoch_local and
+    EvalLoader.__iter__/batches — a fix here reaches all four."""
+    with cf.ThreadPoolExecutor(num_threads) as pool:
+        pending = []
+        it = iter(jobs)
+        for _ in range(prefetch):
+            job = next(it, None)
+            if job is None:
+                break
+            pending.append(pool.submit(build, job))
+        while pending:
+            fut = pending.pop(0)
+            job = next(it, None)
+            if job is not None:
+                pending.append(pool.submit(build, job))
+            yield fut.result()
+
+
 class TrainLoader:
     """Shuffled fixed-window batches; deterministic per-epoch order.
 
@@ -53,8 +75,11 @@ class TrainLoader:
         self.bucket_quantum = bucket_quantum
 
     def __len__(self):
-        return (len(self.work_list) + self.batch_size - 1) \
-            // self.batch_size
+        # count from the actual plan: with bucket_quantum set, each
+        # bucket yields its own remainder batch, so ceil(N/batch_size)
+        # undercounts (the plan's length is epoch-independent — only
+        # its ORDER is shuffled)
+        return len(self._plan(0))
 
     def _bucket(self, item) -> int:
         window = self.builder.window_length
@@ -88,30 +113,22 @@ class TrainLoader:
             'train_bucket_order').permutation(len(batches))
         return [batches[j] for j in perm]
 
-    def _pump(self, jobs, build):
-        with cf.ThreadPoolExecutor(self.num_threads) as pool:
-            pending = []
-            it = iter(jobs)
-            for _ in range(self.prefetch):
-                job = next(it, None)
-                if job is None:
-                    break
-                pending.append(pool.submit(build, job))
-            while pending:
-                fut = pending.pop(0)
-                job = next(it, None)
-                if job is not None:
-                    pending.append(pool.submit(build, job))
-                yield fut.result()
+    def _build_batch(self, job) -> Dict[str, np.ndarray]:
+        bucket, idxs = job
+        return _stack([self.builder.build(self.work_list[i],
+                                          pad_to=bucket)
+                       for i in idxs])
 
     def epoch(self, epoch_idx: int) -> Iterator[Dict[str, np.ndarray]]:
-        def build(job) -> Dict[str, np.ndarray]:
-            bucket, idxs = job
-            return _stack([self.builder.build(self.work_list[i],
-                                              pad_to=bucket)
-                           for i in idxs])
+        return _pump(self._plan(epoch_idx), self._build_batch,
+                     self.num_threads, self.prefetch)
 
-        return self._pump(self._plan(epoch_idx), build)
+    def sample_batch(self) -> Dict[str, np.ndarray]:
+        """Epoch 0's first batch, built synchronously — identical to
+        ``next(iter(self.epoch(0)))`` but without spinning up the
+        prefetch pump (which would build and then discard up to
+        ``prefetch`` full batches; init_state only needs shapes)."""
+        return self._build_batch(self._plan(0)[0])
 
     def epoch_local(self, epoch_idx: int, divisor: Optional[int] = None,
                     process_index: Optional[int] = None,
@@ -137,7 +154,8 @@ class TrainLoader:
                             for i in local])
             return batch, rows
 
-        return self._pump(self._plan(epoch_idx), build)
+        return _pump(self._plan(epoch_idx), build,
+                     self.num_threads, self.prefetch)
 
 
 def round_up(n: int, quantum: int) -> int:
@@ -180,20 +198,13 @@ class EvalLoader:
         return padded, trial, true_len, bucket
 
     def __iter__(self):
-        with cf.ThreadPoolExecutor(self.num_threads) as pool:
-            pending = []
-            it = iter(self.work_list)
-            for _ in range(self.prefetch):
-                item = next(it, None)
-                if item is None:
-                    break
-                pending.append(pool.submit(self._build, item))
-            while pending:
-                fut = pending.pop(0)
-                item = next(it, None)
-                if item is not None:
-                    pending.append(pool.submit(self._build, item))
-                yield fut.result()
+        return _pump(self.work_list, self._build,
+                     self.num_threads, self.prefetch)
+
+    def sample_batch(self) -> Dict[str, np.ndarray]:
+        """First video's batch, built synchronously (no prefetch pump —
+        see TrainLoader.sample_batch)."""
+        return self._build(self.work_list[0])[0]
 
     def batches(self, batch_videos: int = 1,
                 windowed_threshold: Optional[int] = None,
@@ -234,17 +245,4 @@ class EvalLoader:
             lens = [ex[2] for ex in built]
             return batch, trials, lens, built[0][3]
 
-        with cf.ThreadPoolExecutor(self.num_threads) as pool:
-            pending = []
-            it = iter(jobs)
-            for _ in range(self.prefetch):
-                job = next(it, None)
-                if job is None:
-                    break
-                pending.append(pool.submit(build_job, job))
-            while pending:
-                fut = pending.pop(0)
-                job = next(it, None)
-                if job is not None:
-                    pending.append(pool.submit(build_job, job))
-                yield fut.result()
+        return _pump(jobs, build_job, self.num_threads, self.prefetch)

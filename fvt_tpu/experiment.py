@@ -134,7 +134,15 @@ class Experiment:
         loaders: Dict[str, object] = {}
         for split, data in data_list.items():
             if not data:
-                continue
+                # run()/run_eval index loaders['val'/'test'] directly —
+                # skipping here would surface as a bare KeyError later
+                raise ValueError(
+                    f"split {split!r} is empty after fold filtering: no "
+                    f"trial of folds_dir={self.folds_dir!r} (fold "
+                    f"{self.fold_to_run}) exists in the feature store at "
+                    f"{self.dataset_path!r}. Check the fold lists against "
+                    f"dataset_info, or the train_p/valid_p/test_p "
+                    f"subsampling.")
             if split == constants.TRAINSET:
                 loaders[split] = TrainLoader(
                     data, builder,
@@ -187,12 +195,13 @@ class Experiment:
                        self.data_arranger.int_to_cl)
 
     def _sample_batch(self, loaders):
+        """One batch for init_state's shapes — built synchronously:
+        ``next(iter(loader.epoch(0)))`` would spin up the prefetch pump
+        and build-then-discard up to ``prefetch`` full batches at every
+        run()/run_eval startup."""
         loader = loaders.get(constants.TRAINSET) \
             or next(iter(loaders.values()))
-        if isinstance(loader, TrainLoader):
-            return next(iter(loader.epoch(0)))
-        batch, _, _, _ = next(iter(loader))
-        return batch
+        return loader.sample_batch()
 
     # ------------------------------------------------------------------ run
     def run(self):

@@ -129,3 +129,24 @@ def test_bucketed_epoch_under_data_parallel(setup):
     # the TRAINER consumed every planned batch (state.step counts
     # steps; a skipped ragged bucket tail would show here)
     assert int(trainer.state.step) - step_before == n_batches
+
+
+def test_len_counts_bucketed_remainder_batches():
+    """len(TrainLoader) must equal the number of batches the plan
+    actually yields: each bucket produces its own remainder batch, so
+    ceil(N/batch_size) undercounts under --train_bucketed."""
+    from types import SimpleNamespace
+    from fvt_tpu.data.loader import TrainLoader
+
+    builder = SimpleNamespace(window_length=300)
+    # 3 buckets x 10 items at batch_size=16 -> 3 batches, not ceil(30/16)=2
+    work = ([['p', 't', 40, None]] * 10 + [['p', 't', 140, None]] * 10
+            + [['p', 't', 240, None]] * 10)
+    loader = TrainLoader(work, builder, batch_size=16, seed=0,
+                         bucket_quantum=100)
+    plan = loader._plan(0)
+    assert len(loader) == len(plan) == 3
+
+    # unbucketed: plan and ceil agree
+    loader = TrainLoader(work, builder, batch_size=16, seed=0)
+    assert len(loader) == len(loader._plan(0)) == 2
