@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from fvt_tpu.models.layers import PReLU
+from fvt_tpu.models.layers import PReLU, TorchEMABatchNorm
 
 
 class Conv3x3(nn.Module):
@@ -113,19 +113,19 @@ class BottleneckIR(nn.Module):
             shortcut = nn.Conv(self.depth, (1, 1), strides=self.stride,
                                use_bias=False, dtype=self.dtype,
                                name='shortcut_conv')(x)
-            shortcut = nn.BatchNorm(use_running_average=not train,
+            shortcut = TorchEMABatchNorm(use_running_average=not train,
                                     momentum=0.9, epsilon=1e-5,
                                     dtype=self.dtype,
                                     name='shortcut_bn')(shortcut)
 
-        res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        res = TorchEMABatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         res = Conv3x3(self.depth, stride=1, impl=self.conv_impl,
                       dtype=self.dtype, name='conv1')(res)
         res = PReLU(self.depth, name='prelu')(res)
         res = Conv3x3(self.depth, stride=self.stride, impl=self.conv_impl,
                       dtype=self.dtype, name='conv2')(res)
-        res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        res = TorchEMABatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype, name='bn2')(res)
         return res + shortcut
 
@@ -143,7 +143,7 @@ class ArcFaceBackbone(nn.Module):
         # input conv keeps the direct path: Cin=3 is a terrible matmul K
         x = nn.Conv(64, (3, 3), strides=1, padding=1, use_bias=False,
                     dtype=self.dtype, name='input_conv')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchEMABatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='input_bn')(x)
         x = PReLU(64, name='input_prelu')(x)
 
@@ -152,13 +152,13 @@ class ArcFaceBackbone(nn.Module):
                              conv_impl=self.conv_impl,
                              name=f'body{i}')(x, train=train)
 
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchEMABatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='output_bn2d')(x)
         x = nn.Dropout(self.drop_ratio, deterministic=not train)(x)
         x = x.reshape(x.shape[0], -1)  # NHWC flatten
         x = x.astype(jnp.float32)
         x = nn.Dense(512, name='output_linear')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = TorchEMABatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name='output_bn1d')(x)
 
         norm = jnp.linalg.norm(x, ord=2, axis=1, keepdims=True)

@@ -32,11 +32,20 @@ class MultimodalMultiheadAttention(nn.Module):
         h = self.num_heads
         hd = self.modal_dim // h
         m = len(self.modalities)
+        if self.input_dim:
+            # validation only: flax infers the qkv in-features from the
+            # data (torch sizes the Linears from this dict,
+            # transformer.py:234)
+            for modal in self.modalities:
+                assert x[modal].shape[-1] == self.input_dim[modal], (
+                    f"{modal}: feature dim {x[modal].shape[-1]} != "
+                    f"input_dim {self.input_dim[modal]}")
 
         qs, ks, vs = [], [], []
         for modal in self.modalities:
             qkv = TorchLinear(3 * self.modal_dim, name=f'qkv_{modal}',
-                              kernel_init=xavier_uniform_gain(1.0))(x[modal])
+                              kernel_init=xavier_uniform_gain(1.0),
+                              bias_init=nn.initializers.zeros)(x[modal])
             b, t, _ = qkv.shape
             qkv = qkv.reshape(b, t, h, 1, 3 * hd)   # modal slot axis
             qkv = qkv.transpose(0, 2, 1, 3, 4)       # (B, H, T, 1, 3hd)
@@ -55,15 +64,16 @@ class MultimodalMultiheadAttention(nn.Module):
         b, t = values.shape[:2]
         values = values.reshape(b, t, self.modal_dim * m)
         return TorchLinear(self.modal_dim * m, name='o_proj',
-                           kernel_init=xavier_uniform_gain(1.0))(values)
+                           kernel_init=xavier_uniform_gain(1.0),
+                           bias_init=nn.initializers.zeros)(values)
 
 
 class MultimodalTransformerEncoder(nn.Module):
     """One attention block + dropout + LayerNorm (transformer.py:168-215).
 
-    The reference's ``qkv_proj.bias``/``o_proj.bias`` are zero-initialised;
-    TorchLinear's default bias init differs, which only matters for
-    from-scratch training noise, not ported weights.
+    The reference's ``qkv_proj.bias``/``o_proj.bias`` are zero-initialised
+    (transformer.py:126-130); the attention block above passes
+    ``bias_init=zeros`` so from-scratch init matches exactly.
     """
     modalities: Sequence[str]
     input_dim: Dict[str, int]

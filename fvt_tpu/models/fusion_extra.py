@@ -33,8 +33,10 @@ class GatedMultiheadAttention(nn.Module):
         hd = e // h
         b, t, _ = x.shape
 
+        # reference zero-fills qkv/o biases (transformer.py:67-71)
         qkv = TorchLinear(3 * e, name='qkv_proj',
-                          kernel_init=xavier_uniform_gain(1.0))(x)
+                          kernel_init=xavier_uniform_gain(1.0),
+                          bias_init=nn.initializers.zeros)(x)
         qkv = qkv.reshape(b, t, h, 3 * hd).transpose(0, 2, 1, 3)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -48,7 +50,8 @@ class GatedMultiheadAttention(nn.Module):
         values = jnp.einsum('bhqk,bhkd->bhqd', attn, v)
         values = values.transpose(0, 2, 1, 3).reshape(b, t, e)
         return TorchLinear(e, name='o_proj',
-                           kernel_init=xavier_uniform_gain(1.0))(values)
+                           kernel_init=xavier_uniform_gain(1.0),
+                           bias_init=nn.initializers.zeros)(values)
 
 
 class IntraEncoderBlock(nn.Module):

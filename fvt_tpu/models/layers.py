@@ -126,6 +126,62 @@ class _TorchBNCore(nn.Module):
         return ((x.astype(stat_dtype) - mean) * inv + bias).astype(x.dtype)
 
 
+class TorchEMABatchNorm(nn.Module):
+    """Drop-in for ``flax.linen.BatchNorm`` at explicitly-NAMED call
+    sites (the param/stat tree is unchanged, so existing checkpoints and
+    the torch-port converters load as-is) with ONE difference: the
+    running_var EMA accumulates torch's UNBIASED (n/(n-1)) estimator
+    (torch/nn/modules/batchnorm.py), where flax accumulates the biased
+    one.  Used by the ArcFace backbone, whose frozen-but-TRAIN-mode
+    contract (reference model.py:432-433 + model.train()) updates
+    running stats every training step — with flax BN those stats drift
+    from a reference run by the n/(n-1) factor and the drift is baked
+    into checkpoints and reverse exports.
+
+    Eval math matches flax exactly: cast to ``dtype``, normalize with
+    the running stats.  Train-mode normalization uses the biased batch
+    variance, like both torch and flax; batch stats are computed in
+    at-least-float32 like flax's ``_compute_stats``.
+    ``momentum`` keeps the flax convention (torch momentum = 1 - it)."""
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,))
+        bias = self.param('bias', nn.initializers.zeros, (c,))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((c,), jnp.float32))
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            n = 1
+            for d in red:
+                n *= x.shape[d]
+            xf = x.astype(stat_dtype)
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            if not self.is_initializing():
+                m = 1.0 - self.momentum  # torch momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = ((1.0 - m) * ra_mean.value
+                                 + m * mean).astype(ra_mean.value.dtype)
+                ra_var.value = ((1.0 - m) * ra_var.value
+                                + m * unbiased).astype(ra_var.value.dtype)
+        # normalize in `dtype` like flax (promotion of x/params if None)
+        d = self.dtype if self.dtype is not None else stat_dtype
+        inv = (jax.lax.rsqrt(var.astype(d) + jnp.asarray(self.epsilon, d))
+               * scale.astype(d))
+        return (x.astype(d) - mean.astype(d)) * inv + bias.astype(d)
+
+
 class TorchBatchNorm(nn.Module):
     """BatchNorm over all-but-last axis; torch eps/momentum defaults.
 

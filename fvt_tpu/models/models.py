@@ -46,11 +46,23 @@ def _maybe_encode_spatial(self, x: Dict[str, jnp.ndarray], train: bool
     # the params never move)
     enc_train = train and not getattr(self, 'frozen_eval', False)
     if 'video' in out and out['video'].ndim == 5:
+        if self.spatial_video is None:
+            raise ValueError(
+                "raw (B, T, H, W, C) video input requires a "
+                "spatial_video backbone (registry.init_model wires the "
+                "ArcFace encoder for the 'video' modality); got None — "
+                "this model was built for precomputed features")
         b, t = out['video'].shape[:2]
         frames = out['video'].reshape((b * t,) + out['video'].shape[2:])
         feats = self.spatial_video(frames, train=enc_train)
         out['video'] = feats.reshape(b, t, -1)
     if 'logmel' in out and out['logmel'].ndim == 4:
+        if self.spatial_audio is None:
+            raise ValueError(
+                "raw (B, T, 96, 64) logmel input requires a "
+                "spatial_audio backbone (registry.init_model wires the "
+                "VGGish encoder for the 'logmel' modality); got None — "
+                "this model was built for precomputed features")
         b, t = out['logmel'].shape[:2]
         patches = out['logmel'].reshape((b * t,) + out['logmel'].shape[2:])
         feats = self.spatial_audio(patches, train=enc_train)
@@ -90,6 +102,12 @@ class LFAN(nn.Module):
 
         feats = {}
         for modal in self.modality:
+            if self.embedding_dim is not None:
+                # validation only: the TCN infers its input width from
+                # the data (torch sizes it from this dict, model.py:407)
+                assert x[modal].shape[-1] == self.embedding_dim[modal], (
+                    f"{modal}: feature dim {x[modal].shape[-1]} != "
+                    f"embedding_dim {self.embedding_dim[modal]}")
             h = TemporalConvNet(tcn_channel[modal],
                                 kernel_size=self.kernel_size,
                                 dropout=self.tcn_dropout,

@@ -55,3 +55,52 @@ def test_vggish_parity():
                                  train=False))
     assert got.shape == (3, 128)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_arcface_train_mode_running_stats_match_torch():
+    """The frozen-backbone TRAIN-mode contract updates running stats
+    every step; torch's running_var EMA accumulates the UNBIASED
+    (n/(n-1)) batch variance. One train-mode forward through both
+    stacks must leave IDENTICAL running stats (flax nn.BatchNorm would
+    store the biased estimator — the drift TorchEMABatchNorm exists to
+    prevent, since it is baked into checkpoints and reverse exports)."""
+    import jax
+    from models.backbone import VisualBackbone as RefVB
+
+    torch.manual_seed(3)
+    ref = RefVB(use_pretrained=False, mode='ir')
+    ref.train()
+
+    x = np.random.default_rng(3).normal(
+        size=(4, 3, 40, 40)).astype(np.float32)
+    with torch.no_grad():
+        ref(torch.from_numpy(x))
+    ref_sd = ref.state_dict()
+
+    torch.manual_seed(3)
+    ref0 = RefVB(use_pretrained=False, mode='ir')
+    params, stats = visual_backbone_from_torch(
+        {k: v for k, v in ref0.state_dict().items()})
+    model = VisualBackbone()
+    _, mutated = model.apply(
+        {'params': params, 'batch_stats': stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=True,
+        mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(0)})
+    new_stats = mutated['batch_stats']
+
+    bb = new_stats['backbone']
+    # pre-dropout BNs only: output_bn1d sits after nn.Dropout, whose
+    # train-mode draws cannot match across frameworks. The unbiased
+    # n/(n-1) factor is ~1.6e-4 relative at these n, so the 2e-5 rtol
+    # below DOES discriminate the biased flax EMA from torch's.
+    for flax_path, tprefix in (
+            (bb['input_bn'], 'backbone.input_layer.1'),
+            (bb['body0']['bn1'], 'backbone.body.0.res_layer.0'),
+            (bb['output_bn2d'], 'backbone.output_layer.0')):
+        for ours, theirs in (('mean', 'running_mean'), ('var',
+                                                        'running_var')):
+            want = ref_sd[f'{tprefix}.{theirs}'].numpy()
+            got = np.asarray(flax_path[ours])
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6), \
+                (flax_path, ours)
