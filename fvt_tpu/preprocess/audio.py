@@ -23,15 +23,26 @@ def has_ffmpeg() -> bool:
 
 def convert_video_to_wav(input_path: str, output_path: str,
                          sample_rate: int = 16000) -> str:
-    """ffmpeg -i in -vn -ar 16000 -ac 1 out.wav (idempotent)."""
+    """ffmpeg -i in -vn -ar 16000 -ac 1 out.wav (idempotent).
+
+    ffmpeg writes to a temp name that is renamed only on success: the
+    isfile idempotency gate would otherwise happily reuse a HALF-written
+    wav from an interrupted conversion forever, silently truncating
+    every downstream logmel/vggish feature."""
     if os.path.isfile(output_path):
         return output_path
     assert has_ffmpeg(), 'ffmpeg not available'
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
-    subprocess.run(
-        ['ffmpeg', '-y', '-loglevel', 'error', '-i', input_path, '-vn',
-         '-ar', str(sample_rate), '-ac', '1', output_path],
-        check=True)
+    tmp = f'{output_path}.{os.getpid()}.tmp.wav'
+    try:
+        subprocess.run(
+            ['ffmpeg', '-y', '-loglevel', 'error', '-i', input_path, '-vn',
+             '-ar', str(sample_rate), '-ac', '1', tmp],
+            check=True)
+        os.replace(tmp, output_path)
+    finally:
+        if os.path.isfile(tmp):
+            os.remove(tmp)
     return output_path
 
 
@@ -64,8 +75,37 @@ def extract_logmel(input_path: str, output_path: str,
     if annotated_idx is not None:
         patches = _pad_to_annotated(patches, annotated_idx)
         patches = np.asarray(patches, dtype=np.float16)[annotated_idx]
+    else:
+        # float16 unconditionally — the reference's disk contract
+        # (base/audio.py:176) casts before save on every path
+        patches = np.asarray(patches, dtype=np.float16)
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
     np.save(output_path, patches)
+
+
+# one-entry cache: jax.jit caches per function OBJECT, so a fresh
+# closure per trial forced a retrace of the same fixed (500, 96, 64)
+# program for every one of thousands of trials. The params object is
+# held in the value so its id() cannot be recycled while cached.
+_VGGISH_FWD_CACHE: dict = {}
+
+
+def _vggish_forward(params: dict):
+    import jax
+    from fvt_tpu.models.vggish import VGGish
+
+    hit = _VGGISH_FWD_CACHE.get(id(params))
+    if hit is not None:
+        return hit[1]
+    model = VGGish()
+
+    @jax.jit
+    def forward(x):
+        return model.apply({'params': params}, x, train=False)
+
+    _VGGISH_FWD_CACHE.clear()
+    _VGGISH_FWD_CACHE[id(params)] = (params, forward)
+    return forward
 
 
 def extract_vggish_embeddings(input_path: str,
@@ -81,16 +121,10 @@ def extract_vggish_embeddings(input_path: str,
     ``params`` are flax VGGish params (weight-ported from vggish.pth via
     fvt_tpu.models.vggish.vggish_from_torch).
     """
-    import jax
     import jax.numpy as jnp
-    from fvt_tpu.models.vggish import VGGish
 
     examples = melspec.wavfile_to_examples(input_path, window_sec, hop_sec)
-    model = VGGish()
-
-    @jax.jit
-    def forward(x):
-        return model.apply({'params': params}, x, train=False)
+    forward = _vggish_forward(params)
 
     outs = []
     for start in range(0, len(examples), input_size):

@@ -48,7 +48,8 @@ def load_top_faces(face_dir: str, size: int = OUT_SIZE) -> np.ndarray:
     return out
 
 
-def compact_trial(faces_root: str, features_root: str, trial: str):
+def compact_trial(faces_root: str, features_root: str, trial: str,
+                  strict: bool = False):
     face_dir = join(faces_root, trial)
     trial_dir = join(features_root, trial)
     assert os.path.isdir(face_dir), face_dir
@@ -56,7 +57,7 @@ def compact_trial(faces_root: str, features_root: str, trial: str):
     if os.path.isfile(join(trial_dir, 'video.npy')):
         return
     faces = load_top_faces(face_dir)
-    compact_video_npy(trial_dir, faces)
+    compact_video_npy(trial_dir, faces, strict=strict)
 
 
 def main(argv=None):
@@ -67,6 +68,11 @@ def main(argv=None):
                    help='subdir of trials to process (e.g. train)')
     p.add_argument('--nblocks', type=int, default=1)
     p.add_argument('--process_block', type=int, default=0)
+    p.add_argument('--ds', default=constants.MELD,
+                   help='dataset name; MELD hard-asserts feature/frame '
+                        'length agreement like the reference '
+                        '(compact_face_images.py:248), C-EXPR-DB* '
+                        'reconciles by truncation')
     args = p.parse_args(argv)
 
     root = join(args.faces_root, args.split) if args.split \
@@ -78,8 +84,10 @@ def main(argv=None):
     block = better_chunks_into_n(trials, args.nblocks)[args.process_block]
     log(f"compacting block {args.process_block}/{args.nblocks}: "
         f"{len(block)} of {len(trials)} trials")
+    strict = args.ds == constants.MELD
     for trial in block:
-        compact_trial(args.faces_root, args.features_root, trial)
+        compact_trial(args.faces_root, args.features_root, trial,
+                      strict=strict)
 
 
 if __name__ == '__main__':

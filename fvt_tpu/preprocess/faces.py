@@ -71,6 +71,11 @@ class HaarFaceDetector:
         path = join(cv2.data.haarcascades,
                     'haarcascade_frontalface_default.xml')
         self.cascade = cv2.CascadeClassifier(path)
+        # CascadeClassifier loads EMPTY without error on a missing XML;
+        # fail here so default_detector falls through to the next
+        # factory instead of yielding a detector that errors per frame
+        assert not self.cascade.empty(), \
+            f'Haar cascade failed to load from {path!r}'
 
     def detect(self, img_rgb: np.ndarray) -> List[dict]:
         import cv2
@@ -271,7 +276,8 @@ def process_one_video(video_path: str, out_dir: str, detector=None,
 def compact_video_npy(trial_dir: str, faces: np.ndarray,
                       features: Tuple[str, ...] = (constants.VGGISH,
                                                    constants.BERT,
-                                                   constants.EXPR)):
+                                                   constants.EXPR),
+                      strict: bool = False):
     """Write video.npy and reconcile other modality lengths
     (compact_face_images.py:204-292).
 
@@ -289,6 +295,14 @@ def compact_video_npy(trial_dir: str, faces: np.ndarray,
             continue
         arr = np.load(path)
         if arr.shape[0] > n:
+            # MELD compaction must FAIL on a length mismatch like the
+            # reference (compact_face_images.py:248 hard-asserts
+            # sz == n for MELD): the arranger trusts dataset_info's
+            # recorded length for MELD (it only re-reads video.npy for
+            # C-EXPR-DB*), so a silent truncation here would surface
+            # epochs later as an IndexError in the loader.
+            assert not strict, \
+                f"{feature}: {arr.shape[0]} != {n} frames ({trial_dir})"
             log(f"truncating {feature} {arr.shape[0]} -> {n} frames "
                 f"({trial_dir})")
             _atomic_save(path, arr[:n])

@@ -102,6 +102,18 @@ def log_mel_spectrogram(data: np.ndarray,
            + np.arange(window_length)[None, :])
     frames = np.asarray(data, dtype=np.float64)[idx]
 
+    # pad the frame count to a bucket: every clip has a unique
+    # num_frames, and jit would otherwise trace+compile a fresh STFT
+    # program per clip (20-120 s per shape over the axon tunnel). The
+    # op chain is row-independent (window, rfft, matmul, log), so the
+    # zero rows are computed and discarded — bit-identical real rows.
+    bucket = 512
+    padded_frames = ((num_frames + bucket - 1) // bucket) * bucket
+    if padded_frames != num_frames:
+        frames = np.concatenate(
+            [frames, np.zeros((padded_frames - num_frames, window_length),
+                              frames.dtype)], axis=0)
+
     window = periodic_hann(window_length)
     mel_matrix = spectrogram_to_mel_matrix(
         num_mel_bins=num_mel_bins,
@@ -113,7 +125,7 @@ def log_mel_spectrogram(data: np.ndarray,
     out = _stft_mel_log(jnp.asarray(frames), fft_length, window_length,
                         num_mel_bins, float(log_offset),
                         jnp.asarray(window), jnp.asarray(mel_matrix))
-    return np.asarray(out)
+    return np.asarray(out)[:num_frames]
 
 
 def frame_examples_fractional(log_mel: np.ndarray, window_length: int,

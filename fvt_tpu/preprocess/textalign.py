@@ -22,12 +22,30 @@ from fvt_tpu.preprocess.sharding import divide
 BERT_DIM = 768
 
 
+_WARNED_NLTK_FALLBACK = False
+
+
 def split_sentences(paragraph: str) -> List[str]:
-    """NLTK sentence split when available, regex fallback otherwise."""
+    """NLTK sentence split when available, regex fallback otherwise.
+
+    The splitter choice is NUMERICS-DEFINING for bert.npy (different
+    sentence boundaries -> different per-sentence BERT contexts ->
+    different embedding rows), so falling back logs a loud one-time
+    warning — mixing shards from nltk and non-nltk environments inside
+    one store would otherwise be silent (the extractor generation stamp
+    cannot see library availability)."""
     try:
         from nltk import tokenize as tk
         return tk.sent_tokenize(paragraph)
     except (ImportError, LookupError):
+        global _WARNED_NLTK_FALLBACK
+        if not _WARNED_NLTK_FALLBACK:
+            _WARNED_NLTK_FALLBACK = True
+            from fvt_tpu.utils.logger import log
+            log("WARNING: nltk (punkt) unavailable — using the regex "
+                "sentence splitter. bert.npy rows from this run will "
+                "differ from an nltk-equipped run; do not mix such "
+                "shards in one store.")
         parts = re.split(r'(?<=[.!?])\s+', paragraph.strip())
         return [p for p in parts if p]
 
@@ -59,6 +77,12 @@ def extract_word_embedding(transcript: str, tokenizer, model,
         summed = hidden[:, -4:, :].sum(dim=1).numpy()  # (T, 768)
 
         mask = enc['attention_mask'][0].numpy().astype(bool)
+        if mask.all():
+            # the reference refuses a sentence that fills max_length
+            # (speech.py:573-575) rather than silently truncating —
+            # truncation would change bert.npy's token count/content
+            raise ValueError('The sentence is too long, enlarge the '
+                             'token number!')
         ids = enc['input_ids'][0].numpy()
         real = mask.copy()
         # drop special tokens (CLS=101, SEP=102 for bert-base-uncased)
@@ -114,24 +138,38 @@ def transcribe(wav_path: str, model_dir: Optional[str] = None) -> dict:
     import json
     import wave
 
-    model = vosk.Model(model_dir) if model_dir else vosk.Model(
-        lang='en-us')
-    wf = wave.open(wav_path, 'rb')
-    rec = vosk.KaldiRecognizer(model, wf.getframerate())
-    rec.SetWords(True)
-    words, texts = [], []
-    while True:
-        data = wf.readframes(4000)
-        if len(data) == 0:
-            break
-        if rec.AcceptWaveform(data):
-            res = json.loads(rec.Result())
-            texts.append(res.get('text', ''))
-            words.extend(res.get('result', []))
-    res = json.loads(rec.FinalResult())
+    model = _vosk_model(model_dir)
+    with wave.open(wav_path, 'rb') as wf:
+        rec = vosk.KaldiRecognizer(model, wf.getframerate())
+        rec.SetWords(True)
+        words, texts = [], []
+        while True:
+            data = wf.readframes(4000)
+            if len(data) == 0:
+                break
+            if rec.AcceptWaveform(data):
+                res = json.loads(rec.Result())
+                texts.append(res.get('text', ''))
+                words.extend(res.get('result', []))
+        res = json.loads(rec.FinalResult())
     texts.append(res.get('text', ''))
     words.extend(res.get('result', []))
     return {'text': ' '.join(t for t in texts if t), 'words': words}
+
+
+# per-model-dir caches: vosk models are 50 MB-1.8 GB and the punctuation
+# restorer is a full transformer — reloading either once per TRIAL
+# dominated driver wall time on this 1-core host
+_VOSK_MODELS: dict = {}
+_PUNCT_MODEL = None
+
+
+def _vosk_model(model_dir: Optional[str]):
+    import vosk
+    if model_dir not in _VOSK_MODELS:
+        _VOSK_MODELS[model_dir] = (vosk.Model(model_dir) if model_dir
+                                   else vosk.Model(lang='en-us'))
+    return _VOSK_MODELS[model_dir]
 
 
 def make_vosk_transcriber(model_dir: Optional[str] = None):
@@ -149,7 +187,10 @@ def add_punctuation(text: str) -> str:
         from deepmultilingualpunctuation import PunctuationModel
     except ImportError:
         return text
-    return PunctuationModel().restore_punctuation(text)
+    global _PUNCT_MODEL
+    if _PUNCT_MODEL is None:
+        _PUNCT_MODEL = PunctuationModel()
+    return _PUNCT_MODEL.restore_punctuation(text)
 
 
 def load_bert(model_name: str = 'bert-base-uncased'):

@@ -14,19 +14,22 @@ from typing import Optional
 import numpy as np
 
 
-def extract_cnn_features(video: np.ndarray, params: dict, stats: dict,
-                         batch: int = 512, crop: int = 40,
-                         dtype=None) -> np.ndarray:
-    """(T, H, W, 3) uint8 face crops -> (T, 512) ArcFace embeddings.
+# one-entry jitted-forward cache, same rationale as
+# preprocess.audio._vggish_forward: a fresh jit closure per trial
+# forces a retrace of the identical fixed-shape program every call
+_CNN_FWD_CACHE: dict = {}
 
-    Applies the eval transform (resize 48 -> center crop 40 -> normalize)
-    then the frozen backbone, batched for shape-stable jits.
-    """
+
+def _cnn_forward(params: dict, stats: dict, dtype):
     import jax
     import jax.numpy as jnp
     from fvt_tpu.models.arcface import VisualBackbone
     from fvt_tpu.data.transforms import eval_video_transform
 
+    key = (id(params), id(stats), dtype)
+    hit = _CNN_FWD_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
     model = VisualBackbone(dtype=dtype or jnp.float32)
 
     @jax.jit
@@ -34,6 +37,23 @@ def extract_cnn_features(video: np.ndarray, params: dict, stats: dict,
         x = eval_video_transform(frames[None].astype(jnp.float32))[0]
         return model.apply({'params': params, 'batch_stats': stats},
                            x, train=False)
+
+    _CNN_FWD_CACHE.clear()
+    _CNN_FWD_CACHE[key] = ((params, stats), forward)
+    return forward
+
+
+def extract_cnn_features(video: np.ndarray, params: dict, stats: dict,
+                         batch: int = 512, dtype=None) -> np.ndarray:
+    """(T, H, W, 3) uint8 face crops -> (T, 512) ArcFace embeddings.
+
+    Applies the eval transform (resize 48 -> center crop 40 -> normalize
+    — the crop size is fixed by the transform, data/transforms.py) then
+    the frozen backbone, batched for shape-stable jits.
+    """
+    import jax.numpy as jnp
+
+    forward = _cnn_forward(params, stats, dtype)
 
     t = video.shape[0]
     out = np.zeros((t, 512), dtype=np.float32)

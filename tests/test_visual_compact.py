@@ -47,8 +47,19 @@ def test_compact_cli(tmp_path):
     np.save(join(tdir, 'EXPR_continuous_label.npy'),
             np.zeros((n,), np.int64))
 
+    # MELD (the default --ds) hard-asserts length agreement at
+    # compaction like the reference (compact_face_images.py:248) — the
+    # MELD arranger trusts dataset_info's recorded length, so a silent
+    # truncation would crash the loader epochs later
+    import pytest
+    with pytest.raises(AssertionError, match='vggish'):
+        main(['--faces_root', faces_root, '--features_root', feat_root,
+              '--split', 'train'])
+    os.remove(join(tdir, 'video.npy'))  # strict run wrote video first
+
+    # C-EXPR-DB* reconciles by truncation
     main(['--faces_root', faces_root, '--features_root', feat_root,
-          '--split', 'train'])
+          '--split', 'train', '--ds', 'C-EXPR-DB'])
 
     video = np.load(join(tdir, 'video.npy'))
     assert video.shape == (n, 256, 256, 3) and video.dtype == np.uint8
