@@ -245,7 +245,19 @@ class Experiment:
             # must describe the served checkpoint's activations
             trainer.calibrate_quant(sample)
 
-        perf, per_video = trainer.inference(loaders[constants.TESTSET])
+        # --eval_set picks the evaluated split (on the challenge dataset
+        # all splits alias the whole store, so this matches the
+        # reference's fixed-split behavior there; on other targets it
+        # honors the flag instead of silently mislabeling test results)
+        eval_set = getattr(self.args, 'eval_set', None) or constants.TESTSET
+        if eval_set == constants.TRAINSET and isinstance(
+                loaders.get(constants.TRAINSET), TrainLoader):
+            raise NotImplementedError(
+                "--eval_set train: the train split is windowed for "
+                "training, not whole-video eval; evaluate val/test, or "
+                "retarget a challenge dataset (whose 'train' aliases "
+                "the whole store as an eval split)")
+        perf, per_video = trainer.inference(loaders[eval_set])
         return perf, per_video
 
     def _load_torch_ckpt(self, trainer: Trainer, path: str):

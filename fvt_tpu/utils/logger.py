@@ -30,7 +30,12 @@ class ExperimentLogger:
             os.makedirs(outd, exist_ok=True)
             self._json = open(os.path.join(outd, 'log.json'), 'a')
             self._txt = open(os.path.join(outd, 'log.txt'), 'a')
-            atexit.register(self.flush)
+
+    def close(self):
+        for f in (self._json, self._txt):
+            if f is not None and not f.closed:
+                f.close()
+        self._json = self._txt = None
 
     def _is_master(self) -> bool:
         return os.getpid() == self.master_pid
@@ -63,11 +68,19 @@ class ExperimentLogger:
 
 
 _LOGGER = ExperimentLogger(outd=None, verbose=True)
+atexit.register(lambda: _LOGGER.flush())  # ONE callback; sees the
+# current logger through the global, so replaced loggers are not
+# pinned alive by atexit
 
 
 def init_logger(outd: Optional[str], verbose: bool = True
                 ) -> ExperimentLogger:
+    """Install a fresh logger, CLOSING the previous one's file handles:
+    long in-process sessions that drive many experiments (twin_train
+    legs, repeated CLI invocations) would otherwise leak two fds per
+    run."""
     global _LOGGER
+    _LOGGER.close()
     _LOGGER = ExperimentLogger(outd=outd, verbose=verbose)
     return _LOGGER
 

@@ -17,7 +17,10 @@ import zlib
 import jax
 import numpy as np
 
-MAX_SEED = 2 ** 32 - 1
+# modulus for the 32-bit seed domain: 2**32, NOT 2**32 - 1 (a Mersenne
+# modulus makes seed 2**32-1 collide with seed 0, and the epoch
+# countdown default+counter wrap one step early at the boundary)
+MAX_SEED = 2 ** 32
 
 
 def _stable_hash(name: str) -> int:

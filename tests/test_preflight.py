@@ -88,7 +88,12 @@ def test_fake_retinaface_torch_save_loads(tmp_path, monkeypatch):
 
     res = preflight.check_retinaface()
     assert res['present'], res
-    assert res['ok'], res
+    # near-zero synthetic weights score every anchor ~0.5, below the 0.9
+    # threshold: zero detections must read as a FAILURE with a pointer
+    # to FVT_PREFLIGHT_IMAGE, not a vacuous ok (a broken port would
+    # also detect nothing)
+    assert res['native_detections'] == 0
+    assert res['ok'] is False and 'FVT_PREFLIGHT_IMAGE' in res['reason']
 
 
 def test_fake_vggish_weights_run_the_parity_check(tmp_path, monkeypatch):

@@ -149,7 +149,19 @@ def check_vggish() -> dict:
 
 
 def _face_image() -> np.ndarray:
-    """Synthetic 512x512 RGB with a high-contrast face-like blob."""
+    """Check image for the detector/landmarker gates: a real face photo
+    from FVT_PREFLIGHT_IMAGE when provided, else a synthetic 512x512 RGB
+    high-contrast face-like blob (a real port may legitimately score the
+    synthetic blob below threshold — zero detections then mark the check
+    failed with a pointer to this env var, NOT vacuously ok)."""
+    p = os.environ.get('FVT_PREFLIGHT_IMAGE')
+    if p:
+        from PIL import Image
+        return np.asarray(Image.open(p).convert('RGB'))
+    return _synthetic_face_image()
+
+
+def _synthetic_face_image() -> np.ndarray:
     rng = np.random.default_rng(3)
     img = rng.integers(40, 80, size=(512, 512, 3)).astype(np.uint8)
     yy, xx = np.mgrid[:512, :512]
@@ -174,10 +186,14 @@ def check_retinaface() -> dict:
     for f in faces:
         assert np.isfinite(f['bbox']).all() and np.isfinite(f['score'])
         assert np.isfinite(np.asarray(f['landmarks'])).all()
-    out = {'present': True, 'source': path, 'ok': True,
+    out = {'present': True, 'source': path, 'ok': len(faces) > 0,
            'native_detections': len(faces),
            'check': 'native JAX port runs on the published weights '
-                    '(finite contract-shaped outputs)'}
+                    '(>=1 finite contract-shaped detection)'}
+    if not faces:
+        out['reason'] = ('no detections on the check image — a broken '
+                         'port would also produce this; point '
+                         'FVT_PREFLIGHT_IMAGE at a real face photo')
     try:  # full cross-check only when the torch package exists
         from retinaface.pre_trained_models import get_model
         import torch  # noqa: F401

@@ -69,9 +69,12 @@ def bench_backbone(n_frames: int, iters: int, dtype_name: str):
     for impl in ('xla', 'int8', 'int8_static', 'fused', 'winograd',
                  'winograd_pallas'):
         if impl == 'fused':
+            # fused_blocks=True is the point of this row: the default
+            # False made it silently measure the plain XLA chain again
             from fvt_tpu.models.arcface import arcface_forward_eval
             fwd = jax.jit(lambda v, xx: arcface_forward_eval(
-                v['params'], v['batch_stats'], xx, dtype=dtype))
+                v['params'], v['batch_stats'], xx, dtype=dtype,
+                fused_blocks=True))
         elif impl == 'int8_static':
             # calibrate once (untimed) on a slice, then serve with the
             # scales closed over — drops the per-conv max|x| passes

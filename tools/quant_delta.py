@@ -152,23 +152,19 @@ def run_eval_trained(serve_quant: str, store: dict, path_model: str):
     return exp.run_eval(path_model=path_model)
 
 
-def main_trained():
-    workdir = tempfile.mkdtemp(prefix='fvt_qd_train_')
-    print(f'== quant_delta --trained: training tri-modal LFAN '
-          f'({workdir}) ==', flush=True)
-    store, path_model = train_trimodal(workdir)
-
-    perf_bf16, log_bf16 = run_eval_trained('none', store, path_model)
-    out = {
-        'checkpoint': 'tri-modal LFAN, 2 epochs on a synthetic raw-video '
-                      'store (trained heads + frozen backbone with '
-                      'training-updated BN stats)',
+def _delta_report(run_fn, extra: dict) -> dict:
+    """bf16 reference pass + per-mode delta/agreement/W-F1 table — ONE
+    implementation for both the random-init and --trained entry points
+    (they differ only in which closure produces (perf, per-video logits))."""
+    perf_bf16, log_bf16 = run_fn('none')
+    out = dict(extra)
+    out.update({
         'logit_scale': float(np.abs(np.concatenate(
             [log_bf16[v]['logits'].reshape(-1) for v in log_bf16])).mean()),
         'wf1_bf16': float(wf1(perf_bf16)),
-    }
+    })
     for mode in ('int8', 'int8_static'):
-        perf_q, log_q = run_eval_trained(mode, store, path_model)
+        perf_q, log_q = run_fn(mode)
         deltas, agrees, n = [], [], 0
         for vid in log_bf16:
             a = log_bf16[vid]['logits']
@@ -189,38 +185,24 @@ def main_trained():
     return out
 
 
+def main_trained():
+    workdir = tempfile.mkdtemp(prefix='fvt_qd_train_')
+    print(f'== quant_delta --trained: training tri-modal LFAN '
+          f'({workdir}) ==', flush=True)
+    store, path_model = train_trimodal(workdir)
+    return _delta_report(
+        lambda mode: run_eval_trained(mode, store, path_model),
+        {'checkpoint': 'tri-modal LFAN, 2 epochs on a synthetic '
+                       'raw-video store (trained heads + frozen '
+                       'backbone with training-updated BN stats)'})
+
+
 def main():
     sys.path.insert(0, os.path.join(REPO, 'tests'))
     import bench
 
     store = bench._make_store()
-
-    perf_bf16, log_bf16 = run_inference('none', store)
-
-    out = {
-        'logit_scale': float(np.abs(np.concatenate(
-            [log_bf16[v]['logits'].reshape(-1) for v in log_bf16])).mean()),
-        'wf1_bf16': float(wf1(perf_bf16)),
-    }
-    for mode in ('int8', 'int8_static'):
-        perf_q, log_q = run_inference(mode, store)
-        deltas, agrees, n = [], [], 0
-        for vid in log_bf16:
-            a = log_bf16[vid]['logits']
-            b = log_q[vid]['logits']
-            deltas.append(np.abs(a - b))
-            agrees.append((a.argmax(-1) == b.argmax(-1)).mean())
-            n += len(a)
-        d = np.concatenate([x.reshape(-1) for x in deltas])
-        out['frames'] = n
-        out.update({
-            f'logit_abs_delta_max_{mode}': float(d.max()),
-            f'logit_abs_delta_mean_{mode}': float(d.mean()),
-            f'frame_argmax_agreement_{mode}': float(np.mean(agrees)),
-            f'wf1_{mode}': float(wf1(perf_q)),
-            f'wf1_delta_{mode}': float(wf1(perf_q) - wf1(perf_bf16)),
-        })
-    print(json.dumps(out, indent=2))
+    return _delta_report(lambda mode: run_inference(mode, store), {})
 
 
 if __name__ == '__main__':
