@@ -1,0 +1,288 @@
+"""Frozen serving artifacts: portable StableHLO export + optional AOT.
+
+The reference's deployment story is "ship the torch checkpoint and
+re-build the model around it at load" (/root/reference/experiment.py:242-269,
+inference_challenge.py) — every serving process pays model-code import,
+checkpoint surgery and a fresh trace.  On TPU the cost is worse: the
+first jit compile of the serving step is 20-120 s per input shape
+(CLAUDE.md), and the compilation cache only helps hosts that share
+``~/.cache``.  A production fleet wants a *frozen artifact*: one file
+that pins the serving computation (already traced, version-stable
+StableHLO via ``jax.export``), the weights, and the exact input
+shapes/dtypes the live serving path uses — loadable without the
+training stack.
+
+Artifact (a zip, suggested suffix ``.fvtserve``)::
+
+    meta.json                   format/model/shape/flag metadata
+    weights.msgpack             {'params', 'batch_stats'} state dicts
+    exports/<key>.bin           jax.export serialization, one per shape
+    aot/<key>.pkl               optional: platform-specific compiled
+                                executable (zero-compile load on an
+                                identical backend+jax version)
+
+Two consumption tiers:
+
+- ``exports/``: portable across machines and (forward-compatible) jax
+  versions, multi-platform (``--platforms cpu,tpu``); the target host
+  still runs the XLA *backend* compile once per shape, but no Python
+  tracing and no model code.
+- ``aot/``: ``jax.experimental.serialize_executable`` of the fully
+  compiled program — load-and-run with ZERO compile, valid only on the
+  same backend kind + jax version (both checked at load).  Produce it
+  on a host of the serving platform (the AOT blob compiles for the
+  exporting host's backend).  NB XLA:CPU AOT code is additionally
+  machine-feature-sensitive (a different CPU generation logs loud
+  feature-mismatch warnings and may SIGILL); the intended AOT target
+  is a fleet of identical TPU hosts — heterogeneous consumers should
+  load with ``prefer_aot=False``.
+
+The exported function is exactly the live serving step — the same
+``make_eval_step`` (or Pallas serving step / int8 path) the Trainer
+uses, including the on-device eval transform and the bf16-feature
+upcast — so artifact outputs are bit-identical to ``Trainer.inference``
+dispatches at the same shapes (pinned by tests/test_export_serving.py).
+"""
+from __future__ import annotations
+
+import io
+import json
+import pickle
+import zipfile
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization as fser
+
+from fvt_tpu import constants
+from fvt_tpu.config import model_config as MC
+
+FORMAT_VERSION = 1
+_MASKED_MODELS = (constants.JMT, constants.MT)
+
+
+def _shape_key(wb: int, t: int) -> str:
+    return f"b{wb}xt{t}"
+
+
+def _feat_dtype(args) -> Any:
+    return jnp.bfloat16 if getattr(args, 'h2d_bf16_features', False) \
+        else jnp.float32
+
+
+def serving_input_specs(args, window_batch: int, seq_len: Optional[int] = None
+                        ) -> Dict[str, jax.ShapeDtypeStruct]:
+    """ShapeDtypeStructs of ONE pooled serving batch, matching what the
+    live loaders ship (data/loader.py + trainer.inference): raw video as
+    uint8 (pre-cropped to CROP_SIZE when --h2d_precrop_video, the
+    default), feature streams in fp32 (bf16 under --h2d_bf16_features),
+    raw log-mel patches at VGGish input geometry."""
+    from fvt_tpu.data.transforms import CROP_SIZE, SCALE_SIZE
+    from fvt_tpu.models.registry import split_modality
+
+    wb = int(window_batch)
+    t = int(seq_len or args.window_length)
+    fdt = _feat_dtype(args)
+    specs: Dict[str, jax.ShapeDtypeStruct] = {}
+    for m in split_modality(args.modality):
+        if m == constants.VIDEO:
+            s = CROP_SIZE if getattr(args, 'h2d_precrop_video', True) \
+                else SCALE_SIZE
+            specs[m] = jax.ShapeDtypeStruct((wb, t, s, s, 3), jnp.uint8)
+        else:
+            dim = MC.FEATURE_DIMENSION[m]
+            specs[m] = jax.ShapeDtypeStruct((wb, t) + tuple(dim), fdt)
+    return specs
+
+
+def build_serving_fn(model, model_name: str, args,
+                     extra_vars: Optional[Dict[str, Any]] = None):
+    """The live serving step, selected exactly like Trainer.__init__
+    (train/trainer.py:111-122): masked eval for JMT/MT, the fused-TCN
+    Pallas step for LFAN under --pallas_serving, plain eval otherwise.
+    Returns (jitted_fn, needs_mask)."""
+    from fvt_tpu.train.steps import make_eval_step
+
+    needs_mask = model_name in _MASKED_MODELS
+    if needs_mask:
+        return make_eval_step(model, needs_time_mask=True,
+                              extra_vars=extra_vars), True
+    if model_name == constants.LFAN and getattr(args, 'pallas_serving',
+                                                False):
+        from fvt_tpu.serve import build_lfan_serving_step
+        assert not extra_vars, \
+            'pallas_serving + int8_static are mutually exclusive (parse.py)'
+        return build_lfan_serving_step(model), False
+    return make_eval_step(model, extra_vars=extra_vars), False
+
+
+def _spec_tree(tree) -> Any:
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        tree)
+
+
+def export_serving(model, model_name: str, args, params, batch_stats,
+                   shapes: Sequence[Tuple[int, int]],
+                   platforms: Sequence[str] = ('cpu', 'tpu'),
+                   aot: bool = False,
+                   extra_vars: Optional[Dict[str, Any]] = None,
+                   ) -> Tuple[Dict[str, bytes], Dict[str, bytes], dict]:
+    """Export the serving step at every ``(window_batch, seq_len)`` in
+    ``shapes``.  Returns (exports, aot_blobs, meta) — bytes keyed by
+    shape key.  ``aot`` additionally AOT-compiles for THIS process's
+    backend and serializes the executable (zero-compile load on an
+    identical platform; skipped per-shape with a warning if the backend
+    refuses serialization)."""
+    from jax import export as jexport
+    from fvt_tpu.utils.logger import log
+
+    fn, needs_mask = build_serving_fn(model, model_name, args,
+                                      extra_vars=extra_vars)
+    p_spec, s_spec = _spec_tree(params), _spec_tree(batch_stats)
+
+    exports: Dict[str, bytes] = {}
+    aot_blobs: Dict[str, bytes] = {}
+    shape_meta = {}
+    for wb, t in shapes:
+        key = _shape_key(wb, t)
+        specs = serving_input_specs(args, wb, t)
+        call_args = (p_spec, s_spec, specs)
+        if needs_mask:
+            call_args += (jax.ShapeDtypeStruct((wb,), jnp.int32),)
+        exp = jexport.export(fn, platforms=list(platforms))(*call_args)
+        exports[key] = exp.serialize()
+        shape_meta[key] = {
+            'window_batch': wb, 'seq_len': t,
+            'inputs': {k: {'shape': list(v.shape),
+                           'dtype': jnp.dtype(v.dtype).name}
+                       for k, v in specs.items()},
+        }
+        if aot:
+            from jax.experimental import serialize_executable as se
+            try:
+                compiled = fn.lower(*call_args).compile()
+                blob, in_tree, out_tree = se.serialize(compiled)
+                aot_blobs[key] = pickle.dumps(
+                    (blob, in_tree, out_tree),
+                    protocol=pickle.HIGHEST_PROTOCOL)
+            except Exception as e:  # backend may not support serialization
+                log(f"WARNING: AOT serialization skipped for {key}: {e}")
+
+    meta = {
+        'format_version': FORMAT_VERSION,
+        'jax_version': jax.__version__,
+        'model_name': model_name,
+        'modality': args.modality,
+        'num_classes': getattr(args, 'num_classes', None),
+        'needs_mask': needs_mask,
+        'platforms': list(platforms),
+        'aot_backend': jax.default_backend() if aot_blobs else None,
+        'window_length': getattr(args, 'window_length', None),
+        'hop_length': getattr(args, 'hop_length', None),
+        'flags': {k: getattr(args, k, None) for k in
+                  ('amp', 'serve_quant', 'pallas_serving',
+                   'h2d_bf16_features', 'h2d_precrop_video')},
+        'shapes': shape_meta,
+    }
+    return exports, aot_blobs, meta
+
+
+def save_artifact(path: str, exports: Dict[str, bytes],
+                  aot_blobs: Dict[str, bytes], meta: dict,
+                  params, batch_stats,
+                  extra_vars: Optional[Dict[str, Any]] = None) -> None:
+    weights = {'params': fser.to_state_dict(params),
+               'batch_stats': fser.to_state_dict(batch_stats)}
+    if extra_vars:
+        weights['extra_vars'] = fser.to_state_dict(extra_vars)
+    with zipfile.ZipFile(path, 'w', zipfile.ZIP_DEFLATED) as z:
+        z.writestr('meta.json', json.dumps(meta, indent=2, default=str))
+        z.writestr('weights.msgpack', fser.msgpack_serialize(weights))
+        for key, data in exports.items():
+            z.writestr(f'exports/{key}.bin', data)
+        for key, data in aot_blobs.items():
+            z.writestr(f'aot/{key}.pkl', data)
+
+
+class ServingArtifact:
+    """A loaded ``.fvtserve``: weights bound, one callable per shape.
+
+    ``call(batch[, length])`` routes by the batch's (B, T) to the
+    matching export; AOT executables are preferred when present AND the
+    local backend kind + jax version match what produced them
+    (otherwise the portable export path is used and XLA compiles once
+    per shape — still no Python tracing, no model code)."""
+
+    def __init__(self, path: str, prefer_aot: bool = True):
+        from jax import export as jexport
+
+        self.path = path
+        with zipfile.ZipFile(path) as z:
+            self.meta = json.loads(z.read('meta.json'))
+            weights = fser.msgpack_restore(z.read('weights.msgpack'))
+            names = z.namelist()
+            self._exports = {
+                n.split('/', 1)[1][:-len('.bin')]: jexport.deserialize(
+                    z.read(n))
+                for n in names if n.startswith('exports/')}
+            self._aot = {}
+            use_aot = (prefer_aot
+                       and self.meta.get('aot_backend') ==
+                       jax.default_backend()
+                       and self.meta.get('jax_version') == jax.__version__)
+            if use_aot:
+                from jax.experimental import serialize_executable as se
+                for n in names:
+                    if not n.startswith('aot/'):
+                        continue
+                    key = n.split('/', 1)[1][:-len('.pkl')]
+                    blob, in_tree, out_tree = pickle.loads(z.read(n))
+                    # the serving step is single-device by construction
+                    # (no shardings): load onto ONE device, or a multi-
+                    # device host (e.g. the 8-virtual-CPU test mesh)
+                    # rejects the executable's 1-shard args
+                    self._aot[key] = se.deserialize_and_load(
+                        blob, in_tree, out_tree,
+                        execution_devices=jax.local_devices()[:1])
+        self.params = weights['params']
+        self.batch_stats = weights['batch_stats']
+        self.extra_vars = weights.get('extra_vars')
+        self.needs_mask = bool(self.meta.get('needs_mask'))
+
+    @property
+    def shape_keys(self) -> List[str]:
+        return sorted(self._exports)
+
+    def _route(self, batch: Dict[str, np.ndarray]) -> str:
+        b, t = next(iter(batch.values())).shape[:2]
+        key = _shape_key(b, t)
+        if key not in self._exports:
+            raise KeyError(
+                f"no export for batch shape ({b}, {t}); artifact has "
+                f"{self.shape_keys} — re-export with this shape or pad "
+                f"the batch to one of them")
+        return key
+
+    def call(self, batch: Dict[str, np.ndarray], length=None) -> jax.Array:
+        """(B, T, C) logits for one pooled serving batch — same
+        semantics as the live eval step at this shape."""
+        key = self._route(batch)
+        args = (self.params, self.batch_stats, batch)
+        if self.needs_mask:
+            b = next(iter(batch.values())).shape[0]
+            if length is None:
+                length = np.full((b,), self.meta['shapes'][key]['seq_len'],
+                                 np.int32)
+            args += (np.broadcast_to(np.asarray(length, np.int32),
+                                     (b,)),)
+        runner = self._aot.get(key)
+        if runner is not None:
+            return runner(*args)
+        return self._exports[key].call(*args)
+
+
+def load_artifact(path: str, prefer_aot: bool = True) -> ServingArtifact:
+    return ServingArtifact(path, prefer_aot=prefer_aot)

@@ -1,0 +1,235 @@
+"""Frozen serving artifacts (fvt_tpu/export.py + tools/export_serving.py).
+
+The exported StableHLO program must be the SAME serving step the
+Trainer dispatches (train/steps.py::make_eval_step incl. the device
+transform), so artifact outputs are compared bitwise against the live
+eval step at the exported shapes.  The reference has no analogue — it
+reloads torch checkpoints inside the full stack per serving process
+(/root/reference/inference_challenge.py, experiment.py:242-269)."""
+import json
+import os
+import sys
+import zipfile
+from os.path import join
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, join(REPO, 'tools'))
+
+from fvt_tpu import constants
+from fvt_tpu.config.defaults import get_config
+from fvt_tpu.models.registry import init_model
+from fvt_tpu.train.steps import make_eval_step, _device_transform
+from fvt_tpu.export import (serving_input_specs, export_serving,
+                            save_artifact, load_artifact)
+
+
+def _tiny_args(model_name=constants.LFAN, **over):
+    cfg = get_config('MELD')
+    cfg.update(modality='vggish+bert+EXPR_continuous_label',
+               model_name=model_name, window_length=8, hop_length=4,
+               eval_window_batch=4)
+    cfg.update(over)
+    return SimpleNamespace(**cfg)
+
+
+def _init_model(args, **model_kw):
+    model = init_model(args, **model_kw)
+    specs = serving_input_specs(args, window_batch=1)
+    inputs = _device_transform(
+        {k: jnp.zeros(s.shape, s.dtype) for k, s in specs.items()},
+        train=False)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False))(
+            jax.random.key(0), inputs)
+    return model, variables['params'], variables.get('batch_stats', {})
+
+
+def _rand_batch(specs, seed=0):
+    rng = np.random.default_rng(seed)
+    out = {}
+    for k, s in specs.items():
+        if s.dtype == jnp.uint8:
+            out[k] = rng.integers(0, 255, size=s.shape).astype(np.uint8)
+        else:
+            out[k] = rng.normal(size=s.shape).astype(np.float32) \
+                .astype(s.dtype)
+    return out
+
+
+@pytest.fixture(scope='module')
+def lfan_artifact(tmp_path_factory):
+    args = _tiny_args()
+    model, params, stats = _init_model(args)
+    exports, aot, meta = export_serving(
+        model, args.model_name, args, params, stats,
+        shapes=[(4, 8)], platforms=('cpu',), aot=True)
+    path = str(tmp_path_factory.mktemp('art') / 'lfan.fvtserve')
+    save_artifact(path, exports, aot, meta, params, stats)
+    return args, model, params, stats, path
+
+
+def test_artifact_matches_live_eval_step(lfan_artifact):
+    args, model, params, stats, path = lfan_artifact
+    art = load_artifact(path, prefer_aot=False)
+    batch = _rand_batch(serving_input_specs(args, 4), seed=1)
+
+    live = np.asarray(make_eval_step(model)(params, stats, batch))
+    frozen = np.asarray(art.call(batch))
+    assert frozen.shape == live.shape == (4, 8, args.num_classes)
+    np.testing.assert_array_equal(frozen, live)
+
+
+def test_aot_executable_used_and_identical(lfan_artifact):
+    args, model, params, stats, path = lfan_artifact
+    art = load_artifact(path, prefer_aot=True)
+    # the artifact was exported on this backend + jax version, so the
+    # AOT executable must actually be selected
+    assert art._aot, (art.meta.get('aot_backend'), jax.default_backend())
+    batch = _rand_batch(serving_input_specs(args, 4), seed=2)
+    via_aot = np.asarray(art.call(batch))
+    via_export = np.asarray(load_artifact(path, prefer_aot=False)
+                            .call(batch))
+    np.testing.assert_array_equal(via_aot, via_export)
+
+
+def test_weights_roundtrip_in_artifact(lfan_artifact):
+    args, model, params, stats, path = lfan_artifact
+    art = load_artifact(path)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        art.params, jax.tree.map(np.asarray, dict(params)))
+
+
+def test_shape_routing_and_miss(lfan_artifact):
+    args, model, params, stats, path = lfan_artifact
+    art = load_artifact(path)
+    assert art.shape_keys == ['b4xt8']
+    bad = _rand_batch(serving_input_specs(args, 2), seed=3)
+    with pytest.raises(KeyError, match='no export'):
+        art.call(bad)
+
+
+def test_multiplatform_export_records_tpu():
+    args = _tiny_args()
+    model, params, stats = _init_model(args)
+    exports, aot, meta = export_serving(
+        model, args.model_name, args, params, stats,
+        shapes=[(2, 8)], platforms=('cpu', 'tpu'), aot=False)
+    assert meta['platforms'] == ['cpu', 'tpu']
+    assert not aot
+    # the multi-platform module still executes on cpu
+    from jax import export as jexport
+    exp = jexport.deserialize(exports['b2xt8'])
+    batch = _rand_batch(serving_input_specs(args, 2), seed=4)
+    out = exp.call(params, stats, batch)
+    assert np.asarray(out).shape == (2, 8, args.num_classes)
+
+
+def test_masked_model_export_mt():
+    # JMT/MT fuse the video and vggish streams (model.py:900-975);
+    # a tiny dense spatial module stands in for the ArcFace backbone
+    import flax.linen as nn
+
+    class TinySpatial(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            return nn.Dense(16)(x.reshape(x.shape[0], -1))
+
+    args = _tiny_args(model_name=constants.MT,
+                      modality='video+vggish+EXPR_continuous_label')
+    model, params, stats = _init_model(args, spatial_video=TinySpatial())
+    exports, aot, meta = export_serving(
+        model, args.model_name, args, params, stats,
+        shapes=[(2, 8)], platforms=('cpu',), aot=False)
+    assert meta['needs_mask'] is True
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 'mt.fvtserve')
+        save_artifact(path, exports, aot, meta, params, stats)
+        art = load_artifact(path)
+        specs = serving_input_specs(args, 2)
+        batch = _rand_batch(specs, seed=5)
+        length = np.array([8, 5], np.int32)
+        live = np.asarray(make_eval_step(model, needs_time_mask=True)(
+            params, stats, batch, jnp.asarray(length)))
+        frozen = np.asarray(art.call(batch, length=length))
+        np.testing.assert_array_equal(frozen, live)
+        # default length = full window
+        full = np.asarray(art.call(batch))
+        live_full = np.asarray(make_eval_step(model, needs_time_mask=True)(
+            params, stats, batch, jnp.full((2,), 8, jnp.int32)))
+        np.testing.assert_array_equal(full, live_full)
+
+
+def test_bf16_feature_specs_honored():
+    args = _tiny_args(h2d_bf16_features=True)
+    specs = serving_input_specs(args, 4)
+    assert all(s.dtype == jnp.bfloat16 for s in specs.values())
+    model, params, stats = _init_model(args)
+    exports, _, meta = export_serving(
+        model, args.model_name, args, params, stats,
+        shapes=[(2, 8)], platforms=('cpu',))
+    assert meta['flags']['h2d_bf16_features'] is True
+    from jax import export as jexport
+    exp = jexport.deserialize(exports['b2xt8'])
+    batch = _rand_batch(serving_input_specs(args, 2), seed=6)
+    out = exp.call(params, stats, batch)
+    live = make_eval_step(model)(params, stats, batch)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(live))
+
+
+def test_cli_export_from_run_dir(tmp_path):
+    """tools/export_serving.py end-to-end on a fake finished run dir:
+    frozen config.yml + best-models/<case>/model.msgpack, exactly the
+    files Trainer writes (trainer.py:866-874)."""
+    import yaml
+    from flax import serialization as fser
+
+    args = _tiny_args()
+    model, params, stats = _init_model(args)
+
+    run = tmp_path / 'run'
+    best = run / 'best-models' / 'w_f1-frames_avg_logits'
+    os.makedirs(best)
+    with open(run / 'config.yml', 'w') as f:
+        yaml.dump(vars(args), f)
+    with open(best / 'model.msgpack', 'wb') as f:
+        f.write(fser.to_bytes(
+            {'params': jax.tree.map(np.asarray, params),
+             'batch_stats': jax.tree.map(np.asarray, stats)}))
+
+    from export_serving import main
+    out = str(tmp_path / 'serving.fvtserve')
+    main(['--fd_exp', str(run), '--out', out, '--platforms', 'cpu',
+          '--window_batch', '4'])
+
+    art = load_artifact(out)
+    assert art.meta['case_best_model'] == 'w_f1-frames_avg_logits'
+    batch = _rand_batch(serving_input_specs(args, 4), seed=7)
+    live = np.asarray(make_eval_step(model)(params, stats, batch))
+    np.testing.assert_array_equal(np.asarray(art.call(batch)), live)
+
+    with zipfile.ZipFile(out) as z:
+        meta = json.loads(z.read('meta.json'))
+    assert meta['shapes']['b4xt8']['inputs']['vggish']['shape'] == \
+        [4, 8, 128]
+
+
+def test_int8_static_run_refused(tmp_path):
+    import yaml
+    args = _tiny_args(serve_quant='int8_static')
+    run = tmp_path / 'run'
+    os.makedirs(run)
+    with open(run / 'config.yml', 'w') as f:
+        yaml.dump(vars(args), f)
+    from export_serving import main
+    with pytest.raises(SystemExit, match='int8_static'):
+        main(['--fd_exp', str(run)])
