@@ -233,3 +233,49 @@ def test_int8_static_run_refused(tmp_path):
     from export_serving import main
     with pytest.raises(SystemExit, match='int8_static'):
         main(['--fd_exp', str(run)])
+
+
+def test_http_serving_endpoint(lfan_artifact):
+    """tools/serve_http.py: the artifact serves over HTTP with no
+    training stack — healthz, meta, logits (npz in/out), and a 400
+    with the available shapes on a shape miss."""
+    import io
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from serve_http import build_server
+
+    args, model, params, stats, path = lfan_artifact
+    srv = build_server(path, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f'http://127.0.0.1:{srv.server_port}'
+    try:
+        with urllib.request.urlopen(f'{base}/healthz') as r:
+            h = json.loads(r.read())
+        assert h['ok'] and h['shapes'] == ['b4xt8']
+
+        batch = _rand_batch(serving_input_specs(args, 4), seed=9)
+        buf = io.BytesIO()
+        np.savez(buf, **batch)
+        req = urllib.request.Request(f'{base}/logits', data=buf.getvalue(),
+                                     method='POST')
+        with urllib.request.urlopen(req) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                got = z['logits']
+        live = np.asarray(make_eval_step(model)(params, stats, batch))
+        np.testing.assert_array_equal(got, live)
+
+        # shape miss -> 400 listing the exported shapes
+        bad = _rand_batch(serving_input_specs(args, 2), seed=10)
+        buf = io.BytesIO()
+        np.savez(buf, **bad)
+        req = urllib.request.Request(f'{base}/logits', data=buf.getvalue(),
+                                     method='POST')
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        assert 'b4xt8' in json.loads(ei.value.read())['shapes']
+    finally:
+        srv.shutdown()

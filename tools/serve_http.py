@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Minimal production serving endpoint over a frozen .fvtserve artifact.
+
+Demonstrates the deployment story fvt_tpu/export.py exists for: a
+serving host runs THIS file + the artifact — no training stack, no
+model code, no checkpoint surgery (the reference re-hosts its full
+stack per serving process, /root/reference/inference_challenge.py).
+Stdlib-only (http.server); one process, synchronous dispatch — put a
+real load balancer in front for fleets.
+
+  python tools/serve_http.py --artifact run/serving.fvtserve \
+      [--host 127.0.0.1] [--port 8700] [--no_aot]
+
+Protocol:
+  GET  /healthz       -> {"ok": true, "shapes": [...], "aot": bool}
+  GET  /meta          -> the artifact's meta.json
+  POST /logits        -> body: npz (numpy savez) with one array per
+                         modality [+ optional 'length' (B,) int32 for
+                         masked models]; response: npz {'logits': (B,T,C)}.
+                         Batch shape must match an exported shape
+                         (route errors come back as 400 with the
+                         available shapes).
+"""
+import argparse
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def make_handler(art):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload, ctype='application/json'):
+            body = payload if isinstance(payload, bytes) \
+                else json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._send(200, {'ok': True, 'shapes': art.shape_keys,
+                                 'aot': bool(art._aot)})
+            elif self.path == '/meta':
+                self._send(200, art.meta)
+            else:
+                self._send(404, {'error': f'unknown path {self.path}'})
+
+        def do_POST(self):
+            if self.path != '/logits':
+                self._send(404, {'error': f'unknown path {self.path}'})
+                return
+            n = int(self.headers.get('Content-Length', 0))
+            try:
+                with np.load(io.BytesIO(self.rfile.read(n))) as z:
+                    arrays = {k: z[k] for k in z.files}
+                length = arrays.pop('length', None)
+                out = np.asarray(art.call(arrays, length=length))
+                buf = io.BytesIO()
+                np.savez(buf, logits=out)
+                self._send(200, buf.getvalue(),
+                           ctype='application/octet-stream')
+            except KeyError as e:
+                self._send(400, {'error': str(e),
+                                 'shapes': art.shape_keys})
+            except Exception as e:  # malformed body etc.
+                self._send(400, {'error': f'{type(e).__name__}: {e}'})
+
+        def log_message(self, fmt, *a):  # quiet by default
+            if os.environ.get('FVT_SERVE_VERBOSE'):
+                super().log_message(fmt, *a)
+
+    return Handler
+
+
+def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
+                 prefer_aot: bool = True) -> ThreadingHTTPServer:
+    from fvt_tpu.export import load_artifact
+    art = load_artifact(artifact, prefer_aot=prefer_aot)
+    # warm every shape once so first real request pays no backend compile
+    for key in art.shape_keys:
+        spec = art.meta['shapes'][key]['inputs']
+        batch = {k: np.zeros(v['shape'], v['dtype'])
+                 for k, v in spec.items()}
+        np.asarray(art.call(batch))
+    return ThreadingHTTPServer((host, port), make_handler(art))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--artifact', required=True)
+    p.add_argument('--host', default='127.0.0.1')
+    p.add_argument('--port', type=int, default=8700)
+    p.add_argument('--no_aot', action='store_true')
+    a = p.parse_args(argv)
+    srv = build_server(a.artifact, a.host, a.port,
+                       prefer_aot=not a.no_aot)
+    print(f"serving {a.artifact} on http://{a.host}:{srv.server_port} "
+          f"(shapes warmed)", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == '__main__':
+    main()
