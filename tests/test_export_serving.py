@@ -279,3 +279,53 @@ def test_http_serving_endpoint(lfan_artifact):
         assert 'b4xt8' in json.loads(ei.value.read())['shapes']
     finally:
         srv.shutdown()
+
+
+def test_artifact_inference_matches_trainer(tmp_path):
+    """tools/infer_artifact.py: full eval from (store + artifact) with
+    no model code reproduces Trainer.inference per-video — bitwise-ish
+    (float32 reduction-order: different batch shapes, different XLA
+    programs) with identical argmaxes.  Long videos exercise the stitch
+    path, short ones the single-window path."""
+    from fvt_tpu.experiment import Experiment
+    from synth_store import make_meld_store
+
+    store = make_meld_store(str(tmp_path / 'store'), n_train=4, n_val=3,
+                            n_test=6, min_len=6, max_len=40)
+    cfg = get_config('MELD')
+    cfg.update(dataset_path=store['dataset_path'],
+               folds_dir=store['folds_dir'],
+               modality='vggish+bert+EXPR_continuous_label',
+               window_length=16, hop_length=8, eval_bucket_quantum=8,
+               num_workers=1, calc_mean_std=True, seed=0,
+               outd=str(tmp_path / 'out'))
+    args = SimpleNamespace(**cfg)
+
+    exp = Experiment(args)
+    exp.prepare()
+    loaders = exp.init_loaders()
+    trainer = exp.init_trainer()
+    trainer.init_state(exp._sample_batch(loaders))
+    _, pv_live = trainer.inference(loaders[constants.TESTSET])
+
+    exports, aot, meta = export_serving(
+        trainer.model, args.model_name, args, trainer.state.params,
+        trainer.state.batch_stats, shapes=[(8, 16)], platforms=('cpu',))
+    path = str(tmp_path / 'serving.fvtserve')
+    save_artifact(path, exports, aot, meta, trainer.state.params,
+                  trainer.state.batch_stats)
+
+    from infer_artifact import run as art_run
+    perf, pv_art, _ = art_run(args, path)
+
+    assert list(pv_art) == list(pv_live)
+    lens = {t: len(pv_live[t]['labels']) for t in pv_live}
+    assert min(lens.values()) == 16 and max(lens.values()) > 16  # both paths
+    for t in pv_live:
+        np.testing.assert_array_equal(pv_art[t]['labels'],
+                                      pv_live[t]['labels'])
+        a, b = pv_art[t]['logits'], pv_live[t]['logits']
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+        np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+    assert perf  # compute_perf ran over the artifact outputs
