@@ -214,7 +214,17 @@ class ServingArtifact:
     matching export; AOT executables are preferred when present AND the
     local backend kind + jax version match what produced them
     (otherwise the portable export path is used and XLA compiles once
-    per shape — still no Python tracing, no model code)."""
+    per shape — still no Python tracing, no model code).
+
+    AOT executables are additionally VALIDATED on their first call per
+    shape (run + result materialization): XLA:CPU AOT blobs are
+    machine-feature-sensitive and the runtime can refuse a deserialized
+    executable only at execution time (observed in-suite as
+    ``Buffer Definition Event: Function ... not found``).  A failing
+    runner is dropped with a warning — recorded in ``aot_fallbacks`` —
+    and the call is re-dispatched through the portable export, so a
+    serving host never crashes on a bad AOT tier, it degrades to the
+    compile-once tier."""
 
     def __init__(self, path: str, prefer_aot: bool = True):
         from jax import export as jexport
@@ -251,6 +261,8 @@ class ServingArtifact:
         self.batch_stats = weights['batch_stats']
         self.extra_vars = weights.get('extra_vars')
         self.needs_mask = bool(self.meta.get('needs_mask'))
+        self._aot_validated: set = set()
+        self.aot_fallbacks: Dict[str, str] = {}
 
     @property
     def shape_keys(self) -> List[str]:
@@ -280,7 +292,23 @@ class ServingArtifact:
                                      (b,)),)
         runner = self._aot.get(key)
         if runner is not None:
-            return runner(*args)
+            if key in self._aot_validated:
+                return runner(*args)
+            # first call per shape: prove the deserialized executable
+            # actually runs AND its results materialize on this host
+            # before trusting it (XLA:CPU AOT can fail only here)
+            try:
+                out = np.asarray(runner(*args))
+            except Exception as e:
+                from fvt_tpu.utils.logger import log
+                self.aot_fallbacks[key] = f"{type(e).__name__}: {e}"
+                del self._aot[key]
+                log(f"WARNING: AOT executable for {key} failed on this "
+                    f"host ({type(e).__name__}: {e}); falling back to "
+                    f"the portable export (compiles once)")
+            else:
+                self._aot_validated.add(key)
+                return out
         return self._exports[key].call(*args)
 
 

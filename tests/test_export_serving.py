@@ -96,6 +96,34 @@ def test_aot_executable_used_and_identical(lfan_artifact):
     via_export = np.asarray(load_artifact(path, prefer_aot=False)
                             .call(batch))
     np.testing.assert_array_equal(via_aot, via_export)
+    # either the AOT tier validated and served, or the runtime refused
+    # the deserialized executable (XLA:CPU does this host-dependently,
+    # in-suite) and call() degraded to the portable export — never both,
+    # never a crash
+    assert bool(art._aot_validated) != bool(art.aot_fallbacks), (
+        art._aot_validated, art.aot_fallbacks)
+
+
+def test_aot_runtime_failure_falls_back(lfan_artifact):
+    """A deserialized AOT executable that fails at execution (the
+    XLA:CPU 'Function ... not found' class of failure) must be dropped
+    with the error recorded, and the SAME call must be served by the
+    portable export."""
+    args, model, params, stats, path = lfan_artifact
+    art = load_artifact(path, prefer_aot=False)
+    key = art.shape_keys[0]
+
+    def broken(*a):
+        raise RuntimeError('Buffer Definition Event: synthetic')
+
+    art._aot = {key: broken}
+    batch = _rand_batch(serving_input_specs(args, 4), seed=11)
+    out = np.asarray(art.call(batch))
+    assert key in art.aot_fallbacks
+    assert 'synthetic' in art.aot_fallbacks[key]
+    assert not art._aot  # dropped, later calls skip the broken runner
+    live = np.asarray(make_eval_step(model)(params, stats, batch))
+    np.testing.assert_array_equal(out, live)
 
 
 def test_weights_roundtrip_in_artifact(lfan_artifact):
