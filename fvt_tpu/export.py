@@ -238,6 +238,12 @@ class ServingArtifact:
                 n.split('/', 1)[1][:-len('.bin')]: jexport.deserialize(
                     z.read(n))
                 for n in names if n.startswith('exports/')}
+            # jit the deserialized calls once: eager Exported.call
+            # re-traces through call_exported per invocation (~4 ms/call
+            # host overhead measured on the tiny LFAN; the compiled
+            # program itself is cached either way)
+            self._callers = {k: jax.jit(e.call)
+                             for k, e in self._exports.items()}
             self._aot = {}
             use_aot = (prefer_aot
                        and self.meta.get('aot_backend') ==
@@ -257,9 +263,17 @@ class ServingArtifact:
                     self._aot[key] = se.deserialize_and_load(
                         blob, in_tree, out_tree,
                         execution_devices=jax.local_devices()[:1])
-        self.params = weights['params']
-        self.batch_stats = weights['batch_stats']
-        self.extra_vars = weights.get('extra_vars')
+        # weights live ON DEVICE from load: with host-numpy trees every
+        # call would re-ship the full weight set (10 MB for the tiny
+        # LFAN, ~100 MB tri-modal) — measured 0.33 s/call on the axon
+        # tunnel vs ~ms for the batch alone.  device_put once; calls
+        # then upload only the batch.
+        dev = jax.local_devices()[0]
+        self.params = jax.device_put(weights['params'], dev)
+        self.batch_stats = jax.device_put(weights['batch_stats'], dev)
+        self.extra_vars = (jax.device_put(weights['extra_vars'], dev)
+                           if weights.get('extra_vars') is not None
+                           else None)
         self.needs_mask = bool(self.meta.get('needs_mask'))
         self._aot_validated: set = set()
         self.aot_fallbacks: Dict[str, str] = {}
@@ -309,7 +323,7 @@ class ServingArtifact:
             else:
                 self._aot_validated.add(key)
                 return out
-        return self._exports[key].call(*args)
+        return self._callers[key](*args)
 
 
 def load_artifact(path: str, prefer_aot: bool = True) -> ServingArtifact:

@@ -64,7 +64,10 @@ def time_stack_cold(fd_exp: str, wb: int) -> float:
     return time.perf_counter() - t0
 
 
-def time_artifact(path: str, prefer_aot: bool) -> float:
+def time_artifact(path: str, prefer_aot: bool, steady_iters: int = 8):
+    """Returns (cold_s, aot_used, steady_s): cold load-to-first-logits,
+    then the per-call steady state (weights device-resident from load,
+    only the batch ships per call)."""
     import numpy as np
     from fvt_tpu.export import load_artifact
 
@@ -79,7 +82,11 @@ def time_artifact(path: str, prefer_aot: bool) -> float:
                  .astype(v['dtype'])) for k, v in spec.items()}
     _first_logits_sync(np.asarray(art.call(batch)))
     dt = time.perf_counter() - t0
-    return dt, bool(art._aot)
+    t1 = time.perf_counter()
+    for _ in range(steady_iters):
+        _first_logits_sync(np.asarray(art.call(batch)))
+    steady = (time.perf_counter() - t1) / steady_iters
+    return dt, bool(art._aot) and not art.aot_fallbacks, steady
 
 
 def main(argv=None):
@@ -104,8 +111,9 @@ def main(argv=None):
     # jax/library imports, which all legs share via this warmup
     jax.numpy.zeros(1).block_until_ready()
 
-    aot_s, aot_used = time_artifact(art_path, prefer_aot=True)
-    portable_s, _ = time_artifact(art_path, prefer_aot=False)
+    aot_s, aot_used, aot_steady = time_artifact(art_path, prefer_aot=True)
+    portable_s, _, portable_steady = time_artifact(art_path,
+                                                   prefer_aot=False)
     stack_s = time_stack_cold(a.fd_exp, wb)
 
     print(json.dumps({
@@ -113,11 +121,15 @@ def main(argv=None):
         'shape': sorted(meta['shapes'])[0],
         'aot_s': round(aot_s, 3) if aot_used else None,
         'aot_used': aot_used,
+        'aot_steady_s': round(aot_steady, 4) if aot_used else None,
         'portable_s': round(portable_s, 3),
+        'portable_steady_s': round(portable_steady, 4),
         'stack_cold_s': round(stack_s, 3),
         'note': ('aot skips backend compile; portable skips model '
                  'build/trace; stack_cold is the reference-style '
-                 'per-process rebuild (no persistent jit cache)'),
+                 'per-process rebuild (no persistent jit cache); '
+                 '*_steady_s is per-call after warm-up with '
+                 'device-resident weights'),
     }))
 
 
