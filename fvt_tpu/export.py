@@ -139,6 +139,21 @@ def export_serving(model, model_name: str, args, params, batch_stats,
     from jax import export as jexport
     from fvt_tpu.utils.logger import log
 
+    if model_name == constants.LFAN and getattr(args, 'pallas_serving',
+                                                False):
+        # the Pallas serving step picks interpret-vs-Mosaic at TRACE
+        # time from the local backend (ops/tcn_pallas.py:83-84): a
+        # multi-platform export would bake interpret mode into the TPU
+        # program (silent ~1.6x serving regression) or an unloadable
+        # Mosaic custom call into the CPU one
+        here = jax.default_backend()
+        assert list(platforms) == [here], (
+            f"--pallas_serving exports are single-platform: the Pallas "
+            f"kernels lower for the exporting host's backend ({here!r}) "
+            f"only — requested {list(platforms)}. Export with "
+            f"--platforms {here}, or export the plain XLA step "
+            f"(pallas_serving=False) for multi-platform artifacts")
+
     fn, needs_mask = build_serving_fn(model, model_name, args,
                                       extra_vars=extra_vars)
     p_spec, s_spec = _spec_tree(params), _spec_tree(batch_stats)

@@ -197,6 +197,35 @@ def test_masked_model_export_mt():
         np.testing.assert_array_equal(full, live_full)
 
 
+def test_pallas_serving_export_single_platform_only():
+    """--pallas_serving bakes the trace-time interpret/Mosaic choice
+    into the program, so its exports are pinned to the exporting
+    backend: multi-platform is refused, single-platform matches the
+    live Pallas serving step bitwise."""
+    from fvt_tpu.serve import build_lfan_serving_step
+
+    args = _tiny_args(pallas_serving=True)
+    model, params, stats = _init_model(args)
+
+    with pytest.raises(AssertionError, match='single-platform'):
+        export_serving(model, args.model_name, args, params, stats,
+                       shapes=[(2, 8)], platforms=('cpu', 'tpu'))
+
+    here = jax.default_backend()
+    exports, _, meta = export_serving(
+        model, args.model_name, args, params, stats,
+        shapes=[(2, 8)], platforms=(here,))
+    assert meta['platforms'] == [here]
+    assert meta['flags']['pallas_serving'] is True
+    from jax import export as jexport
+    exp = jexport.deserialize(exports['b2xt8'])
+    batch = _rand_batch(serving_input_specs(args, 2), seed=8)
+    live = np.asarray(build_lfan_serving_step(model)(params, stats,
+                                                     batch))
+    np.testing.assert_array_equal(np.asarray(exp.call(params, stats,
+                                                      batch)), live)
+
+
 def test_bf16_feature_specs_honored():
     args = _tiny_args(h2d_bf16_features=True)
     specs = serving_input_specs(args, 4)
