@@ -197,6 +197,67 @@ def test_masked_model_export_mt():
         np.testing.assert_array_equal(full, live_full)
 
 
+def test_call_sharded_matches_single_device(lfan_artifact):
+    """One artifact, data-parallel serving: call_sharded re-jits the
+    portable export with GSPMD shardings (batch over 'data', weights
+    replicated) over the 8-virtual-device mesh and must reproduce the
+    single-device call at f32 tolerance (the per-device program is
+    recompiled at the sharded batch shape, so reduction/fusion order
+    can differ at ~1e-6 — measured 8.3e-7 max abs; argmaxes must be
+    identical)."""
+    from fvt_tpu.parallel.mesh import make_mesh
+
+    args, model, params, stats, path = lfan_artifact
+    art = load_artifact(path, prefer_aot=False)
+    batch = _rand_batch(serving_input_specs(args, 4), seed=12)
+
+    mesh = make_mesh(4)  # wb=4 rows over 4 devices
+    out = art.call_sharded(batch, mesh=mesh)
+    assert len(out.sharding.device_set) == 4
+    single = np.asarray(art.call(batch))
+    np.testing.assert_allclose(np.asarray(out), single, atol=2e-5,
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out).argmax(-1),
+                                  single.argmax(-1))
+
+    # indivisible batch/mesh is a loud error
+    with pytest.raises(AssertionError, match='divide'):
+        art.call_sharded(batch, mesh=make_mesh(3))
+
+
+def test_call_sharded_masked_model(tmp_path):
+    """Masked (JMT/MT) artifacts shard the (B,) length vector too.
+    MT fuses the video and vggish streams (models.py:224), so the
+    masked artifact uses the TinySpatial stand-in like
+    test_masked_model_export_mt."""
+    import flax.linen as nn
+
+    class TinySpatial(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            return nn.Dense(16)(x.reshape(x.shape[0], -1))
+
+    args = _tiny_args(model_name=constants.MT,
+                      modality='video+vggish+EXPR_continuous_label',
+                      eval_window_batch=4)
+    model, params, stats = _init_model(args, spatial_video=TinySpatial())
+    exports, aot, meta = export_serving(
+        model, args.model_name, args, params, stats,
+        shapes=[(4, 8)], platforms=('cpu',))
+    path = os.path.join(tmp_path, 'mt.fvtserve')
+    save_artifact(path, exports, aot, meta, params, stats)
+    art = load_artifact(path)
+
+    from fvt_tpu.parallel.mesh import make_mesh
+    batch = _rand_batch(serving_input_specs(args, 4), seed=13)
+    length = np.array([8, 5, 8, 3], np.int32)
+    out = np.asarray(art.call_sharded(batch, mesh=make_mesh(4),
+                                      length=length))
+    single = np.asarray(art.call(batch, length=length))
+    np.testing.assert_allclose(out, single, atol=2e-5, rtol=1e-5)
+    np.testing.assert_array_equal(out.argmax(-1), single.argmax(-1))
+
+
 def test_pallas_serving_export_single_platform_only():
     """--pallas_serving bakes the trace-time interpret/Mosaic choice
     into the program, so its exports are pinned to the exporting
