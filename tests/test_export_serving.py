@@ -399,6 +399,41 @@ def test_http_serving_endpoint(lfan_artifact):
         srv.shutdown()
 
 
+def test_http_serving_mesh(lfan_artifact):
+    """tools/serve_http.py --mesh N: requests are served data-parallel
+    via call_sharded; indivisible batches come back as 400."""
+    import io
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from serve_http import build_server
+
+    args, model, params, stats, path = lfan_artifact
+    srv = build_server(path, port=0, prefer_aot=False, mesh_devices=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f'http://127.0.0.1:{srv.server_port}'
+    try:
+        with urllib.request.urlopen(f'{base}/healthz') as r:
+            h = json.loads(r.read())
+        assert h['ok'] and h['mesh'] == 4
+
+        batch = _rand_batch(serving_input_specs(args, 4), seed=14)
+        buf = io.BytesIO()
+        np.savez(buf, **batch)
+        req = urllib.request.Request(f'{base}/logits', data=buf.getvalue(),
+                                     method='POST')
+        with urllib.request.urlopen(req) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                got = z['logits']
+        live = np.asarray(make_eval_step(model)(params, stats, batch))
+        np.testing.assert_allclose(got, live, atol=2e-5, rtol=1e-5)
+        np.testing.assert_array_equal(got.argmax(-1), live.argmax(-1))
+    finally:
+        srv.shutdown()
+
+
 def test_artifact_inference_matches_trainer(tmp_path):
     """tools/infer_artifact.py: full eval from (store + artifact) with
     no model code reproduces Trainer.inference per-video — bitwise-ish
@@ -447,3 +482,14 @@ def test_artifact_inference_matches_trainer(tmp_path):
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
         np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
     assert perf  # compute_perf ran over the artifact outputs
+
+    # --mesh leg: the same artifact eval served data-parallel over a
+    # 4-device mesh (wb=8 divides) reproduces the live outputs too
+    _, pv_mesh, _ = art_run(args, path, mesh_devices=4)
+    for t in pv_live:
+        np.testing.assert_allclose(pv_mesh[t]['logits'],
+                                   pv_live[t]['logits'],
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_array_equal(
+            pv_mesh[t]['logits'].argmax(-1),
+            pv_live[t]['logits'].argmax(-1))

@@ -20,7 +20,11 @@ Usage (same retargeting flags as inference_challenge):
   python tools/infer_artifact.py --mode EVALUATION \
       --fd_exp <training-run-dir> --artifact <path.fvtserve> \
       --dataset_path <challenge-root> [--target_ds_name ...] \
-      [--folds_dir <folds>]
+      [--folds_dir <folds>] [--mesh N]
+
+``--mesh N`` runs each pooled window batch data-parallel over an
+N-device 'data' mesh (ServingArtifact.call_sharded); the artifact's
+window_batch must divide by N.
 """
 import os
 import sys
@@ -32,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def run(args, artifact_path: str):
+def run(args, artifact_path: str, mesh_devices: int = 0):
     """Returns (perf, per_video_frame_logits, experiment);  the first
     two match Trainer.inference's contract."""
     from fvt_tpu import constants
@@ -59,6 +63,18 @@ def run(args, artifact_path: str):
         f"available: {art.meta['shapes']}")
     spec = art.meta['shapes'][key]['inputs']
     wb = art.meta['shapes'][key]['window_batch']
+
+    mesh = None
+    if mesh_devices:
+        from fvt_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(mesh_devices)
+        assert wb % mesh_devices == 0, (
+            f"artifact window_batch {wb} must divide by --mesh "
+            f"{mesh_devices}")
+
+    def call(inputs):
+        return art.call_sharded(inputs, mesh=mesh) if mesh is not None \
+            else art.call(inputs)
 
     exp = Experiment(args)
     exp.prepare()
@@ -91,7 +107,7 @@ def run(args, artifact_path: str):
             inputs = {k: np.stack([wstate[t]['arrs'][k][r]
                                    for (t, r) in rows])
                       for k in wstate[rows[0][0]]['arrs']}
-            out = np.asarray(art.call(inputs))
+            out = np.asarray(call(inputs))
             for i, (trial, r) in enumerate(rows):
                 st = wstate.get(trial)
                 if st is None or st['done'][r]:
@@ -160,18 +176,24 @@ def main(argv=None):
     from fvt_tpu.train import metrics as M
     from fvt_tpu.utils.logger import enable_jit_cache
 
-    # --artifact is ours; everything else is inference_challenge's
+    # --artifact/--mesh are ours; everything else is inference_challenge's
     argv = list(sys.argv[1:] if argv is None else argv)
     assert '--artifact' in argv, '--artifact <path.fvtserve> required'
     i = argv.index('--artifact')
     artifact_path = argv[i + 1]
     del argv[i:i + 2]
+    mesh_devices = 0
+    if '--mesh' in argv:
+        i = argv.index('--mesh')
+        mesh_devices = int(argv[i + 1])
+        del argv[i:i + 2]
 
     enable_jit_cache()
     args = parse_input(argv)
     assert args.mode == constants.EVALUATION, args.mode
 
-    perf, per_video, exp = run(args, artifact_path)
+    perf, per_video, exp = run(args, artifact_path,
+                               mesh_devices=mesh_devices)
 
     import pickle as pkl
     eval_set = getattr(args, 'eval_set', constants.TESTSET)

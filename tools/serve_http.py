@@ -9,10 +9,16 @@ Stdlib-only (http.server); one process, synchronous dispatch — put a
 real load balancer in front for fleets.
 
   python tools/serve_http.py --artifact run/serving.fvtserve \
-      [--host 127.0.0.1] [--port 8700] [--no_aot]
+      [--host 127.0.0.1] [--port 8700] [--no_aot] [--mesh N]
+
+``--mesh N`` serves data-parallel over an N-device 'data' mesh
+(ServingArtifact.call_sharded: batch sharded, weights replicated, XLA
+partitions the exported program; N=0/absent = single-device).  The
+exported window_batch must divide by N.
 
 Protocol:
-  GET  /healthz       -> {"ok": true, "shapes": [...], "aot": bool}
+  GET  /healthz       -> {"ok": true, "shapes": [...], "aot": bool,
+                          "mesh": N}
   GET  /meta          -> the artifact's meta.json
   POST /logits        -> body: npz (numpy savez) with one array per
                          modality [+ optional 'length' (B,) int32 for
@@ -34,7 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def make_handler(art):
+def make_handler(art, mesh=None):
+    def dispatch(arrays, length=None):
+        if mesh is not None:
+            return art.call_sharded(arrays, mesh=mesh, length=length)
+        return art.call(arrays, length=length)
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload, ctype='application/json'):
             body = payload if isinstance(payload, bytes) \
@@ -48,7 +59,9 @@ def make_handler(art):
         def do_GET(self):
             if self.path == '/healthz':
                 self._send(200, {'ok': True, 'shapes': art.shape_keys,
-                                 'aot': bool(art._aot)})
+                                 'aot': bool(art._aot),
+                                 'mesh': (mesh.devices.size
+                                          if mesh is not None else 0)})
             elif self.path == '/meta':
                 self._send(200, art.meta)
             else:
@@ -63,12 +76,13 @@ def make_handler(art):
                 with np.load(io.BytesIO(self.rfile.read(n))) as z:
                     arrays = {k: z[k] for k in z.files}
                 length = arrays.pop('length', None)
-                out = np.asarray(art.call(arrays, length=length))
+                out = np.asarray(dispatch(arrays, length=length))
                 buf = io.BytesIO()
                 np.savez(buf, logits=out)
                 self._send(200, buf.getvalue(),
                            ctype='application/octet-stream')
-            except KeyError as e:
+            except (KeyError, AssertionError) as e:
+                # shape miss, or batch indivisible by the mesh
                 self._send(400, {'error': str(e),
                                  'shapes': art.shape_keys})
             except Exception as e:  # malformed body etc.
@@ -82,16 +96,22 @@ def make_handler(art):
 
 
 def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
-                 prefer_aot: bool = True) -> ThreadingHTTPServer:
+                 prefer_aot: bool = True, mesh_devices: int = 0
+                 ) -> ThreadingHTTPServer:
     from fvt_tpu.export import load_artifact
     art = load_artifact(artifact, prefer_aot=prefer_aot)
+    mesh = None
+    if mesh_devices:
+        from fvt_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(mesh_devices)
     # warm every shape once so first real request pays no backend compile
     for key in art.shape_keys:
         spec = art.meta['shapes'][key]['inputs']
         batch = {k: np.zeros(v['shape'], v['dtype'])
                  for k, v in spec.items()}
-        np.asarray(art.call(batch))
-    return ThreadingHTTPServer((host, port), make_handler(art))
+        np.asarray(art.call_sharded(batch, mesh=mesh) if mesh is not None
+                   else art.call(batch))
+    return ThreadingHTTPServer((host, port), make_handler(art, mesh=mesh))
 
 
 def main(argv=None):
@@ -100,9 +120,12 @@ def main(argv=None):
     p.add_argument('--host', default='127.0.0.1')
     p.add_argument('--port', type=int, default=8700)
     p.add_argument('--no_aot', action='store_true')
+    p.add_argument('--mesh', type=int, default=0,
+                   help='serve data-parallel over an N-device mesh '
+                        '(0 = single device)')
     a = p.parse_args(argv)
     srv = build_server(a.artifact, a.host, a.port,
-                       prefer_aot=not a.no_aot)
+                       prefer_aot=not a.no_aot, mesh_devices=a.mesh)
     print(f"serving {a.artifact} on http://{a.host}:{srv.server_port} "
           f"(shapes warmed)", flush=True)
     srv.serve_forever()
