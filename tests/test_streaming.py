@@ -1,0 +1,309 @@
+"""Streaming (online) inference == the offline stitch, bit for bit.
+
+`fvt_tpu/streaming.py` must reproduce, for ANY chunking of the input
+stream, exactly what the offline artifact path computes
+(tools/infer_artifact.py window batching + `stitch_windows_np`,
+/root/reference/trainer.py:832-912 semantics), including the
+only-known-at-close tail window and the short-video pad-by-repeat
+bucket rule (/root/reference/base/dataset.py:570-582)."""
+import os
+import sys
+from os.path import join
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, join(REPO, 'tools'))
+
+from fvt_tpu import constants
+from fvt_tpu.config.defaults import get_config
+from fvt_tpu.data import windowing as W
+from fvt_tpu.models.registry import init_model
+from fvt_tpu.train.steps import make_eval_step, _device_transform
+from fvt_tpu.export import (serving_input_specs, export_serving,
+                            save_artifact, load_artifact)
+from fvt_tpu.streaming import StreamingSession, _conform
+
+WINDOW, HOP, WB = 8, 4, 4
+
+
+def _tiny_args(model_name=constants.LFAN, **over):
+    cfg = get_config('MELD')
+    cfg.update(modality='vggish+bert+EXPR_continuous_label',
+               model_name=model_name, window_length=WINDOW,
+               hop_length=HOP, eval_window_batch=WB)
+    cfg.update(over)
+    return SimpleNamespace(**cfg)
+
+
+def _init_model(args, **model_kw):
+    model = init_model(args, **model_kw)
+    specs = serving_input_specs(args, window_batch=1)
+    inputs = _device_transform(
+        {k: jnp.zeros(s.shape, s.dtype) for k, s in specs.items()},
+        train=False)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False))(
+            jax.random.key(0), inputs)
+    return model, variables['params'], variables.get('batch_stats', {})
+
+
+def _make_artifact(tmpdir, model_name=constants.LFAN, modality=None,
+                   **model_kw):
+    args = _tiny_args(model_name,
+                      **({'modality': modality} if modality else {}))
+    model, params, stats = _init_model(args, **model_kw)
+    exports, aot, meta = export_serving(
+        model, model_name, args, params, stats,
+        shapes=[(WB, WINDOW)], platforms=('cpu',))
+    path = str(join(str(tmpdir), f'{model_name}.fvtserve'))
+    save_artifact(path, exports, aot, meta, params, stats)
+    return args, model, params, stats, path
+
+
+@pytest.fixture(scope='module')
+def lfan(tmp_path_factory):
+    args, model, params, stats, path = _make_artifact(
+        tmp_path_factory.mktemp('stream_art'))
+    return args, model, params, stats, load_artifact(path)
+
+
+def _rand_stream(spec, length, seed=0):
+    rng = np.random.default_rng(seed)
+    out = {}
+    for k, s in spec.items():
+        shape = (length,) + tuple(s['shape'][2:])
+        if s['dtype'] == 'uint8':
+            out[k] = rng.integers(0, 255, size=shape).astype(np.uint8)
+        else:
+            out[k] = _conform(
+                rng.normal(size=shape).astype(np.float32), s['dtype'])
+    return out
+
+
+def _offline_stitch(art, arrs, true_len, needs_mask=False):
+    """tools/infer_artifact.py dispatch for ONE video: window gather,
+    fixed (wb, window) batches with tail repeat-padding, stitch."""
+    mat = W.window_index_matrix(true_len, WINDOW, HOP)
+    n = mat.shape[0]
+    wins = {k: a[mat.reshape(-1)].reshape((n, WINDOW) + a.shape[1:])
+            for k, a in arrs.items()}
+    outs = None
+    q = list(range(n))
+    while q:
+        take = q[:WB]
+        del q[:WB]
+        rows = take + [take[-1]] * (WB - len(take))
+        inputs = {k: np.stack([wins[k][r] for r in rows]) for k in wins}
+        out = np.asarray(art.call(inputs))
+        if outs is None:
+            outs = np.empty((n, WINDOW, out.shape[-1]), np.float32)
+        for i, r in enumerate(take):
+            outs[r] = out[i]
+    return W.stitch_windows_np(outs, mat, true_len)
+
+
+def _chunkings(length, seed):
+    rng = np.random.default_rng(seed)
+    whole = [length]
+    ones = [1] * length
+    rand = []
+    left = length
+    while left:
+        c = int(rng.integers(1, min(left, 11) + 1))
+        rand.append(c)
+        left -= c
+    return {'whole': whole, 'one-frame': ones, 'random': rand}
+
+
+def _stream(art, arrs, chunks, mesh=None):
+    sess = StreamingSession(art, mesh=mesh)
+    pieces = []
+    off = 0
+    next_emit = 0
+    for c in chunks:
+        start, logits = sess.feed(
+            {k: v[off:off + c] for k, v in arrs.items()})
+        assert start == next_emit  # contiguous, monotone emission
+        next_emit += len(logits)
+        pieces.append(logits)
+        off += c
+    start, logits = sess.close()
+    assert start == next_emit
+    pieces.append(logits)
+    return np.concatenate(pieces), sess
+
+
+def test_streaming_matches_offline_any_chunking(lfan):
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    for length, seed in ((37, 0), (8, 1), (9, 2), (24, 3)):
+        arrs = _rand_stream(spec, length, seed=seed)
+        want = _offline_stitch(art, arrs, length)
+        for name, chunks in _chunkings(length, seed).items():
+            got, _ = _stream(art, arrs, chunks)
+            assert got.shape == (length, args.num_classes)
+            np.testing.assert_array_equal(got, want), (length, name)
+
+
+def test_streaming_short_video_bucket_semantics(lfan):
+    """L < window: ONE pad-by-repeat window, first L rows — identical
+    to the live eval step on the same padded batch (the offline bucket
+    path), NOT a stitch over the repeated tail."""
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 5
+    arrs = _rand_stream(spec, L, seed=4)
+    sess = StreamingSession(art)
+    s0, first = sess.feed(arrs)
+    assert s0 == 0 and len(first) == 0  # nothing final before close
+    start, got = sess.close()
+    assert start == 0 and got.shape == (L, args.num_classes)
+
+    idx = W.pad_short_window_indices(L, WINDOW)
+    batch = {k: np.broadcast_to(v[idx][None],
+                                (WB, WINDOW) + v.shape[1:]).copy()
+             for k, v in arrs.items()}
+    live = np.asarray(make_eval_step(model)(params, stats, batch))
+    np.testing.assert_array_equal(got, live[0, :L].astype(np.float32))
+
+
+def test_streaming_empty_and_zero_length(lfan):
+    *_, art = lfan
+    sess = StreamingSession(art)
+    start, logits = sess.close()
+    assert start == 0 and logits.shape == (0, 7)
+    with pytest.raises(AssertionError):
+        sess.feed({})  # closed
+
+
+def test_streaming_memory_stays_bounded(lfan):
+    """Frame-at-a-time streaming holds at most `window` frames once
+    past the first window — O(window), not O(L)."""
+    *_, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 64
+    arrs = _rand_stream(spec, L, seed=5)
+    sess = StreamingSession(art)
+    total = 0
+    for t in range(L):
+        _, logits = sess.feed({k: v[t:t + 1] for k, v in arrs.items()})
+        total += len(logits)
+        assert sess.buffered_frames <= WINDOW, (t, sess.buffered_frames)
+    _, logits = sess.close()
+    total += len(logits)
+    assert total == L
+
+
+def test_streaming_masked_model_mt(tmp_path):
+    """JMT/MT (needs_mask): full windows ride the default full-length
+    mask; a short close passes the true length like the bucket path."""
+    import flax.linen as nn
+
+    class TinySpatial(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            return nn.Dense(16)(x.reshape(x.shape[0], -1))
+
+    args, model, params, stats, path = _make_artifact(
+        tmp_path, constants.MT,
+        modality='video+vggish+EXPR_continuous_label',
+        spatial_video=TinySpatial())
+    art = load_artifact(path)
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+
+    length = 21
+    arrs = _rand_stream(spec, length, seed=6)
+    want = _offline_stitch(art, arrs, length)
+    got, _ = _stream(art, arrs, _chunkings(length, 6)['random'])
+    np.testing.assert_array_equal(got, want)
+
+    L = 6
+    arrs = _rand_stream(spec, L, seed=7)
+    sess = StreamingSession(art)
+    sess.feed(arrs)
+    _, got = sess.close()
+    idx = W.pad_short_window_indices(L, WINDOW)
+    batch = {k: np.broadcast_to(v[idx][None],
+                                (WB, WINDOW) + v.shape[1:]).copy()
+             for k, v in arrs.items()}
+    live = np.asarray(make_eval_step(model, needs_time_mask=True)(
+        params, stats, batch, jnp.full((WB,), L, jnp.int32)))
+    np.testing.assert_array_equal(got, live[0, :L].astype(np.float32))
+
+
+def test_streaming_over_mesh(lfan):
+    """Each window batch dispatched data-parallel (call_sharded):
+    streamed output matches the single-device stream at f32 tolerance
+    with identical argmaxes."""
+    from fvt_tpu.parallel.mesh import make_mesh
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    length = 29
+    arrs = _rand_stream(spec, length, seed=8)
+    ref, _ = _stream(art, arrs, [length])
+    got, _ = _stream(art, arrs, [13, 9, 7], mesh=make_mesh(4))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
+
+
+def test_streaming_http_endpoints(tmp_path):
+    """serve_http /stream/*: open -> feed chunks -> close over HTTP
+    reproduces the offline stitch; bad sid is a 404."""
+    import io
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from serve_http import build_server
+
+    args, model, params, stats, path = _make_artifact(tmp_path)
+    art = load_artifact(path)
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    length = 19
+    arrs = _rand_stream(spec, length, seed=9)
+    want = _offline_stitch(art, arrs, length)
+
+    srv = build_server(path, port=0, prefer_aot=False)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f'http://127.0.0.1:{srv.server_port}'
+    try:
+        req = urllib.request.Request(f'{base}/stream/open', data=b'',
+                                     method='POST')
+        with urllib.request.urlopen(req) as r:
+            sid = json.loads(r.read())['sid']
+
+        def post_npz(url, batch):
+            buf = io.BytesIO()
+            np.savez(buf, **batch)
+            rq = urllib.request.Request(url, data=buf.getvalue(),
+                                        method='POST')
+            with urllib.request.urlopen(rq) as r:
+                with np.load(io.BytesIO(r.read())) as z:
+                    return int(z['start']), z['logits']
+
+        pieces = []
+        off = 0
+        for c in (7, 11, 1):
+            start, logits = post_npz(
+                f'{base}/stream/{sid}/feed',
+                {k: v[off:off + c] for k, v in arrs.items()})
+            pieces.append(logits)
+            off += c
+        assert off == length
+        start, logits = post_npz(f'{base}/stream/{sid}/close', {})
+        pieces.append(logits)
+        got = np.concatenate([p for p in pieces if p.size])
+        np.testing.assert_array_equal(got, want)
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post_npz(f'{base}/stream/{sid}/feed',
+                     {k: v[:1] for k, v in arrs.items()})
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()

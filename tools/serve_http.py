@@ -26,6 +26,17 @@ Protocol:
                          Batch shape must match an exported shape
                          (route errors come back as 400 with the
                          available shapes).
+
+Streaming (online sliding-window inference, fvt_tpu/streaming.py —
+per-frame logits finalize as soon as no future window can cover them,
+bit-identical to the offline stitch):
+  POST /stream/open        -> {"sid": "..."}
+  POST /stream/<sid>/feed  -> body: npz, one (n, ...) array per
+                              modality (any chunk length, 1 frame up);
+                              response: npz {'start': i, 'logits':
+                              (m, C)} — the frames finalized so far.
+  POST /stream/<sid>/close -> flushes the tail window; same response;
+                              the session is gone afterwards (404).
 """
 import argparse
 import io
@@ -41,6 +52,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def make_handler(art, mesh=None):
+    from fvt_tpu.streaming import StreamingRegistry
+    streams = StreamingRegistry(art, mesh=mesh)
+
     def dispatch(arrays, length=None):
         if mesh is not None:
             return art.call_sharded(arrays, mesh=mesh, length=length)
@@ -67,22 +81,49 @@ def make_handler(art, mesh=None):
             else:
                 self._send(404, {'error': f'unknown path {self.path}'})
 
+        def _send_stream(self, start, logits):
+            buf = io.BytesIO()
+            np.savez(buf, start=np.int64(start),
+                     logits=np.asarray(logits, np.float32))
+            self._send(200, buf.getvalue(),
+                       ctype='application/octet-stream')
+
         def do_POST(self):
-            if self.path != '/logits':
-                self._send(404, {'error': f'unknown path {self.path}'})
-                return
             n = int(self.headers.get('Content-Length', 0))
+            body = self.rfile.read(n)
+            parts = self.path.strip('/').split('/')
             try:
-                with np.load(io.BytesIO(self.rfile.read(n))) as z:
-                    arrays = {k: z[k] for k in z.files}
-                length = arrays.pop('length', None)
-                out = np.asarray(dispatch(arrays, length=length))
-                buf = io.BytesIO()
-                np.savez(buf, logits=out)
-                self._send(200, buf.getvalue(),
-                           ctype='application/octet-stream')
+                if self.path == '/logits':
+                    with np.load(io.BytesIO(body)) as z:
+                        arrays = {k: z[k] for k in z.files}
+                    length = arrays.pop('length', None)
+                    out = np.asarray(dispatch(arrays, length=length))
+                    buf = io.BytesIO()
+                    np.savez(buf, logits=out)
+                    self._send(200, buf.getvalue(),
+                               ctype='application/octet-stream')
+                elif self.path == '/stream/open':
+                    self._send(200, {'sid': streams.open()})
+                elif (len(parts) == 3 and parts[0] == 'stream'
+                        and parts[2] in ('feed', 'close')):
+                    sid = parts[1]
+                    try:
+                        if parts[2] == 'feed':
+                            with np.load(io.BytesIO(body)) as z:
+                                frames = {k: z[k] for k in z.files}
+                            start, logits = streams.feed(sid, frames)
+                        else:
+                            start, logits = streams.close(sid)
+                    except KeyError:
+                        self._send(404, {'error': f'no session {sid!r}'})
+                        return
+                    self._send_stream(start, logits)
+                else:
+                    self._send(404,
+                               {'error': f'unknown path {self.path}'})
             except (KeyError, AssertionError) as e:
-                # shape miss, or batch indivisible by the mesh
+                # shape miss, batch indivisible by the mesh, or a
+                # malformed stream chunk
                 self._send(400, {'error': str(e),
                                  'shapes': art.shape_keys})
             except Exception as e:  # malformed body etc.
