@@ -35,12 +35,32 @@ stats), so a window's logits do not depend on which rows share its
 batch, and (b) windows are committed into the float32 scatter-sum in
 ascending start order — the exact addition order of the offline
 ``np.add.at`` — and the count division happens once, at finalization.
+
+Dynamic (cross-session) batching.  Row-independence also means windows
+from DIFFERENT sessions can share one device batch without changing any
+output bit.  `WindowBatcher` exploits that: sessions submit ready
+windows into one shared queue and a dispatch fires whenever
+``window_batch`` rows accumulate — from any mix of streams — instead of
+each low-rate stream waiting to fill (or repeat-padding) its own batch.
+Sharing is GATED to row-independent models: JMT/MT's final attention
+flattens (B*T) into one sequence (models/fusion.py:190-200, the
+faithfully-ported reference quirk), so their batch rows attend to each
+other and outputs depend on batch composition — those models keep
+per-session batches, whose composition matches the offline path row
+for row (so equality still holds; it just can't pack across streams).
+Per-session commit order stays ascending (the shared queue is FIFO and
+each session submits in ascending start order), so the stitched output
+of every session is still bit-identical to its offline path; only the
+*when* of finalization changes.  This is the serving shape that keeps
+the MXU fed under many concurrent 1-frame-at-a-time streams — the
+reference stack has no serving story at all, let alone a batched one.
 """
 from __future__ import annotations
 
 import threading
+import time
 import uuid
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -54,6 +74,101 @@ def _conform(arr: np.ndarray, dtype_name: str) -> np.ndarray:
     else:
         want = np.dtype(dtype_name)
     return arr if arr.dtype == want else arr.astype(want)
+
+
+class WindowBatcher:
+    """Packs ready windows — from one or MANY sessions — into full
+    ``window_batch`` device dispatches.
+
+    Each submitted row is ``(window_inputs, callback, true_length)``;
+    a dispatch fires as soon as ``window_batch`` rows are queued, and
+    ``flush()`` runs the remainder with repeat-padding of the last row
+    (exactly the per-session padding rule, so a lone short-video window
+    flushed here produces the same broadcast batch the bucket path
+    builds).  Masked models ride a per-row length vector (uniform in
+    practice: they are barred from sharing — see ``shared`` — and one
+    session never mixes full and short rows).
+
+    NOT self-locking: callers serialize access (StreamingRegistry holds
+    one lock across feed/poll/close and the stale-flush thread; a
+    session's private batcher is only touched by that session).
+    ``dispatches`` / ``rows_padded`` count real device batches and
+    wasted pad rows — the packing win is their ratio vs per-session
+    batching."""
+
+    def __init__(self, art, *, window: Optional[int] = None, mesh=None,
+                 shared: bool = False):
+        self.art = art
+        self.mesh = mesh
+        self.shared = bool(shared)
+        meta = art.meta
+        if self.shared:
+            # JMT/MT flatten (B*T) into the final attention's sequence
+            # axis — rows mix, so outputs would depend on which streams
+            # share the batch; exactly the needs_mask models
+            assert not meta.get('needs_mask'), (
+                f"model {meta.get('model_name')!r} mixes batch rows "
+                f"(flattened (B*T) final attention); cross-session "
+                f"batching would change its outputs — only "
+                f"row-independent models (LFAN/CAN) can share a "
+                f"WindowBatcher")
+        self.window = int(window or meta['window_length'])
+        key = next((k for k, v in meta['shapes'].items()
+                    if v['seq_len'] == self.window), None)
+        assert key is not None, (
+            f"artifact has no export at seq_len == window "
+            f"({self.window}); available: {list(meta['shapes'])}")
+        self.shape_key = key
+        self.wb = int(meta['shapes'][key]['window_batch'])
+        self.needs_mask = bool(meta.get('needs_mask'))
+        # (callback, {mod: (W, ...)}, row_length, enqueue_monotonic)
+        self._queue: List[Tuple[Callable[[np.ndarray], None],
+                                Dict[str, np.ndarray], int, float]] = []
+        self.dispatches = 0
+        self.rows_padded = 0
+
+    def submit(self, win: Dict[str, np.ndarray],
+               callback: Callable[[np.ndarray], None],
+               length: Optional[int] = None) -> None:
+        self._queue.append((callback, win, int(length or self.window),
+                            time.monotonic()))
+        while len(self._queue) >= self.wb:
+            take = self._queue[:self.wb]
+            del self._queue[:self.wb]
+            self._dispatch(take)
+
+    def flush(self) -> None:
+        """Dispatch everything queued (last batch repeat-padded)."""
+        while self._queue:
+            take = self._queue[:self.wb]
+            del self._queue[:self.wb]
+            self._dispatch(take)
+
+    def flush_stale(self, max_delay_s: float) -> bool:
+        """Flush iff the OLDEST queued row has waited > max_delay_s —
+        the latency bound for sparse traffic that never fills a batch."""
+        if self._queue and (time.monotonic() - self._queue[0][3]
+                            > max_delay_s):
+            self.flush()
+            return True
+        return False
+
+    def _dispatch(self, take) -> None:
+        rows = take + [take[-1]] * (self.wb - len(take))
+        inputs = {k: np.stack([r[1][k] for r in rows])
+                  for k in rows[0][1]}
+        length = (np.array([r[2] for r in rows], np.int32)
+                  if self.needs_mask else None)
+        if self.mesh is not None:
+            out = self.art.call_sharded(inputs, mesh=self.mesh,
+                                        length=length)
+        else:
+            out = self.art.call(inputs, length=length)
+        out = np.asarray(out)
+        self.dispatches += 1
+        self.rows_padded += self.wb - len(take)
+        for i, (cb, *_rest) in enumerate(take):
+            cb(out[i])
 
 
 class StreamingSession:
@@ -71,27 +186,39 @@ class StreamingSession:
     and sent once ``window_batch`` accumulate (``close`` flushes a
     partial batch with repeat-padding, like tools/infer_artifact.py).
     Pass ``mesh=`` to dispatch each batch data-parallel via
-    ``ServingArtifact.call_sharded``.
+    ``ServingArtifact.call_sharded``, or ``batcher=`` (a shared
+    `WindowBatcher`) to pack this session's windows into device batches
+    WITH other sessions' — same bits, fuller batches; ``poll()`` then
+    surfaces frames another session's dispatch finalized.
     """
 
     def __init__(self, art, *, window: Optional[int] = None,
-                 hop: Optional[int] = None, mesh=None):
+                 hop: Optional[int] = None, mesh=None, batcher=None):
         self.art = art
-        self.mesh = mesh
         meta = art.meta
         self.window = int(window or meta['window_length'])
         self.hop = int(hop or meta['hop_length'])
         assert self.window > 0 and self.hop > 0, (self.window, self.hop)
-        key = next((k for k, v in meta['shapes'].items()
-                    if v['seq_len'] == self.window), None)
-        assert key is not None, (
-            f"artifact has no export at seq_len == window "
-            f"({self.window}); available: {list(meta['shapes'])}")
-        self.shape_key = key
-        self.spec = meta['shapes'][key]['inputs']
-        self.wb = int(meta['shapes'][key]['window_batch'])
+        if batcher is None:
+            batcher = WindowBatcher(art, window=self.window, mesh=mesh)
+        else:
+            assert batcher.shared, (
+                'construct cross-session batchers with '
+                'WindowBatcher(art, shared=True) — the flag runs the '
+                'row-independence gate')
+            assert batcher.art is art, \
+                'shared batcher is bound to a different artifact'
+            assert batcher.window == self.window, (
+                f"shared batcher serves window {batcher.window}, "
+                f"session wants {self.window}")
+            assert mesh is None or mesh is batcher.mesh, \
+                'pass the mesh to the shared batcher, not the session'
+        self.batcher = batcher
+        self.shape_key = batcher.shape_key
+        self.spec = meta['shapes'][self.shape_key]['inputs']
+        self.wb = batcher.wb
         self.num_classes = int(meta['num_classes'])
-        self.needs_mask = bool(meta.get('needs_mask'))
+        self.needs_mask = batcher.needs_mask
 
         self.received = 0          # total frames fed so far
         self.next_start = 0        # next regular window start to extract
@@ -101,8 +228,9 @@ class StreamingSession:
         # frames [base, received)
         self._base = 0
         self._buf: Dict[str, np.ndarray] = {}
-        # extracted-but-not-dispatched windows: (start, {mod: (W,...)})
-        self._queue: List[Tuple[int, Dict[str, np.ndarray]]] = []
+        # starts submitted to the batcher, not yet committed (ascending;
+        # commits are FIFO so this is popped from the front)
+        self._inflight: List[int] = []
         # stitch accumulators for frames [emitted, ...)
         self._summed = np.zeros((0, self.num_classes), np.float32)
         self._counts = np.zeros((0,), np.float32)
@@ -122,27 +250,18 @@ class StreamingSession:
     def _commit(self, start: int, out: np.ndarray) -> None:
         """Scatter one window's logits (float32, ascending-start order —
         the offline np.add.at addition order)."""
+        assert self._inflight and self._inflight[0] == start, (
+            start, self._inflight[:1])
+        self._inflight.pop(0)
         self._grow_accum(start + self.window)
         o = start - self.emitted
         self._summed[o:o + self.window] += out.astype(np.float32)
         self._counts[o:o + self.window] += 1.0
 
-    def _dispatch(self, flush: bool = False) -> None:
-        while len(self._queue) >= self.wb or (flush and self._queue):
-            take = self._queue[:self.wb]
-            del self._queue[:self.wb]
-            rows = take + [take[-1]] * (self.wb - len(take))
-            inputs = {k: np.stack([r[1][k] for r in rows])
-                      for k in rows[0][1]}
-            out = np.asarray(self._call(inputs))
-            for i, (start, _) in enumerate(take):
-                self._commit(start, out[i])
-
-    def _call(self, inputs, length=None):
-        if self.mesh is not None:
-            return self.art.call_sharded(inputs, mesh=self.mesh,
-                                         length=length)
-        return self.art.call(inputs, length=length)
+    def _submit(self, start: int, win: Dict[str, np.ndarray]) -> None:
+        self._inflight.append(start)
+        self.batcher.submit(
+            win, lambda out, s=start: self._commit(s, out))
 
     def _extract_ready(self) -> None:
         while self.next_start + self.window <= self.received:
@@ -150,7 +269,7 @@ class StreamingSession:
             o = s - self._base
             win = {k: np.ascontiguousarray(v[o:o + self.window])
                    for k, v in self._buf.items()}
-            self._queue.append((s, win))
+            self._submit(s, win)
             self.next_start += self.hop
         # frames below BOTH the next regular start and the earliest
         # possible tail start (received - window) are never read again
@@ -210,11 +329,18 @@ class StreamingSession:
                                 else np.ascontiguousarray(v))
             self.received += n
         self._extract_ready()
-        self._dispatch()
+        return self.poll()
+
+    def poll(self) -> Tuple[int, np.ndarray]:
+        """Frames finalized since the last feed/poll, WITHOUT feeding —
+        under a shared `WindowBatcher`, another session's dispatch (or
+        the registry's stale flush) may have committed this session's
+        in-flight windows between requests; poll surfaces them."""
+        assert not self.closed, 'session is closed'
         # safe bound: no future window can start below received-window,
-        # and nothing at/above the earliest still-QUEUED start (extracted
-        # but waiting for a full window_batch) is committed yet
-        pending = self._queue[0][0] if self._queue else self.received
+        # and nothing at/above the earliest still-IN-FLIGHT start
+        # (submitted but waiting in the batcher queue) is committed yet
+        pending = self._inflight[0] if self._inflight else self.received
         return self._emit(max(self.emitted,
                               min(self.received - self.window, pending)))
 
@@ -230,55 +356,98 @@ class StreamingSession:
             # offline short-video semantics: ONE pad-by-repeat window,
             # first L rows (data/windowing.py:111-121; bucket path in
             # train/trainer.py:648-664) — NOT a stitch (the repeated
-            # tail rows are discarded, not averaged into frame L-1)
+            # tail rows are discarded, not averaged into frame L-1).
+            # Submitted as ONE batcher row with true length L: alone it
+            # flushes as the same repeat-padded broadcast batch the
+            # bucket path builds; under a shared batcher it rides other
+            # sessions' full windows (per-row mask lengths keep masked
+            # models exact), bit-identical either way.
             idx = W.pad_short_window_indices(L, self.window)
             win = {k: np.ascontiguousarray(v[idx])
                    for k, v in self._buf.items()}
-            inputs = {k: np.broadcast_to(
-                v[None], (self.wb,) + v.shape).copy()
-                for k, v in win.items()}
-            length = (np.full((self.wb,), L, np.int32)
-                      if self.needs_mask else None)
-            out = np.asarray(self._call(inputs, length=length))
+            res: Dict[str, np.ndarray] = {}
+            self.batcher.submit(
+                win, lambda out: res.__setitem__('out', out), length=L)
+            self.batcher.flush()
             self._buf = {}
-            return self.emitted, out[0, :L].astype(np.float32)
-        # remaining windows are exactly the uncommitted suffix of the
-        # full start list: the committed regular starts 0, hop, ... are
+            return self.emitted, res['out'][:L].astype(np.float32)
+        # remaining windows are exactly the unsubmitted suffix of the
+        # full start list: the submitted regular starts 0, hop, ... are
         # its prefix, and only the tail [L-window, L) can be new
         starts = W.window_starts(L, self.window, self.hop)
-        n_committed = sum(1 for s in starts
+        n_submitted = sum(1 for s in starts
                           if s < self.next_start and s % self.hop == 0)
-        for s in starts[n_committed:]:
+        for s in starts[n_submitted:]:
             o = s - self._base
             assert o >= 0, (s, self._base)
             win = {k: np.ascontiguousarray(v[o:o + self.window])
                    for k, v in self._buf.items()}
-            self._queue.append((s, win))
-        self._dispatch(flush=True)
+            self._submit(s, win)
+        self.batcher.flush()
         self._buf = {}
         return self._emit(L)
 
 
 class StreamingRegistry:
-    """Thread-safe session book-keeping for the HTTP server."""
+    """Thread-safe session book-keeping for the HTTP server.
 
-    def __init__(self, art, mesh=None):
+    ``dynamic_batch=True`` gives every session ONE shared
+    `WindowBatcher`: device batches fill with windows from whichever
+    streams have them ready (outputs unchanged — see module docstring).
+    ``max_delay_s`` bounds the extra latency: a daemon thread flushes
+    the shared queue whenever its oldest window has waited longer, so
+    sparse traffic that never fills a batch still finalizes promptly
+    (clients observe it via ``poll``/the next ``feed``).  One lock
+    serializes feeds/polls/closes AND the flusher — batcher callbacks
+    touch other sessions' accumulators, so everything that can dispatch
+    must hold it."""
+
+    def __init__(self, art, mesh=None, dynamic_batch: bool = False,
+                 max_delay_s: float = 0.0):
         self.art = art
         self.mesh = mesh
         self._lock = threading.Lock()
         self._sessions: Dict[str, StreamingSession] = {}
+        self.batcher = (WindowBatcher(art, mesh=mesh, shared=True)
+                        if dynamic_batch else None)
+        self._stop = threading.Event()
+        self._flusher: Optional[threading.Thread] = None
+        if dynamic_batch and max_delay_s > 0:
+            self.max_delay_s = float(max_delay_s)
+            self._flusher = threading.Thread(
+                target=self._flush_loop, daemon=True,
+                name='fvt-stream-flush')
+            self._flusher.start()
+
+    def _flush_loop(self) -> None:
+        tick = min(0.25, self.max_delay_s / 4) or 0.01
+        while not self._stop.wait(tick):
+            with self._lock:
+                self.batcher.flush_stale(self.max_delay_s)
+
+    def stop(self) -> None:
+        """Stop the stale-flush thread (server shutdown)."""
+        self._stop.set()
+        if self._flusher is not None:
+            self._flusher.join(timeout=5)
 
     def open(self) -> str:
         sid = uuid.uuid4().hex[:12]
         with self._lock:
-            self._sessions[sid] = StreamingSession(self.art,
-                                                   mesh=self.mesh)
+            self._sessions[sid] = StreamingSession(
+                self.art, mesh=None if self.batcher else self.mesh,
+                batcher=self.batcher)
         return sid
 
     def feed(self, sid: str, frames) -> Tuple[int, np.ndarray]:
         with self._lock:
             sess = self._sessions[sid]
             return sess.feed(frames)
+
+    def poll(self, sid: str) -> Tuple[int, np.ndarray]:
+        with self._lock:
+            sess = self._sessions[sid]
+            return sess.poll()
 
     def close(self, sid: str) -> Tuple[int, np.ndarray]:
         with self._lock:

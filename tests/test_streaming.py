@@ -26,7 +26,8 @@ from fvt_tpu.models.registry import init_model
 from fvt_tpu.train.steps import make_eval_step, _device_transform
 from fvt_tpu.export import (serving_input_specs, export_serving,
                             save_artifact, load_artifact)
-from fvt_tpu.streaming import StreamingSession, _conform
+from fvt_tpu.streaming import (StreamingSession, StreamingRegistry,
+                               WindowBatcher, _conform)
 
 WINDOW, HOP, WB = 8, 4, 4
 
@@ -251,6 +252,129 @@ def test_streaming_over_mesh(lfan):
     np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))
 
 
+def test_dynamic_batching_packs_and_matches(lfan):
+    """Four concurrent sessions sharing one WindowBatcher: windows pack
+    into FULL shared dispatches (2 instead of 4 padded per-session
+    batches) and every session's stitched output stays bit-identical to
+    its offline path."""
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 12  # starts 0, 4; last window touches frame 11 -> no tail
+    videos = [_rand_stream(spec, L, seed=10 + i) for i in range(4)]
+    wants = [_offline_stitch(art, v, L) for v in videos]
+
+    batcher = WindowBatcher(art, shared=True)
+    sessions = [StreamingSession(art, batcher=batcher) for _ in range(4)]
+    pieces = [[] for _ in range(4)]
+    for i, (sess, vid) in enumerate(zip(sessions, videos)):
+        _, logits = sess.feed(vid)
+        pieces[i].append(logits)
+    assert batcher.dispatches == 2 and batcher.rows_padded == 0
+    for i, sess in enumerate(sessions):
+        _, logits = sess.close()
+        pieces[i].append(logits)
+    assert batcher.dispatches == 2  # closes had nothing left to run
+    for i in range(4):
+        got = np.concatenate([p for p in pieces[i] if p.size])
+        np.testing.assert_array_equal(got, wants[i])
+
+    # per-session baseline: the same 4 videos cost 4 half-empty batches
+    solo = StreamingSession(art)
+    solo.feed(videos[0])
+    solo.close()
+    assert solo.batcher.dispatches == 1 and solo.batcher.rows_padded == 2
+
+
+def test_dynamic_batch_poll_surfaces_foreign_dispatch(lfan):
+    """A's windows sit in the shared queue until B's traffic fills the
+    batch; A.poll() then returns A's finalized frames without feeding."""
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 12
+    vid_a = _rand_stream(spec, L, seed=20)
+    vid_b = _rand_stream(spec, L, seed=21)
+    want_a = _offline_stitch(art, vid_a, L)
+
+    batcher = WindowBatcher(art, shared=True)
+    a = StreamingSession(art, batcher=batcher)
+    b = StreamingSession(art, batcher=batcher)
+    _, got = a.feed(vid_a)
+    assert len(got) == 0 and batcher.dispatches == 0  # 2 of 4 queued
+    start, got = a.poll()
+    assert len(got) == 0
+    b.feed(vid_b)  # 4th window triggers the shared dispatch
+    assert batcher.dispatches == 1
+    start, got = a.poll()
+    # both A windows committed; frames below received-window are final
+    assert start == 0 and len(got) == L - WINDOW
+    np.testing.assert_array_equal(got, want_a[:L - WINDOW])
+    _, tail = a.close()
+    np.testing.assert_array_equal(
+        np.concatenate([got, tail]), want_a)
+    b.close()
+
+
+def test_dynamic_batch_refuses_cross_row_models(tmp_path):
+    """JMT/MT flatten (B*T) into the final attention sequence — batch
+    rows MIX (models/fusion.py), so their outputs depend on batch
+    composition: cross-session batching must refuse them loudly (we
+    measured a 4e-2 logits delta when mixing before the gate existed).
+    Per-session streaming (same batch composition as offline) keeps
+    working — test_streaming_masked_model_mt pins it."""
+    import flax.linen as nn
+
+    class TinySpatial(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            return nn.Dense(16)(x.reshape(x.shape[0], -1))
+
+    args, model, params, stats, path = _make_artifact(
+        tmp_path, constants.MT,
+        modality='video+vggish+EXPR_continuous_label',
+        spatial_video=TinySpatial())
+    art = load_artifact(path)
+    with pytest.raises(AssertionError, match='mixes batch rows'):
+        WindowBatcher(art, shared=True)
+    with pytest.raises(AssertionError, match='mixes batch rows'):
+        StreamingRegistry(art, dynamic_batch=True)
+    # an unshared batcher can't be handed to sessions as if shared
+    lone = WindowBatcher(art)
+    with pytest.raises(AssertionError, match='shared=True'):
+        StreamingSession(art, batcher=lone)
+
+
+def test_registry_stale_flush_thread(lfan):
+    """StreamingRegistry(dynamic_batch, max_delay_s): a partial shared
+    batch is flushed by the daemon once its oldest window exceeds the
+    latency bound; poll() surfaces the frames with no further traffic."""
+    import time as _t
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 12
+    vid = _rand_stream(spec, L, seed=40)
+    want = _offline_stitch(art, vid, L)
+
+    reg = StreamingRegistry(art, dynamic_batch=True, max_delay_s=0.05)
+    try:
+        sid = reg.open()
+        _, got = reg.feed(sid, vid)
+        assert len(got) == 0  # 2 of 4 rows queued, no dispatch yet
+        deadline = _t.monotonic() + 10.0
+        while _t.monotonic() < deadline:
+            start, got = reg.poll(sid)
+            if len(got):
+                break
+            _t.sleep(0.01)
+        assert len(got) == L - WINDOW, 'stale flush never fired'
+        assert reg.batcher.rows_padded == 2
+        np.testing.assert_array_equal(got, want[:L - WINDOW])
+        _, tail = reg.close(sid)
+        np.testing.assert_array_equal(
+            np.concatenate([got, tail]), want)
+    finally:
+        reg.stop()
+
+
 def test_streaming_http_endpoints(tmp_path):
     """serve_http /stream/*: open -> feed chunks -> close over HTTP
     reproduces the offline stitch; bad sid is a 404."""
@@ -307,3 +431,72 @@ def test_streaming_http_endpoints(tmp_path):
         assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_http_dynamic_batch_and_poll(tmp_path):
+    """serve_http --dynamic_batch: two interleaved HTTP streams share
+    device batches (healthz dispatch counters prove the packing), the
+    /poll endpoint surfaces frames the OTHER stream's traffic finalized,
+    and both outputs equal their offline stitches bit for bit."""
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from serve_http import build_server
+
+    args, model, params, stats, path = _make_artifact(tmp_path)
+    art = load_artifact(path)
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 12
+    vid_a = _rand_stream(spec, L, seed=50)
+    vid_b = _rand_stream(spec, L, seed=51)
+    want_a = _offline_stitch(art, vid_a, L)
+    want_b = _offline_stitch(art, vid_b, L)
+
+    # long delay: packing must come from traffic, not the stale flusher
+    srv = build_server(path, port=0, prefer_aot=False,
+                       dynamic_batch=True, batch_delay_s=30.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f'http://127.0.0.1:{srv.server_port}'
+
+    def post_npz(url, batch):
+        buf = io.BytesIO()
+        np.savez(buf, **batch)
+        rq = urllib.request.Request(url, data=buf.getvalue(),
+                                    method='POST')
+        with urllib.request.urlopen(rq) as r:
+            with np.load(io.BytesIO(r.read())) as z:
+                return int(z['start']), z['logits']
+
+    def get_json(url):
+        with urllib.request.urlopen(url) as r:
+            return json.loads(r.read())
+
+    try:
+        assert get_json(f'{base}/healthz')['dynamic_batch'] is True
+        sids = {}
+        for name in ('a', 'b'):
+            rq = urllib.request.Request(f'{base}/stream/open', data=b'',
+                                        method='POST')
+            with urllib.request.urlopen(rq) as r:
+                sids[name] = json.loads(r.read())['sid']
+        _, got_a = post_npz(f'{base}/stream/{sids["a"]}/feed', vid_a)
+        assert len(got_a) == 0  # 2 of 4 shared rows queued
+        _, got_b = post_npz(f'{base}/stream/{sids["b"]}/feed', vid_b)
+        health = get_json(f'{base}/healthz')
+        assert health['stream_dispatches'] == 1
+        assert health['stream_rows_padded'] == 0
+        start, got_a = post_npz(f'{base}/stream/{sids["a"]}/poll', {})
+        assert start == 0 and len(got_a) == L - WINDOW
+        np.testing.assert_array_equal(got_a, want_a[:L - WINDOW])
+        _, tail_a = post_npz(f'{base}/stream/{sids["a"]}/close', {})
+        _, out_b = post_npz(f'{base}/stream/{sids["b"]}/close', {})
+        np.testing.assert_array_equal(
+            np.concatenate([got_a, tail_a]), want_a)
+        np.testing.assert_array_equal(
+            np.concatenate([got_b, out_b]) if len(got_b) else out_b,
+            want_b)
+    finally:
+        srv.shutdown()
+        srv.streams.stop()

@@ -35,8 +35,18 @@ bit-identical to the offline stitch):
                               modality (any chunk length, 1 frame up);
                               response: npz {'start': i, 'logits':
                               (m, C)} — the frames finalized so far.
+  POST /stream/<sid>/poll  -> empty body; same response shape — frames
+                              finalized since the last feed/poll (under
+                              --dynamic_batch another stream's dispatch
+                              or the stale flush may have finalized
+                              them between this client's requests).
   POST /stream/<sid>/close -> flushes the tail window; same response;
                               the session is gone afterwards (404).
+
+``--dynamic_batch`` packs ready windows from ALL live streams into
+shared full window_batch dispatches (bit-identical outputs, fuller MXU
+batches under many concurrent low-rate streams); ``--batch_delay_ms``
+bounds the wait before a partial batch is flushed (default 50).
 """
 import argparse
 import io
@@ -51,9 +61,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def make_handler(art, mesh=None):
+def make_handler(art, mesh=None, dynamic_batch=False,
+                 batch_delay_s=0.05):
     from fvt_tpu.streaming import StreamingRegistry
-    streams = StreamingRegistry(art, mesh=mesh)
+    streams = StreamingRegistry(art, mesh=mesh,
+                                dynamic_batch=dynamic_batch,
+                                max_delay_s=batch_delay_s)
 
     def dispatch(arrays, length=None):
         if mesh is not None:
@@ -72,10 +85,16 @@ def make_handler(art, mesh=None):
 
         def do_GET(self):
             if self.path == '/healthz':
+                b = streams.batcher
                 self._send(200, {'ok': True, 'shapes': art.shape_keys,
                                  'aot': bool(art._aot),
                                  'mesh': (mesh.devices.size
-                                          if mesh is not None else 0)})
+                                          if mesh is not None else 0),
+                                 'dynamic_batch': b is not None,
+                                 'stream_dispatches':
+                                     b.dispatches if b else None,
+                                 'stream_rows_padded':
+                                     b.rows_padded if b else None})
             elif self.path == '/meta':
                 self._send(200, art.meta)
             else:
@@ -105,13 +124,15 @@ def make_handler(art, mesh=None):
                 elif self.path == '/stream/open':
                     self._send(200, {'sid': streams.open()})
                 elif (len(parts) == 3 and parts[0] == 'stream'
-                        and parts[2] in ('feed', 'close')):
+                        and parts[2] in ('feed', 'poll', 'close')):
                     sid = parts[1]
                     try:
                         if parts[2] == 'feed':
                             with np.load(io.BytesIO(body)) as z:
                                 frames = {k: z[k] for k in z.files}
                             start, logits = streams.feed(sid, frames)
+                        elif parts[2] == 'poll':
+                            start, logits = streams.poll(sid)
                         else:
                             start, logits = streams.close(sid)
                     except KeyError:
@@ -133,11 +154,13 @@ def make_handler(art, mesh=None):
             if os.environ.get('FVT_SERVE_VERBOSE'):
                 super().log_message(fmt, *a)
 
+    Handler.streams = streams
     return Handler
 
 
 def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
-                 prefer_aot: bool = True, mesh_devices: int = 0
+                 prefer_aot: bool = True, mesh_devices: int = 0,
+                 dynamic_batch: bool = False, batch_delay_s: float = 0.05
                  ) -> ThreadingHTTPServer:
     from fvt_tpu.export import load_artifact
     art = load_artifact(artifact, prefer_aot=prefer_aot)
@@ -152,7 +175,11 @@ def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
                  for k, v in spec.items()}
         np.asarray(art.call_sharded(batch, mesh=mesh) if mesh is not None
                    else art.call(batch))
-    return ThreadingHTTPServer((host, port), make_handler(art, mesh=mesh))
+    handler = make_handler(art, mesh=mesh, dynamic_batch=dynamic_batch,
+                           batch_delay_s=batch_delay_s)
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.streams = handler.streams  # expose for shutdown/stats
+    return srv
 
 
 def main(argv=None):
@@ -164,12 +191,23 @@ def main(argv=None):
     p.add_argument('--mesh', type=int, default=0,
                    help='serve data-parallel over an N-device mesh '
                         '(0 = single device)')
+    p.add_argument('--dynamic_batch', action='store_true',
+                   help='pack windows from ALL live streams into '
+                        'shared full window_batch dispatches')
+    p.add_argument('--batch_delay_ms', type=float, default=50.0,
+                   help='max wait before a partial shared batch is '
+                        'flushed (latency bound under --dynamic_batch)')
     a = p.parse_args(argv)
     srv = build_server(a.artifact, a.host, a.port,
-                       prefer_aot=not a.no_aot, mesh_devices=a.mesh)
+                       prefer_aot=not a.no_aot, mesh_devices=a.mesh,
+                       dynamic_batch=a.dynamic_batch,
+                       batch_delay_s=a.batch_delay_ms / 1000.0)
     print(f"serving {a.artifact} on http://{a.host}:{srv.server_port} "
           f"(shapes warmed)", flush=True)
-    srv.serve_forever()
+    try:
+        srv.serve_forever()
+    finally:
+        srv.streams.stop()
 
 
 if __name__ == '__main__':
