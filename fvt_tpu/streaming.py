@@ -224,6 +224,8 @@ class StreamingSession:
         self.next_start = 0        # next regular window start to extract
         self.emitted = 0           # frames already finalized + returned
         self.closed = False
+        self.finishing = False     # end-of-stream declared (finish())
+        self._short_out: Optional[np.ndarray] = None
         # frame buffers: one contiguous array per modality holding
         # frames [base, received)
         self._base = 0
@@ -309,6 +311,7 @@ class StreamingSession:
         """Append a chunk; returns (start_index, (n, C) logits) of the
         frames finalized by this chunk (n may be 0)."""
         assert not self.closed, 'session is closed'
+        assert not self.finishing, 'session is finishing (no more feeds)'
         assert frames, 'empty modality dict'
         lens = {k: len(v) for k, v in frames.items()}
         assert len(set(lens.values())) == 1, (
@@ -335,8 +338,21 @@ class StreamingSession:
         """Frames finalized since the last feed/poll, WITHOUT feeding —
         under a shared `WindowBatcher`, another session's dispatch (or
         the registry's stale flush) may have committed this session's
-        in-flight windows between requests; poll surfaces them."""
+        in-flight windows between requests; poll surfaces them.  After
+        ``finish()``, polling drains the stream to its last frame once
+        the remaining windows have been dispatched (``done`` flips)."""
         assert not self.closed, 'session is closed'
+        if self.finishing and not self._inflight:
+            L = self.received
+            if 0 < L < self.window:
+                # short-video bucket result arrives via _short_out
+                if self._short_out is None or self.emitted == L:
+                    return self.emitted, np.zeros(
+                        (0, self.num_classes), np.float32)
+                out = self._short_out[:L].astype(np.float32)
+                self.emitted = L
+                return 0, out
+            return self._emit(L)
         # safe bound: no future window can start below received-window,
         # and nothing at/above the earliest still-IN-FLIGHT start
         # (submitted but waiting in the batcher queue) is committed yet
@@ -344,10 +360,25 @@ class StreamingSession:
         return self._emit(max(self.emitted,
                               min(self.received - self.window, pending)))
 
-    def close(self) -> Tuple[int, np.ndarray]:
-        """Flush: run the tail window(s), finalize remaining frames."""
+    @property
+    def done(self) -> bool:
+        """True once the stream is finished AND every frame delivered."""
+        return (self.finishing and not self._inflight
+                and self.emitted == self.received)
+
+    def finish(self) -> Tuple[int, np.ndarray]:
+        """Declare end-of-stream: submit the tail window(s) WITHOUT
+        forcing a flush, so under a shared batcher the tails of many
+        finishing streams pack into full dispatches instead of each
+        padding its own (the naive close() measured 0.8x — worse than
+        no sharing — on 16 short TPU streams; finish+drain restores the
+        packing).  Returns frames finalized so far; the remainder
+        arrives via ``poll()`` once other traffic or the registry's
+        stale flush dispatches the queue (``done`` flips when drained).
+        ``close()`` remains the synchronous one-call variant."""
         assert not self.closed, 'session is closed'
-        self.closed = True
+        assert not self.finishing, 'finish() already called'
+        self.finishing = True
         L = self.received
         if L == 0:
             return self.emitted, np.zeros((0, self.num_classes),
@@ -361,31 +392,49 @@ class StreamingSession:
             # flushes as the same repeat-padded broadcast batch the
             # bucket path builds; under a shared batcher it rides other
             # sessions' full windows (per-row mask lengths keep masked
-            # models exact), bit-identical either way.
+            # models exact — unreachable while sharing is gated to
+            # unmasked models, but kept correct), bit-identical either
+            # way.
             idx = W.pad_short_window_indices(L, self.window)
             win = {k: np.ascontiguousarray(v[idx])
                    for k, v in self._buf.items()}
-            res: Dict[str, np.ndarray] = {}
             self.batcher.submit(
-                win, lambda out: res.__setitem__('out', out), length=L)
-            self.batcher.flush()
-            self._buf = {}
-            return self.emitted, res['out'][:L].astype(np.float32)
-        # remaining windows are exactly the unsubmitted suffix of the
-        # full start list: the submitted regular starts 0, hop, ... are
-        # its prefix, and only the tail [L-window, L) can be new
-        starts = W.window_starts(L, self.window, self.hop)
-        n_submitted = sum(1 for s in starts
-                          if s < self.next_start and s % self.hop == 0)
-        for s in starts[n_submitted:]:
-            o = s - self._base
-            assert o >= 0, (s, self._base)
-            win = {k: np.ascontiguousarray(v[o:o + self.window])
-                   for k, v in self._buf.items()}
-            self._submit(s, win)
-        self.batcher.flush()
+                win, lambda out: setattr(self, '_short_out', out),
+                length=L)
+        else:
+            # remaining windows are exactly the unsubmitted suffix of
+            # the full start list: the submitted regular starts 0, hop,
+            # ... are its prefix, and only the tail [L-window, L) can
+            # be new
+            starts = W.window_starts(L, self.window, self.hop)
+            n_submitted = sum(1 for s in starts
+                              if s < self.next_start
+                              and s % self.hop == 0)
+            for s in starts[n_submitted:]:
+                o = s - self._base
+                assert o >= 0, (s, self._base)
+                win = {k: np.ascontiguousarray(v[o:o + self.window])
+                       for k, v in self._buf.items()}
+                self._submit(s, win)
         self._buf = {}
-        return self._emit(L)
+        return self.poll()
+
+    def close(self) -> Tuple[int, np.ndarray]:
+        """Synchronous finish: run the tail window(s) NOW (flushing the
+        batcher) and return every remaining frame."""
+        assert not self.closed, 'session is closed'
+        start = self.emitted
+        pieces = []
+        if not self.finishing:
+            _, first = self.finish()
+            pieces.append(first)
+        self.batcher.flush()
+        _, rest = self.poll()
+        pieces.append(rest)
+        self.closed = True
+        out = [p for p in pieces if len(p)]
+        return start, (np.concatenate(out) if out
+                       else np.zeros((0, self.num_classes), np.float32))
 
 
 class StreamingRegistry:
@@ -444,10 +493,28 @@ class StreamingRegistry:
             sess = self._sessions[sid]
             return sess.feed(frames)
 
-    def poll(self, sid: str) -> Tuple[int, np.ndarray]:
+    def poll(self, sid: str) -> Tuple[int, np.ndarray, bool]:
+        """(start, logits, done) — done means the finished stream is
+        fully drained; the session is dropped once that is observed."""
         with self._lock:
             sess = self._sessions[sid]
-            return sess.poll()
+            start, logits = sess.poll()
+            if sess.done:
+                del self._sessions[sid]
+            return start, logits, sess.done
+
+    def finish(self, sid: str) -> Tuple[int, np.ndarray, bool]:
+        """Two-phase close: submit the stream's tail into the shared
+        queue WITHOUT flushing (tails pack with other streams' traffic;
+        the stale flusher bounds the wait) — keep ``poll``ing until
+        done.  Under dynamic batching this is the efficient way to end
+        a stream; ``close`` pays a padded flush for immediacy."""
+        with self._lock:
+            sess = self._sessions[sid]
+            start, logits = sess.finish()
+            if sess.done:
+                del self._sessions[sid]
+            return start, logits, sess.done
 
     def close(self, sid: str) -> Tuple[int, np.ndarray]:
         with self._lock:

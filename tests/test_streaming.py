@@ -361,10 +361,11 @@ def test_registry_stale_flush_thread(lfan):
         assert len(got) == 0  # 2 of 4 rows queued, no dispatch yet
         deadline = _t.monotonic() + 10.0
         while _t.monotonic() < deadline:
-            start, got = reg.poll(sid)
+            start, got, done = reg.poll(sid)
             if len(got):
                 break
             _t.sleep(0.01)
+        assert not done
         assert len(got) == L - WINDOW, 'stale flush never fired'
         assert reg.batcher.rows_padded == 2
         np.testing.assert_array_equal(got, want[:L - WINDOW])
@@ -500,3 +501,115 @@ def test_http_dynamic_batch_and_poll(tmp_path):
     finally:
         srv.shutdown()
         srv.streams.stop()
+
+
+def test_finish_packs_tails_across_sessions(lfan):
+    """Two-phase close: finish() queues each stream's tail without
+    flushing, so 4 finishing streams' tails share ONE full dispatch
+    (close() would run 4 padded ones); outputs still bit-identical."""
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 13  # windows 0, 4 + tail 5
+    videos = [_rand_stream(spec, L, seed=70 + i) for i in range(4)]
+    wants = [_offline_stitch(art, v, L) for v in videos]
+
+    batcher = WindowBatcher(art, shared=True)
+    sessions = [StreamingSession(art, batcher=batcher) for _ in range(4)]
+    pieces = [[] for _ in range(4)]
+    for i, (sess, vid) in enumerate(zip(sessions, videos)):
+        pieces[i].append(sess.feed(vid)[1])
+    assert batcher.dispatches == 2  # 4x2 regular windows, packed
+    for i, sess in enumerate(sessions):
+        pieces[i].append(sess.finish()[1])
+        with pytest.raises(AssertionError, match='finishing'):
+            sess.feed({k: v[:1] for k, v in videos[i].items()})
+    # the 4 tails filled one more batch the moment the last arrived —
+    # whose own finish() therefore drained itself; the others drain
+    # on their next poll
+    assert batcher.dispatches == 3 and batcher.rows_padded == 0
+    assert [s.done for s in sessions] == [False, False, False, True]
+    for i, sess in enumerate(sessions):
+        if not sess.done:
+            pieces[i].append(sess.poll()[1])
+        assert sess.done
+        got = np.concatenate([p for p in pieces[i] if p.size])
+        np.testing.assert_array_equal(got, wants[i])
+
+
+def test_finish_short_video_and_empty(lfan):
+    """finish() on a short (L < window) stream queues the pad row;
+    poll() delivers the bucket-semantics result after the flush.  An
+    empty stream is done immediately."""
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 5
+    arrs = _rand_stream(spec, L, seed=80)
+    solo = StreamingSession(art)
+    solo.feed(arrs)
+    _, want = solo.close()
+
+    batcher = WindowBatcher(art, shared=True)
+    sess = StreamingSession(art, batcher=batcher)
+    sess.feed(arrs)
+    start, first = sess.finish()
+    assert len(first) == 0 and not sess.done  # queued, not dispatched
+    batcher.flush()  # what the registry's stale flusher would do
+    start, got = sess.poll()
+    assert start == 0 and sess.done
+    np.testing.assert_array_equal(got, want)
+
+    empty = StreamingSession(art, batcher=batcher)
+    _, none = empty.finish()
+    assert len(none) == 0 and empty.done
+
+    # close() after finish() still drains synchronously
+    late = StreamingSession(art, batcher=batcher)
+    late.feed(arrs)
+    late.finish()
+    start, got2 = late.close()
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_registry_finish_flow(lfan):
+    """Registry finish/poll: done flag flips once drained and the
+    session is dropped; the stale flusher drives the drain."""
+    import time as _t
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 13
+    vid = _rand_stream(spec, L, seed=90)
+    want = _offline_stitch(art, vid, L)
+
+    reg = StreamingRegistry(art, dynamic_batch=True, max_delay_s=0.05)
+    try:
+        sid = reg.open()
+        _, got = reg.feed(sid, vid)
+        pieces = [got]
+        _, got, done = reg.finish(sid)
+        pieces.append(got)
+        deadline = _t.monotonic() + 10.0
+        while not done and _t.monotonic() < deadline:
+            _, got, done = reg.poll(sid)
+            pieces.append(got)
+            _t.sleep(0.01)
+        assert done, 'stale flush never drained the finished stream'
+        np.testing.assert_array_equal(
+            np.concatenate([p for p in pieces if len(p)]), want)
+        with pytest.raises(KeyError):
+            reg.poll(sid)  # dropped once done was observed
+    finally:
+        reg.stop()
+
+
+def test_bench_stream_tiny_smoke(tmp_path, monkeypatch):
+    """tools/bench_stream.py --tiny: runs both modes on CPU, shared
+    packs strictly better (fewer dispatches, zero padded rows), and
+    the JSON contract holds."""
+    monkeypatch.setenv('TMPDIR', str(tmp_path))
+    import bench_stream
+    out = bench_stream.main(['--tiny'])
+    assert out['metric'] == 'stream_serving'
+    ps, sh = out['per_session'], out['shared']
+    assert sh['dispatches'] < ps['dispatches']
+    assert sh['rows_padded'] == 0 and ps['rows_padded'] > 0
+    assert out['speedup_shared'] > 0

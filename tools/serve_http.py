@@ -35,13 +35,19 @@ bit-identical to the offline stitch):
                               modality (any chunk length, 1 frame up);
                               response: npz {'start': i, 'logits':
                               (m, C)} — the frames finalized so far.
-  POST /stream/<sid>/poll  -> empty body; same response shape — frames
-                              finalized since the last feed/poll (under
-                              --dynamic_batch another stream's dispatch
-                              or the stale flush may have finalized
-                              them between this client's requests).
-  POST /stream/<sid>/close -> flushes the tail window; same response;
-                              the session is gone afterwards (404).
+  POST /stream/<sid>/poll  -> empty body; same response shape plus a
+                              'done' flag — frames finalized since the
+                              last feed/poll (under --dynamic_batch
+                              another stream's dispatch or the stale
+                              flush may have finalized them between
+                              this client's requests).
+  POST /stream/<sid>/finish-> two-phase close: queues the tail WITHOUT
+                              flushing, so finishing streams' tails
+                              pack with other traffic (poll until
+                              'done'; the stale flush bounds the wait).
+  POST /stream/<sid>/close -> synchronous: flushes the tail window;
+                              same response; the session is gone
+                              afterwards (404).
 
 ``--dynamic_batch`` packs ready windows from ALL live streams into
 shared full window_batch dispatches (bit-identical outputs, fuller MXU
@@ -100,10 +106,11 @@ def make_handler(art, mesh=None, dynamic_batch=False,
             else:
                 self._send(404, {'error': f'unknown path {self.path}'})
 
-        def _send_stream(self, start, logits):
+        def _send_stream(self, start, logits, done=None):
             buf = io.BytesIO()
+            extra = {} if done is None else {'done': np.bool_(done)}
             np.savez(buf, start=np.int64(start),
-                     logits=np.asarray(logits, np.float32))
+                     logits=np.asarray(logits, np.float32), **extra)
             self._send(200, buf.getvalue(),
                        ctype='application/octet-stream')
 
@@ -124,21 +131,26 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                 elif self.path == '/stream/open':
                     self._send(200, {'sid': streams.open()})
                 elif (len(parts) == 3 and parts[0] == 'stream'
-                        and parts[2] in ('feed', 'poll', 'close')):
+                        and parts[2] in ('feed', 'poll', 'finish',
+                                         'close')):
                     sid = parts[1]
+                    done = None
                     try:
                         if parts[2] == 'feed':
                             with np.load(io.BytesIO(body)) as z:
                                 frames = {k: z[k] for k in z.files}
                             start, logits = streams.feed(sid, frames)
                         elif parts[2] == 'poll':
-                            start, logits = streams.poll(sid)
+                            start, logits, done = streams.poll(sid)
+                        elif parts[2] == 'finish':
+                            start, logits, done = streams.finish(sid)
                         else:
                             start, logits = streams.close(sid)
+                            done = True
                     except KeyError:
                         self._send(404, {'error': f'no session {sid!r}'})
                         return
-                    self._send_stream(start, logits)
+                    self._send_stream(start, logits, done=done)
                 else:
                     self._send(404,
                                {'error': f'unknown path {self.path}'})
