@@ -446,39 +446,64 @@ class StreamingRegistry:
     ``max_delay_s`` bounds the extra latency: a daemon thread flushes
     the shared queue whenever its oldest window has waited longer, so
     sparse traffic that never fills a batch still finalizes promptly
-    (clients observe it via ``poll``/the next ``feed``).  One lock
-    serializes feeds/polls/closes AND the flusher — batcher callbacks
+    (clients observe it via ``poll``/the next ``feed``).
+    ``session_ttl_s > 0`` expires sessions that made NO request for a
+    full TTL, so open-and-vanish clients can't accumulate server state
+    (``expired_sessions`` counts them; any of their windows still
+    queued dispatch and commit harmlessly).  One lock serializes
+    feeds/polls/closes AND the housekeeping daemon — batcher callbacks
     touch other sessions' accumulators, so everything that can dispatch
     must hold it."""
 
     def __init__(self, art, mesh=None, dynamic_batch: bool = False,
-                 max_delay_s: float = 0.0):
+                 max_delay_s: float = 0.0, session_ttl_s: float = 0.0):
         self.art = art
         self.mesh = mesh
         self._lock = threading.Lock()
         self._sessions: Dict[str, StreamingSession] = {}
+        self._last_seen: Dict[str, float] = {}
         self.batcher = (WindowBatcher(art, mesh=mesh, shared=True)
                         if dynamic_batch else None)
+        self.max_delay_s = float(max_delay_s) if dynamic_batch else 0.0
+        self.session_ttl_s = float(session_ttl_s)
+        self.expired_sessions = 0
         self._stop = threading.Event()
-        self._flusher: Optional[threading.Thread] = None
-        if dynamic_batch and max_delay_s > 0:
-            self.max_delay_s = float(max_delay_s)
-            self._flusher = threading.Thread(
-                target=self._flush_loop, daemon=True,
-                name='fvt-stream-flush')
-            self._flusher.start()
+        self._housekeeper: Optional[threading.Thread] = None
+        if self.max_delay_s > 0 or self.session_ttl_s > 0:
+            self._housekeeper = threading.Thread(
+                target=self._housekeeping_loop, daemon=True,
+                name='fvt-stream-housekeeping')
+            self._housekeeper.start()
 
-    def _flush_loop(self) -> None:
-        tick = min(0.25, self.max_delay_s / 4) or 0.01
+    def _housekeeping_loop(self) -> None:
+        periods = [p for p in (self.max_delay_s / 4,
+                               self.session_ttl_s / 4) if p > 0]
+        tick = max(min([0.25] + periods), 0.001)
         while not self._stop.wait(tick):
             with self._lock:
-                self.batcher.flush_stale(self.max_delay_s)
+                if self.batcher is not None and self.max_delay_s > 0:
+                    self.batcher.flush_stale(self.max_delay_s)
+                if self.session_ttl_s > 0:
+                    # drop ABANDONED sessions (no request for a full
+                    # TTL) so open-and-vanish clients can't accumulate
+                    # state; any of their windows still queued in the
+                    # shared batcher dispatch + commit harmlessly
+                    cut = time.monotonic() - self.session_ttl_s
+                    for sid in [s for s, t in self._last_seen.items()
+                                if t < cut]:
+                        del self._sessions[sid]
+                        del self._last_seen[sid]
+                        self.expired_sessions += 1
 
     def stop(self) -> None:
-        """Stop the stale-flush thread (server shutdown)."""
+        """Stop the housekeeping thread (server shutdown)."""
         self._stop.set()
-        if self._flusher is not None:
-            self._flusher.join(timeout=5)
+        if self._housekeeper is not None:
+            self._housekeeper.join(timeout=5)
+
+    def _drop(self, sid: str) -> None:
+        del self._sessions[sid]
+        self._last_seen.pop(sid, None)
 
     def open(self) -> str:
         sid = uuid.uuid4().hex[:12]
@@ -486,11 +511,13 @@ class StreamingRegistry:
             self._sessions[sid] = StreamingSession(
                 self.art, mesh=None if self.batcher else self.mesh,
                 batcher=self.batcher)
+            self._last_seen[sid] = time.monotonic()
         return sid
 
     def feed(self, sid: str, frames) -> Tuple[int, np.ndarray]:
         with self._lock:
             sess = self._sessions[sid]
+            self._last_seen[sid] = time.monotonic()
             return sess.feed(frames)
 
     def poll(self, sid: str) -> Tuple[int, np.ndarray, bool]:
@@ -498,9 +525,10 @@ class StreamingRegistry:
         fully drained; the session is dropped once that is observed."""
         with self._lock:
             sess = self._sessions[sid]
+            self._last_seen[sid] = time.monotonic()
             start, logits = sess.poll()
             if sess.done:
-                del self._sessions[sid]
+                self._drop(sid)
             return start, logits, sess.done
 
     def finish(self, sid: str) -> Tuple[int, np.ndarray, bool]:
@@ -511,12 +539,14 @@ class StreamingRegistry:
         a stream; ``close`` pays a padded flush for immediacy."""
         with self._lock:
             sess = self._sessions[sid]
+            self._last_seen[sid] = time.monotonic()
             start, logits = sess.finish()
             if sess.done:
-                del self._sessions[sid]
+                self._drop(sid)
             return start, logits, sess.done
 
     def close(self, sid: str) -> Tuple[int, np.ndarray]:
         with self._lock:
             sess = self._sessions.pop(sid)
+            self._last_seen.pop(sid, None)
             return sess.close()

@@ -613,3 +613,31 @@ def test_bench_stream_tiny_smoke(tmp_path, monkeypatch):
     assert sh['dispatches'] < ps['dispatches']
     assert sh['rows_padded'] == 0 and ps['rows_padded'] > 0
     assert out['speedup_shared'] > 0
+
+
+def test_registry_session_ttl_expiry(lfan):
+    """Sessions with no requests for a full TTL are expired by the
+    housekeeper (abandoned clients can't accumulate state); an active
+    session keeps refreshing its clock and survives."""
+    import time as _t
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    vid = _rand_stream(spec, 12, seed=100)
+
+    reg = StreamingRegistry(art, dynamic_batch=True, max_delay_s=0.02,
+                            session_ttl_s=0.15)
+    try:
+        dead = reg.open()
+        live = reg.open()
+        reg.feed(dead, vid)  # then abandoned, windows queued
+        deadline = _t.monotonic() + 10.0
+        while reg.expired_sessions == 0 and _t.monotonic() < deadline:
+            reg.poll(live)  # keeps `live` fresh
+            _t.sleep(0.02)
+        assert reg.expired_sessions == 1, 'TTL expiry never fired'
+        with pytest.raises(KeyError):
+            reg.poll(dead)
+        reg.poll(live)  # survived every sweep
+        reg.close(live)
+    finally:
+        reg.stop()

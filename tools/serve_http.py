@@ -53,6 +53,9 @@ bit-identical to the offline stitch):
 shared full window_batch dispatches (bit-identical outputs, fuller MXU
 batches under many concurrent low-rate streams); ``--batch_delay_ms``
 bounds the wait before a partial batch is flushed (default 50).
+``--session_ttl_s`` expires streaming sessions that made no request
+for that long (default 3600; 0 = never) so abandoned streams can't
+accumulate server state.
 """
 import argparse
 import io
@@ -68,11 +71,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def make_handler(art, mesh=None, dynamic_batch=False,
-                 batch_delay_s=0.05):
+                 batch_delay_s=0.05, session_ttl_s=3600.0):
     from fvt_tpu.streaming import StreamingRegistry
     streams = StreamingRegistry(art, mesh=mesh,
                                 dynamic_batch=dynamic_batch,
-                                max_delay_s=batch_delay_s)
+                                max_delay_s=batch_delay_s,
+                                session_ttl_s=session_ttl_s)
 
     def dispatch(arrays, length=None):
         if mesh is not None:
@@ -100,7 +104,11 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                                  'stream_dispatches':
                                      b.dispatches if b else None,
                                  'stream_rows_padded':
-                                     b.rows_padded if b else None})
+                                     b.rows_padded if b else None,
+                                 'live_sessions':
+                                     len(streams._sessions),
+                                 'expired_sessions':
+                                     streams.expired_sessions})
             elif self.path == '/meta':
                 self._send(200, art.meta)
             else:
@@ -172,8 +180,8 @@ def make_handler(art, mesh=None, dynamic_batch=False,
 
 def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
                  prefer_aot: bool = True, mesh_devices: int = 0,
-                 dynamic_batch: bool = False, batch_delay_s: float = 0.05
-                 ) -> ThreadingHTTPServer:
+                 dynamic_batch: bool = False, batch_delay_s: float = 0.05,
+                 session_ttl_s: float = 3600.0) -> ThreadingHTTPServer:
     from fvt_tpu.export import load_artifact
     art = load_artifact(artifact, prefer_aot=prefer_aot)
     mesh = None
@@ -188,7 +196,8 @@ def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
         np.asarray(art.call_sharded(batch, mesh=mesh) if mesh is not None
                    else art.call(batch))
     handler = make_handler(art, mesh=mesh, dynamic_batch=dynamic_batch,
-                           batch_delay_s=batch_delay_s)
+                           batch_delay_s=batch_delay_s,
+                           session_ttl_s=session_ttl_s)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.streams = handler.streams  # expose for shutdown/stats
     return srv
@@ -209,11 +218,15 @@ def main(argv=None):
     p.add_argument('--batch_delay_ms', type=float, default=50.0,
                    help='max wait before a partial shared batch is '
                         'flushed (latency bound under --dynamic_batch)')
+    p.add_argument('--session_ttl_s', type=float, default=3600.0,
+                   help='expire streaming sessions idle this long '
+                        '(0 = never)')
     a = p.parse_args(argv)
     srv = build_server(a.artifact, a.host, a.port,
                        prefer_aot=not a.no_aot, mesh_devices=a.mesh,
                        dynamic_batch=a.dynamic_batch,
-                       batch_delay_s=a.batch_delay_ms / 1000.0)
+                       batch_delay_s=a.batch_delay_ms / 1000.0,
+                       session_ttl_s=a.session_ttl_s)
     print(f"serving {a.artifact} on http://{a.host}:{srv.server_port} "
           f"(shapes warmed)", flush=True)
     try:
