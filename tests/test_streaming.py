@@ -641,3 +641,90 @@ def test_registry_session_ttl_expiry(lfan):
         reg.close(live)
     finally:
         reg.stop()
+
+def test_registry_concurrent_stress(lfan):
+    """8 threads drive 8 streams through ONE shared-batcher registry
+    while the housekeeping daemon (stale flush + TTL sweep) runs:
+    random chunkings, interleaved polls, two-phase finish. Every
+    stream's reassembled output must be bit-identical to the offline
+    single-stream stitch — the lock discipline is what's under test
+    (batcher callbacks commit into OTHER sessions' accumulators
+    mid-request, exactly what a ThreadingHTTPServer produces)."""
+    import threading
+    import time as _t
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    lengths = [37, 8, 9, 24, 12, 5, 41, 16]
+    vids = [_rand_stream(spec, L, seed=50 + i)
+            for i, L in enumerate(lengths)]
+
+    def offline(v, L):
+        if L >= WINDOW:
+            return _offline_stitch(art, v, L)
+        # short-video pad-by-repeat bucket: one padded window, row 0
+        idx = W.pad_short_window_indices(L, WINDOW)
+        batch = {k: np.broadcast_to(
+            a[idx][None], (WB, WINDOW) + a.shape[1:]).copy()
+            for k, a in v.items()}
+        return np.asarray(art.call(batch))[0, :L].astype(np.float32)
+
+    want = [offline(v, L) for v, L in zip(vids, lengths)]
+
+    reg = StreamingRegistry(art, dynamic_batch=True, max_delay_s=0.01,
+                            session_ttl_s=60.0)
+    results = [None] * len(lengths)
+    errors = []
+
+    def run(i):
+        try:
+            rng = np.random.default_rng(1000 + i)
+            sid = reg.open()
+            L = lengths[i]
+            pieces = []
+            off = 0
+            while off < L:
+                c = int(rng.integers(1, min(L - off, 7) + 1))
+                s, lg = reg.feed(
+                    sid, {k: v[off:off + c]
+                          for k, v in vids[i].items()})
+                if len(lg):
+                    pieces.append((s, lg))
+                off += c
+                if rng.random() < 0.5:
+                    s, lg, done = reg.poll(sid)
+                    if len(lg):
+                        pieces.append((s, lg))
+            s, lg, done = reg.finish(sid)
+            if len(lg):
+                pieces.append((s, lg))
+            deadline = _t.monotonic() + 60.0
+            while not done and _t.monotonic() < deadline:
+                _t.sleep(0.002)
+                s, lg, done = reg.poll(sid)
+                if len(lg):
+                    pieces.append((s, lg))
+            assert done, f'stream {i} never drained'
+            out = np.full((L, want[i].shape[-1]), np.nan, np.float32)
+            filled = 0
+            for s, lg in pieces:
+                out[s:s + len(lg)] = lg
+                filled += len(lg)
+            assert filled == L, (i, filled, L)
+            results[i] = out
+        except Exception as e:  # surface in the main thread
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(len(lengths))]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not any(t.is_alive() for t in threads), 'worker hung'
+    finally:
+        reg.stop()
+    assert not errors, errors
+    assert reg.expired_sessions == 0
+    for i, w in enumerate(want):
+        np.testing.assert_array_equal(results[i], w)
