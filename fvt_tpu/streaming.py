@@ -67,6 +67,12 @@ import numpy as np
 from fvt_tpu.data import windowing as W
 
 
+class CapacityError(RuntimeError):
+    """Raised by :meth:`StreamingRegistry.open` when ``max_sessions``
+    live sessions already exist — the admission guard against open
+    floods (mapped to HTTP 503 by ``tools/serve_http.py``)."""
+
+
 def _conform(arr: np.ndarray, dtype_name: str) -> np.ndarray:
     if dtype_name == 'bfloat16':
         import ml_dtypes
@@ -450,13 +456,18 @@ class StreamingRegistry:
     ``session_ttl_s > 0`` expires sessions that made NO request for a
     full TTL, so open-and-vanish clients can't accumulate server state
     (``expired_sessions`` counts them; any of their windows still
-    queued dispatch and commit harmlessly).  One lock serializes
+    queued dispatch and commit harmlessly).  ``max_sessions > 0`` is
+    the admission guard the TTL can't be: a burst of ``open``s beyond
+    it raises :class:`CapacityError` (HTTP 503) instead of growing
+    accumulator state without bound (``rejected_sessions`` counts
+    refusals).  One lock serializes
     feeds/polls/closes AND the housekeeping daemon — batcher callbacks
     touch other sessions' accumulators, so everything that can dispatch
     must hold it."""
 
     def __init__(self, art, mesh=None, dynamic_batch: bool = False,
-                 max_delay_s: float = 0.0, session_ttl_s: float = 0.0):
+                 max_delay_s: float = 0.0, session_ttl_s: float = 0.0,
+                 max_sessions: int = 0):
         self.art = art
         self.mesh = mesh
         self._lock = threading.Lock()
@@ -466,7 +477,9 @@ class StreamingRegistry:
                         if dynamic_batch else None)
         self.max_delay_s = float(max_delay_s) if dynamic_batch else 0.0
         self.session_ttl_s = float(session_ttl_s)
+        self.max_sessions = int(max_sessions)
         self.expired_sessions = 0
+        self.rejected_sessions = 0
         self._stop = threading.Event()
         self._housekeeper: Optional[threading.Thread] = None
         if self.max_delay_s > 0 or self.session_ttl_s > 0:
@@ -508,6 +521,13 @@ class StreamingRegistry:
     def open(self) -> str:
         sid = uuid.uuid4().hex[:12]
         with self._lock:
+            if (self.max_sessions
+                    and len(self._sessions) >= self.max_sessions):
+                self.rejected_sessions += 1
+                raise CapacityError(
+                    f'{len(self._sessions)} live sessions '
+                    f'(max_sessions={self.max_sessions}); retry later '
+                    f'or close/finish existing streams')
             self._sessions[sid] = StreamingSession(
                 self.art, mesh=None if self.batcher else self.mesh,
                 batcher=self.batcher)

@@ -728,3 +728,55 @@ def test_registry_concurrent_stress(lfan):
     assert reg.expired_sessions == 0
     for i, w in enumerate(want):
         np.testing.assert_array_equal(results[i], w)
+
+def test_registry_max_sessions_admission(lfan, tmp_path):
+    """max_sessions is the admission guard TTL can't be: opens beyond
+    the cap raise CapacityError (HTTP 503), closing frees a slot, and
+    rejected_sessions counts refusals (on /healthz)."""
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from serve_http import build_server
+    from fvt_tpu.streaming import CapacityError
+
+    *_, art = lfan
+    reg = StreamingRegistry(art, max_sessions=2)
+    try:
+        a, b = reg.open(), reg.open()
+        with pytest.raises(CapacityError):
+            reg.open()
+        assert reg.rejected_sessions == 1
+        reg.close(a)
+        c = reg.open()  # freed slot admits again
+        reg.close(b)
+        reg.close(c)
+    finally:
+        reg.stop()
+
+    # HTTP surface: third open is a 503, healthz reports the refusal
+    args, model, params, stats, path = _make_artifact(
+        tmp_path, model_name=constants.LFAN)
+    srv = build_server(path, port=0, prefer_aot=False, max_sessions=2)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f'http://127.0.0.1:{srv.server_port}'
+    try:
+        def open_stream():
+            rq = urllib.request.Request(f'{base}/stream/open',
+                                        data=b'', method='POST')
+            with urllib.request.urlopen(rq) as r:
+                return json.loads(r.read())['sid']
+
+        open_stream()
+        open_stream()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            open_stream()
+        assert ei.value.code == 503
+        with urllib.request.urlopen(f'{base}/healthz') as r:
+            h = json.loads(r.read())
+        assert h['live_sessions'] == 2
+        assert h['rejected_sessions'] == 1
+    finally:
+        srv.streams.stop()
+        srv.shutdown()

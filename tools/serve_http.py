@@ -55,7 +55,9 @@ batches under many concurrent low-rate streams); ``--batch_delay_ms``
 bounds the wait before a partial batch is flushed (default 50).
 ``--session_ttl_s`` expires streaming sessions that made no request
 for that long (default 3600; 0 = never) so abandoned streams can't
-accumulate server state.
+accumulate server state; ``--max_sessions`` refuses ``/stream/open``
+with 503 beyond that many live sessions (admission guard against
+open floods).
 """
 import argparse
 import io
@@ -71,12 +73,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def make_handler(art, mesh=None, dynamic_batch=False,
-                 batch_delay_s=0.05, session_ttl_s=3600.0):
-    from fvt_tpu.streaming import StreamingRegistry
+                 batch_delay_s=0.05, session_ttl_s=3600.0,
+                 max_sessions=0):
+    from fvt_tpu.streaming import CapacityError, StreamingRegistry
     streams = StreamingRegistry(art, mesh=mesh,
                                 dynamic_batch=dynamic_batch,
                                 max_delay_s=batch_delay_s,
-                                session_ttl_s=session_ttl_s)
+                                session_ttl_s=session_ttl_s,
+                                max_sessions=max_sessions)
 
     def dispatch(arrays, length=None):
         if mesh is not None:
@@ -108,7 +112,9 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                                  'live_sessions':
                                      len(streams._sessions),
                                  'expired_sessions':
-                                     streams.expired_sessions})
+                                     streams.expired_sessions,
+                                 'rejected_sessions':
+                                     streams.rejected_sessions})
             elif self.path == '/meta':
                 self._send(200, art.meta)
             else:
@@ -137,7 +143,10 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                     self._send(200, buf.getvalue(),
                                ctype='application/octet-stream')
                 elif self.path == '/stream/open':
-                    self._send(200, {'sid': streams.open()})
+                    try:
+                        self._send(200, {'sid': streams.open()})
+                    except CapacityError as e:
+                        self._send(503, {'error': str(e)})
                 elif (len(parts) == 3 and parts[0] == 'stream'
                         and parts[2] in ('feed', 'poll', 'finish',
                                          'close')):
@@ -181,7 +190,8 @@ def make_handler(art, mesh=None, dynamic_batch=False,
 def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
                  prefer_aot: bool = True, mesh_devices: int = 0,
                  dynamic_batch: bool = False, batch_delay_s: float = 0.05,
-                 session_ttl_s: float = 3600.0) -> ThreadingHTTPServer:
+                 session_ttl_s: float = 3600.0,
+                 max_sessions: int = 0) -> ThreadingHTTPServer:
     from fvt_tpu.export import load_artifact
     art = load_artifact(artifact, prefer_aot=prefer_aot)
     mesh = None
@@ -197,7 +207,8 @@ def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
                    else art.call(batch))
     handler = make_handler(art, mesh=mesh, dynamic_batch=dynamic_batch,
                            batch_delay_s=batch_delay_s,
-                           session_ttl_s=session_ttl_s)
+                           session_ttl_s=session_ttl_s,
+                           max_sessions=max_sessions)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.streams = handler.streams  # expose for shutdown/stats
     return srv
@@ -221,12 +232,16 @@ def main(argv=None):
     p.add_argument('--session_ttl_s', type=float, default=3600.0,
                    help='expire streaming sessions idle this long '
                         '(0 = never)')
+    p.add_argument('--max_sessions', type=int, default=0,
+                   help='refuse /stream/open (503) beyond this many '
+                        'live sessions (0 = unlimited)')
     a = p.parse_args(argv)
     srv = build_server(a.artifact, a.host, a.port,
                        prefer_aot=not a.no_aot, mesh_devices=a.mesh,
                        dynamic_batch=a.dynamic_batch,
                        batch_delay_s=a.batch_delay_ms / 1000.0,
-                       session_ttl_s=a.session_ttl_s)
+                       session_ttl_s=a.session_ttl_s,
+                       max_sessions=a.max_sessions)
     print(f"serving {a.artifact} on http://{a.host}:{srv.server_port} "
           f"(shapes warmed)", flush=True)
     try:
