@@ -480,6 +480,7 @@ class StreamingRegistry:
         self.max_sessions = int(max_sessions)
         self.expired_sessions = 0
         self.rejected_sessions = 0
+        self.draining = False
         self._stop = threading.Event()
         self._housekeeper: Optional[threading.Thread] = None
         if self.max_delay_s > 0 or self.session_ttl_s > 0:
@@ -518,9 +519,31 @@ class StreamingRegistry:
         del self._sessions[sid]
         self._last_seen.pop(sid, None)
 
+    def drain(self) -> int:
+        """Enter graceful-shutdown mode: new ``open``s are refused
+        (:class:`CapacityError` → 503) while existing streams keep
+        feeding/finishing/polling to completion; the shared batcher is
+        flushed so every already-queued window commits and becomes
+        pollable.  Returns the number of still-live sessions — the
+        caller (``serve_http`` on SIGTERM/SIGINT) waits for it to reach
+        zero or a deadline before tearing the server down."""
+        with self._lock:
+            self.draining = True
+            if self.batcher is not None:
+                self.batcher.flush()
+            return len(self._sessions)
+
+    @property
+    def live_sessions(self) -> int:
+        return len(self._sessions)
+
     def open(self) -> str:
         sid = uuid.uuid4().hex[:12]
         with self._lock:
+            if self.draining:
+                self.rejected_sessions += 1
+                raise CapacityError(
+                    'server is draining for shutdown; no new sessions')
             if (self.max_sessions
                     and len(self._sessions) >= self.max_sessions):
                 self.rejected_sessions += 1

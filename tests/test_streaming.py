@@ -780,3 +780,93 @@ def test_registry_max_sessions_admission(lfan, tmp_path):
     finally:
         srv.streams.stop()
         srv.shutdown()
+
+def test_graceful_drain_on_shutdown(lfan, tmp_path):
+    """drain_and_shutdown (serve_http SIGTERM/SIGINT path): new opens
+    are refused with 503 while live streams finish + poll out over
+    HTTP; the drain returns 0 abandoned and the server exits clean."""
+    import io as _io
+    import json
+    import threading
+    import time as _t
+    import urllib.request
+    import urllib.error
+
+    from serve_http import build_server, drain_and_shutdown
+
+    args, model, params, stats, path = _make_artifact(
+        tmp_path, model_name=constants.LFAN)
+    art = load_artifact(path)
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 14
+    vid = _rand_stream(spec, L, seed=11)
+    want = _offline_stitch(art, vid, L)
+
+    srv = build_server(path, port=0, prefer_aot=False,
+                       dynamic_batch=True, batch_delay_s=0.02)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f'http://127.0.0.1:{srv.server_port}'
+
+    def post(p, data=b''):
+        rq = urllib.request.Request(base + p, data=data, method='POST')
+        try:
+            with urllib.request.urlopen(rq) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    st, b = post('/stream/open')
+    sid = json.loads(b)['sid']
+    buf = _io.BytesIO()
+    np.savez(buf, **{k: v[:9] for k, v in vid.items()})
+    st, _ = post(f'/stream/{sid}/feed', buf.getvalue())
+    assert st == 200
+
+    drained = {}
+    dt = threading.Thread(target=lambda: drained.update(
+        left=drain_and_shutdown(srv, timeout_s=30.0)))
+    dt.start()
+    deadline = _t.monotonic() + 10.0
+    while not srv.streams.draining and _t.monotonic() < deadline:
+        _t.sleep(0.01)
+    assert srv.streams.draining
+
+    st, _ = post('/stream/open')
+    assert st == 503  # draining refuses new sessions
+
+    # the live stream still completes over HTTP during the drain
+    pieces = []
+    buf = _io.BytesIO()
+    np.savez(buf, **{k: v[9:] for k, v in vid.items()})
+    st, b = post(f'/stream/{sid}/feed', buf.getvalue())
+    assert st == 200
+    with np.load(_io.BytesIO(b)) as z:
+        pieces.append((int(z['start']), z['logits']))
+    done = False
+    st, b = post(f'/stream/{sid}/finish')
+    assert st == 200
+    with np.load(_io.BytesIO(b)) as z:
+        pieces.append((int(z['start']), z['logits']))
+        done = bool(z['done'])
+    deadline = _t.monotonic() + 30.0
+    while not done and _t.monotonic() < deadline:
+        _t.sleep(0.01)
+        st, b = post(f'/stream/{sid}/poll')
+        if st != 200:
+            break
+        with np.load(_io.BytesIO(b)) as z:
+            pieces.append((int(z['start']), z['logits']))
+            done = bool(z['done'])
+    assert done
+
+    out = np.full((L, want.shape[-1]), np.nan, np.float32)
+    for s, lg in pieces:
+        if len(lg):
+            out[s:s + len(lg)] = lg
+    np.testing.assert_array_equal(out, want)
+
+    dt.join(timeout=60)
+    assert not dt.is_alive()
+    assert drained['left'] == 0  # clean drain, nothing abandoned
+    with pytest.raises(urllib.error.URLError):
+        urllib.request.urlopen(f'{base}/healthz', timeout=2)

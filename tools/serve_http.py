@@ -57,13 +57,18 @@ bounds the wait before a partial batch is flushed (default 50).
 for that long (default 3600; 0 = never) so abandoned streams can't
 accumulate server state; ``--max_sessions`` refuses ``/stream/open``
 with 503 beyond that many live sessions (admission guard against
-open floods).
+open floods).  SIGTERM/SIGINT trigger a graceful drain: new opens are
+refused while live streams finish and poll out, bounded by
+``--drain_timeout_s``.
 """
 import argparse
 import io
 import json
 import os
+import signal
 import sys
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -114,7 +119,8 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                                  'expired_sessions':
                                      streams.expired_sessions,
                                  'rejected_sessions':
-                                     streams.rejected_sessions})
+                                     streams.rejected_sessions,
+                                 'draining': streams.draining})
             elif self.path == '/meta':
                 self._send(200, art.meta)
             else:
@@ -214,6 +220,28 @@ def build_server(artifact: str, host: str = '127.0.0.1', port: int = 0,
     return srv
 
 
+def drain_and_shutdown(srv, timeout_s: float = 30.0,
+                       poll_s: float = 0.1) -> int:
+    """Graceful shutdown: refuse new stream opens (503) while live
+    streams keep feeding/finishing/polling, wait until none remain (or
+    ``timeout_s``), then tear the server down.  Returns the number of
+    sessions abandoned at the deadline (0 = clean drain)."""
+    live = srv.streams.drain()
+    print(f'draining: {live} live sessions, opens now refused',
+          flush=True)
+    deadline = time.monotonic() + timeout_s
+    while srv.streams.live_sessions and time.monotonic() < deadline:
+        time.sleep(poll_s)
+    left = srv.streams.live_sessions
+    srv.shutdown()
+    srv.server_close()  # release the listening socket (refuse, not hang)
+    srv.streams.stop()
+    if left:
+        print(f'drain deadline hit: {left} sessions abandoned',
+              flush=True)
+    return left
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--artifact', required=True)
@@ -235,6 +263,10 @@ def main(argv=None):
     p.add_argument('--max_sessions', type=int, default=0,
                    help='refuse /stream/open (503) beyond this many '
                         'live sessions (0 = unlimited)')
+    p.add_argument('--drain_timeout_s', type=float, default=30.0,
+                   help='on SIGTERM/SIGINT: refuse new opens and wait '
+                        'this long for live streams to finish before '
+                        'exiting')
     a = p.parse_args(argv)
     srv = build_server(a.artifact, a.host, a.port,
                        prefer_aot=not a.no_aot, mesh_devices=a.mesh,
@@ -244,10 +276,15 @@ def main(argv=None):
                        max_sessions=a.max_sessions)
     print(f"serving {a.artifact} on http://{a.host}:{srv.server_port} "
           f"(shapes warmed)", flush=True)
-    try:
-        srv.serve_forever()
-    finally:
-        srv.streams.stop()
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+    server_thread = threading.Thread(target=srv.serve_forever,
+                                     daemon=True)
+    server_thread.start()
+    stop.wait()
+    drain_and_shutdown(srv, timeout_s=a.drain_timeout_s)
+    server_thread.join(timeout=10)
 
 
 if __name__ == '__main__':
