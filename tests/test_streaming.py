@@ -870,3 +870,64 @@ def test_graceful_drain_on_shutdown(lfan, tmp_path):
     assert drained['left'] == 0  # clean drain, nothing abandoned
     with pytest.raises(urllib.error.URLError):
         urllib.request.urlopen(f'{base}/healthz', timeout=2)
+
+def test_serving_client_library(tmp_path):
+    """fvt_tpu/client.py against a live server: offline logits match a
+    direct artifact call; chunked stream() is bit-identical to the
+    offline stitch; 503 -> ServerBusy, stale sid -> SessionGone."""
+    import threading
+
+    from serve_http import build_server, drain_and_shutdown
+    from fvt_tpu.client import (ServingClient, ServerBusy, SessionGone)
+
+    args, model, params, stats, path = _make_artifact(tmp_path)
+    art = load_artifact(path)
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 21
+    vid = _rand_stream(spec, L, seed=13)
+    want = _offline_stitch(art, vid, L)
+
+    srv = build_server(path, port=0, prefer_aot=False,
+                       dynamic_batch=True, batch_delay_s=0.02,
+                       max_sessions=3)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    c = ServingClient(f'http://127.0.0.1:{srv.server_port}')
+    try:
+        h = c.healthz()
+        assert h['ok'] and h['dynamic_batch']
+        assert c.meta()['model_name'] == args.model_name
+
+        # offline one-shot: same windowed batch as the artifact call
+        mat = W.window_index_matrix(L, WINDOW, HOP)
+        rows = list(range(mat.shape[0])) + [mat.shape[0] - 1] * (
+            WB - mat.shape[0] % WB) if mat.shape[0] % WB else list(
+            range(mat.shape[0]))
+        batch = {k: v[mat[rows[:WB]].reshape(-1)].reshape(
+            (WB, WINDOW) + v.shape[1:]) for k, v in vid.items()}
+        np.testing.assert_array_equal(
+            c.logits(batch), np.asarray(art.call(batch)))
+
+        # streaming convenience loop == offline stitch, bit for bit
+        got = c.stream(vid, chunk=5)
+        np.testing.assert_array_equal(got, want)
+
+        # manual handle flow
+        s = c.open_stream()
+        s.feed(vid)
+        s.finish()
+        np.testing.assert_array_equal(s.result(), want)
+        with pytest.raises(SessionGone):
+            s.poll()  # drained sessions are dropped server-side
+
+        # admission refusals surface as ServerBusy
+        held = [c.open_stream() for _ in range(3)]
+        with pytest.raises(ServerBusy):
+            c.open_stream()
+        for s in held:
+            s.close()
+    finally:
+        drain_and_shutdown(srv, timeout_s=5.0)
+
+    # a drained-for-shutdown server refuses opens the same way
+    with pytest.raises((ServerBusy, OSError)):
+        c.open_stream()
