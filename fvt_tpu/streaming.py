@@ -423,6 +423,13 @@ class StreamingSession:
                        for k, v in self._buf.items()}
                 self._submit(s, win)
         self._buf = {}
+        if not self.batcher.shared:
+            # no cross-stream traffic will ever pack these tail rows,
+            # and nothing else flushes a PRIVATE batcher (the registry
+            # stale-flusher only covers the shared one) — without this,
+            # `done` never flips on a non-dynamic_batch server and
+            # clients poll forever
+            self.batcher.flush()
         return self.poll()
 
     def close(self) -> Tuple[int, np.ndarray]:

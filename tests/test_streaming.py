@@ -931,3 +931,42 @@ def test_serving_client_library(tmp_path):
     # a drained-for-shutdown server refuses opens the same way
     with pytest.raises((ServerBusy, OSError)):
         c.open_stream()
+
+@pytest.mark.parametrize('length', [5, 14])
+def test_finish_completes_without_shared_batcher(lfan, length):
+    """finish() on a PRIVATE batcher (no --dynamic_batch) must flush
+    immediately: no cross-stream traffic will ever pack the tail rows
+    and nothing else flushes a private queue — before the fix, `done`
+    never flipped and clients polled forever."""
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    vid = _rand_stream(spec, length, seed=length)
+    if length >= WINDOW:
+        want = _offline_stitch(art, vid, length)
+    else:
+        idx = W.pad_short_window_indices(length, WINDOW)
+        batch = {k: np.broadcast_to(
+            v[idx][None], (WB, WINDOW) + v.shape[1:]).copy()
+            for k, v in vid.items()}
+        want = np.asarray(art.call(batch))[0, :length].astype(
+            np.float32)
+
+    reg = StreamingRegistry(art)  # NO dynamic batching, no housekeeper
+    try:
+        sid = reg.open()
+        pieces = []
+        s, lg = reg.feed(sid, vid)
+        if len(lg):
+            pieces.append((s, lg))
+        s, lg, done = reg.finish(sid)
+        if len(lg):
+            pieces.append((s, lg))
+        assert done, 'finish on a private batcher must drain in-call'
+        out = np.full((length, want.shape[-1]), np.nan, np.float32)
+        for s, lg in pieces:
+            out[s:s + len(lg)] = lg
+        np.testing.assert_array_equal(out, want)
+        with pytest.raises(KeyError):
+            reg.poll(sid)  # drained session already dropped
+    finally:
+        reg.stop()
