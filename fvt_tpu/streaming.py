@@ -456,9 +456,10 @@ class StreamingRegistry:
     ``dynamic_batch=True`` gives every session ONE shared
     `WindowBatcher`: device batches fill with windows from whichever
     streams have them ready (outputs unchanged — see module docstring).
-    ``max_delay_s`` bounds the extra latency: a daemon thread flushes
-    the shared queue whenever its oldest window has waited longer, so
-    sparse traffic that never fills a batch still finalizes promptly
+    ``max_delay_s`` bounds batching latency: a daemon thread flushes
+    any queue — the shared one, or every session's private batcher
+    when not dynamic-batching — whose oldest window has waited longer,
+    so sparse traffic that never fills a batch still finalizes promptly
     (clients observe it via ``poll``/the next ``feed``).
     ``session_ttl_s > 0`` expires sessions that made NO request for a
     full TTL, so open-and-vanish clients can't accumulate server state
@@ -482,7 +483,7 @@ class StreamingRegistry:
         self._last_seen: Dict[str, float] = {}
         self.batcher = (WindowBatcher(art, mesh=mesh, shared=True)
                         if dynamic_batch else None)
-        self.max_delay_s = float(max_delay_s) if dynamic_batch else 0.0
+        self.max_delay_s = float(max_delay_s)
         self.session_ttl_s = float(session_ttl_s)
         self.max_sessions = int(max_sessions)
         self.expired_sessions = 0
@@ -502,8 +503,15 @@ class StreamingRegistry:
         tick = max(min([0.25] + periods), 0.001)
         while not self._stop.wait(tick):
             with self._lock:
-                if self.batcher is not None and self.max_delay_s > 0:
-                    self.batcher.flush_stale(self.max_delay_s)
+                if self.max_delay_s > 0:
+                    if self.batcher is not None:
+                        self.batcher.flush_stale(self.max_delay_s)
+                    else:
+                        # private batchers: no other stream's traffic
+                        # will ever dispatch a parked partial queue, so
+                        # the latency bound must flush each one
+                        for sess in self._sessions.values():
+                            sess.batcher.flush_stale(self.max_delay_s)
                 if self.session_ttl_s > 0:
                     # drop ABANDONED sessions (no request for a full
                     # TTL) so open-and-vanish clients can't accumulate

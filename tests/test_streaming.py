@@ -970,3 +970,39 @@ def test_finish_completes_without_shared_batcher(lfan, length):
             reg.poll(sid)  # drained session already dropped
     finally:
         reg.stop()
+
+def test_private_batcher_stale_flush_bounds_latency(lfan):
+    """Without dynamic batching, --batch_delay_ms still bounds
+    mid-stream latency: parked partial private queues are flushed by
+    the housekeeper, so frames finalize without waiting for a full
+    window batch (before: unbounded until wb windows accumulated)."""
+    import time as _t
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 12  # windows at 0 and 4: both complete, queue 2 < wb=4
+    vid = _rand_stream(spec, L, seed=21)
+    want = _offline_stitch(art, vid, L)
+
+    reg = StreamingRegistry(art, max_delay_s=0.05)
+    try:
+        sid = reg.open()
+        s, lg = reg.feed(sid, vid)
+        assert len(lg) == 0  # both windows parked in the private queue
+        deadline = _t.monotonic() + 10.0
+        got = None
+        while _t.monotonic() < deadline:
+            _t.sleep(0.02)
+            s, lg, done = reg.poll(sid)
+            if len(lg):
+                got = (s, lg)
+                break
+        assert got is not None, 'stale flush never freed the frames'
+        s, lg = got
+        assert s == 0 and len(lg) == 4  # received-window bound
+        np.testing.assert_array_equal(lg, want[:4])
+        _, tail, done = reg.finish(sid)
+        assert done
+        np.testing.assert_array_equal(
+            np.concatenate([lg, tail]), want)
+    finally:
+        reg.stop()

@@ -255,8 +255,10 @@ def main(argv=None):
                    help='pack windows from ALL live streams into '
                         'shared full window_batch dispatches')
     p.add_argument('--batch_delay_ms', type=float, default=50.0,
-                   help='max wait before a partial shared batch is '
-                        'flushed (latency bound under --dynamic_batch)')
+                   help='max wait before a partial window batch is '
+                        'flushed — the shared queue under '
+                        '--dynamic_batch, or each stream\'s private '
+                        'batcher otherwise (streaming latency bound)')
     p.add_argument('--session_ttl_s', type=float, default=3600.0,
                    help='expire streaming sessions idle this long '
                         '(0 = never)')
