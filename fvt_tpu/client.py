@@ -147,10 +147,21 @@ class ServingClient:
         same frames."""
         L = len(next(iter(arrays.values())))
         s = self.open_stream()
-        for off in range(0, L, chunk):
-            s.feed({k: v[off:off + chunk] for k, v in arrays.items()})
-        s.finish()
-        return s.result(poll_s=poll_s, timeout_s=timeout_s)
+        try:
+            for off in range(0, L, chunk):
+                s.feed({k: v[off:off + chunk]
+                        for k, v in arrays.items()})
+            s.finish()
+            return s.result(poll_s=poll_s, timeout_s=timeout_s)
+        except BaseException:
+            # don't leak the server-side session (it would count
+            # against --max_sessions until the idle TTL reaps it)
+            if not s.done:
+                try:
+                    s.close()
+                except Exception:
+                    pass
+            raise
 
 
 class StreamHandle:

@@ -99,6 +99,10 @@ def get_config(ds: str) -> dict:
         'dataset_path': '',
         'load_path': join(REPO_ROOT, 'pretrained_models'),
         'save_path': '',
+        # initialize the trainable head from a reference-trained torch
+        # model.pt (weight-ported at load, models/torch_port.py);
+        # '' = fresh init
+        'pretrained_torch_ckpt': '',
 
         'use_other_class': False,
 

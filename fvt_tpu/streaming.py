@@ -484,6 +484,13 @@ class StreamingRegistry:
         self.batcher = (WindowBatcher(art, mesh=mesh, shared=True)
                         if dynamic_batch else None)
         self.max_delay_s = float(max_delay_s)
+        # a shared batcher with NO latency bound is a foot-gun outside
+        # tests: a lone stream's finish()ed tail is dispatched only by
+        # other traffic, the stale flusher, or close()/drain() — a
+        # polling client would wait forever (and its polls refresh the
+        # TTL).  serve_http refuses --dynamic_batch --batch_delay_ms 0
+        # for this reason; library users driving dispatch manually
+        # (tests, batch pipelines) may pass max_delay_s=0 deliberately.
         self.session_ttl_s = float(session_ttl_s)
         self.max_sessions = int(max_sessions)
         self.expired_sessions = 0
@@ -509,9 +516,17 @@ class StreamingRegistry:
                     else:
                         # private batchers: no other stream's traffic
                         # will ever dispatch a parked partial queue, so
-                        # the latency bound must flush each one
+                        # the latency bound must flush each one — EXCEPT
+                        # masked models (JMT/MT): their rows attend
+                        # across the batch, so a timing-dependent early
+                        # flush would change dispatch composition and
+                        # break the bit-identity to the offline stitch
+                        # (the same reason they can't share batches);
+                        # they keep the offline grouping and finalize on
+                        # full batches / finish / close only
                         for sess in self._sessions.values():
-                            sess.batcher.flush_stale(self.max_delay_s)
+                            if not sess.batcher.needs_mask:
+                                sess.batcher.flush_stale(self.max_delay_s)
                 if self.session_ttl_s > 0:
                     # drop ABANDONED sessions (no request for a full
                     # TTL) so open-and-vanish clients can't accumulate

@@ -257,3 +257,27 @@ def test_early_stopping_fires_on_exact_plateau(store, tmp_path):
         logtxt = f.read()
     assert 'Early stopping at epoch' in logtxt, \
         'run trained all 30 epochs despite a saturated validation metric'
+
+
+def test_pretrained_torch_ckpt_is_a_cli_flag(store, tmp_path):
+    """--pretrained_torch_ckpt must be reachable from the CLI (it is
+    the documented torch->fvt migration entry, MIGRATION.md): the key
+    lives in defaults so parse generates the flag, and the value lands
+    on args for Experiment.run to consume (experiment.py:211-213)."""
+    from fvt_tpu.config.parse import parse_input
+    args = parse_input([
+        '--dataset_name', 'MELD',
+        '--dataset_path', store['dataset_path'],
+        '--folds_dir', store['folds_dir'],
+        '--pretrained_torch_ckpt', '/some/run/model.pt',
+        '--outd', str(tmp_path / 'exp_ptc'),
+    ])
+    assert args.pretrained_torch_ckpt == '/some/run/model.pt'
+    # default: falsy, so Experiment.run skips the graft
+    args2 = parse_input([
+        '--dataset_name', 'MELD',
+        '--dataset_path', store['dataset_path'],
+        '--folds_dir', store['folds_dir'],
+        '--outd', str(tmp_path / 'exp_ptc2'),
+    ])
+    assert not args2.pretrained_torch_ckpt

@@ -1006,3 +1006,53 @@ def test_private_batcher_stale_flush_bounds_latency(lfan):
             np.concatenate([lg, tail]), want)
     finally:
         reg.stop()
+
+def test_masked_model_exempt_from_private_stale_flush(tmp_path):
+    """A timing-triggered early flush would repeat-pad a masked model's
+    (JMT/MT) partial batch differently from the offline grouping — and
+    their rows attend ACROSS the batch, so logits would become
+    timing-dependent. The housekeeper must skip their private batchers;
+    outputs stay bit-identical to the offline stitch, finalized only on
+    full batches / finish."""
+    import time as _t
+    import flax.linen as nn
+
+    class TinySpatial(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            return nn.Dense(16)(x.reshape(x.shape[0], -1))
+
+    args, model, params, stats, path = _make_artifact(
+        tmp_path, constants.MT,
+        modality='video+vggish+EXPR_continuous_label',
+        spatial_video=TinySpatial())
+    art = load_artifact(path)
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 12  # 2 complete windows parked: a flushable partial queue
+    vid = _rand_stream(spec, L, seed=31)
+    want = _offline_stitch(art, vid, L)
+
+    reg = StreamingRegistry(art, max_delay_s=0.03)
+    try:
+        sid = reg.open()
+        _, lg = reg.feed(sid, vid)
+        assert len(lg) == 0
+        _t.sleep(0.3)  # many housekeeping ticks
+        s, lg, done = reg.poll(sid)
+        assert len(lg) == 0, 'masked model was stale-flushed early'
+        s, lg, done = reg.finish(sid)
+        assert done
+        np.testing.assert_array_equal(lg, want)
+    finally:
+        reg.stop()
+
+
+def test_dynamic_batch_requires_latency_bound(tmp_path):
+    """serve_http refuses --dynamic_batch --batch_delay_ms 0 at parse
+    time: with no stale-flush bound, a lone stream's finish()ed tail is
+    dispatched only by OTHER streams' traffic, so a quiet server would
+    leave clients polling forever (and each poll refreshes the TTL)."""
+    from serve_http import main as serve_main
+    with pytest.raises(SystemExit):
+        serve_main(['--artifact', 'x.fvtserve', '--dynamic_batch',
+                    '--batch_delay_ms', '0'])

@@ -115,7 +115,7 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                                  'stream_rows_padded':
                                      b.rows_padded if b else None,
                                  'live_sessions':
-                                     len(streams._sessions),
+                                     streams.live_sessions,
                                  'expired_sessions':
                                      streams.expired_sessions,
                                  'rejected_sessions':
@@ -270,6 +270,11 @@ def main(argv=None):
                         'this long for live streams to finish before '
                         'exiting')
     a = p.parse_args(argv)
+    if a.dynamic_batch and a.batch_delay_ms <= 0:
+        p.error('--dynamic_batch needs --batch_delay_ms > 0: with no '
+                'stale-flush bound, a lone stream\'s finish()ed tail '
+                'is only dispatched by other streams\' traffic, so a '
+                'quiet server would leave clients polling forever')
     srv = build_server(a.artifact, a.host, a.port,
                        prefer_aot=not a.no_aot, mesh_devices=a.mesh,
                        dynamic_batch=a.dynamic_batch,
@@ -279,8 +284,16 @@ def main(argv=None):
     print(f"serving {a.artifact} on http://{a.host}:{srv.server_port} "
           f"(shapes warmed)", flush=True)
     stop = threading.Event()
+
+    def on_signal(signum, frame):
+        if stop.is_set():
+            # second signal while draining: force-quit (default action)
+            signal.signal(signum, signal.SIG_DFL)
+            signal.raise_signal(signum)
+        stop.set()
+
     for sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(sig, lambda *_: stop.set())
+        signal.signal(sig, on_signal)
     server_thread = threading.Thread(target=srv.serve_forever,
                                      daemon=True)
     server_thread.start()
