@@ -1056,3 +1056,37 @@ def test_dynamic_batch_requires_latency_bound(tmp_path):
     with pytest.raises(SystemExit):
         serve_main(['--artifact', 'x.fvtserve', '--dynamic_batch',
                     '--batch_delay_ms', '0'])
+
+def test_healthz_latency_stats(tmp_path):
+    """/healthz reports per-endpoint request-latency percentiles from a
+    bounded recent-window ring (observability for serving operators)."""
+    import threading
+
+    from serve_http import build_server, drain_and_shutdown, LatencyStats
+    from fvt_tpu.client import ServingClient
+
+    # unit: ring bounds memory, count keeps totals
+    st = LatencyStats()
+    for i in range(300):
+        st.record('/x', 0.001 * (i + 1))
+    snap = st.snapshot()['/x']
+    assert snap['count'] == 300
+    assert snap['max_ms'] == 300.0
+    assert snap['p50_ms'] >= 0.001 * (300 - LatencyStats.RING) * 1e3
+
+    args, model, params, stats, path = _make_artifact(tmp_path)
+    art = load_artifact(path)
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    srv = build_server(path, port=0, prefer_aot=False)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    c = ServingClient(f'http://127.0.0.1:{srv.server_port}')
+    try:
+        c.stream(_rand_stream(spec, 12, seed=1), chunk=4)
+        lat = c.healthz()['latency']
+        assert lat['/stream/open']['count'] == 1
+        assert lat['/stream/feed']['count'] == 3
+        assert lat['/stream/finish']['count'] == 1
+        for ep, row in lat.items():
+            assert 0 <= row['p50_ms'] <= row['p95_ms'] <= row['max_ms']
+    finally:
+        drain_and_shutdown(srv, timeout_s=5.0)

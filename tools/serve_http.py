@@ -77,6 +77,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+class LatencyStats:
+    """Per-endpoint request-latency aggregation for /healthz.
+
+    Thread-safe (the server handles requests on many threads); keeps a
+    bounded ring of recent durations per endpoint so the percentiles
+    track the CURRENT regime, not the process lifetime."""
+
+    RING = 256
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._by_ep = {}  # endpoint -> (count, ring list)
+
+    def record(self, endpoint: str, seconds: float) -> None:
+        with self._lock:
+            count, ring = self._by_ep.get(endpoint, (0, []))
+            ring.append(seconds)
+            if len(ring) > self.RING:
+                del ring[:len(ring) - self.RING]
+            self._by_ep[endpoint] = (count + 1, ring)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            out = {}
+            for ep, (count, ring) in self._by_ep.items():
+                r = sorted(ring)
+                out[ep] = {
+                    'count': count,
+                    'p50_ms': round(r[len(r) // 2] * 1e3, 3),
+                    'p95_ms': round(r[min(len(r) - 1,
+                                          int(len(r) * 0.95))] * 1e3, 3),
+                    'max_ms': round(r[-1] * 1e3, 3),
+                }
+            return out
+
+
 def make_handler(art, mesh=None, dynamic_batch=False,
                  batch_delay_s=0.05, session_ttl_s=3600.0,
                  max_sessions=0):
@@ -86,6 +122,8 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                                 max_delay_s=batch_delay_s,
                                 session_ttl_s=session_ttl_s,
                                 max_sessions=max_sessions)
+
+    latency = LatencyStats()
 
     def dispatch(arrays, length=None):
         if mesh is not None:
@@ -120,7 +158,8 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                                      streams.expired_sessions,
                                  'rejected_sessions':
                                      streams.rejected_sessions,
-                                 'draining': streams.draining})
+                                 'draining': streams.draining,
+                                 'latency': latency.snapshot()})
             elif self.path == '/meta':
                 self._send(200, art.meta)
             else:
@@ -135,6 +174,16 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                        ctype='application/octet-stream')
 
         def do_POST(self):
+            t0 = time.monotonic()
+            try:
+                self._do_post()
+            finally:
+                parts = self.path.strip('/').split('/')
+                ep = (f'/stream/{parts[2]}' if len(parts) == 3
+                      and parts[0] == 'stream' else self.path)
+                latency.record(ep, time.monotonic() - t0)
+
+        def _do_post(self):
             n = int(self.headers.get('Content-Length', 0))
             body = self.rfile.read(n)
             parts = self.path.strip('/').split('/')
@@ -190,6 +239,7 @@ def make_handler(art, mesh=None, dynamic_batch=False,
                 super().log_message(fmt, *a)
 
     Handler.streams = streams
+    Handler.latency = latency
     return Handler
 
 
