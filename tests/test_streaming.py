@@ -1090,3 +1090,32 @@ def test_healthz_latency_stats(tmp_path):
             assert 0 <= row['p50_ms'] <= row['p95_ms'] <= row['max_ms']
     finally:
         drain_and_shutdown(srv, timeout_s=5.0)
+
+def test_metrics_endpoint_prometheus_format(tmp_path):
+    """GET /metrics: the healthz counters in Prometheus text format."""
+    import threading
+    import urllib.request
+
+    from serve_http import build_server, drain_and_shutdown
+    from fvt_tpu.client import ServingClient
+
+    args, model, params, stats, path = _make_artifact(tmp_path)
+    art = load_artifact(path)
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    srv = build_server(path, port=0, prefer_aot=False,
+                       dynamic_batch=True, batch_delay_s=0.02)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f'http://127.0.0.1:{srv.server_port}'
+    c = ServingClient(base)
+    try:
+        c.stream(_rand_stream(spec, 12, seed=8), chunk=4)
+        with urllib.request.urlopen(f'{base}/metrics') as r:
+            assert r.headers['Content-Type'].startswith('text/plain')
+            text = r.read().decode()
+        assert 'fvt_live_sessions 0' in text
+        assert 'fvt_stream_dispatches_total' in text
+        assert 'fvt_request_count_total{endpoint="/stream/feed"} 3' \
+            in text
+        assert 'quantile="0.95"' in text
+    finally:
+        drain_and_shutdown(srv, timeout_s=5.0)

@@ -18,7 +18,9 @@ exported window_batch must divide by N.
 
 Protocol:
   GET  /healthz       -> {"ok": true, "shapes": [...], "aot": bool,
-                          "mesh": N}
+                          "mesh": N, session/batching counters, drain
+                          state, per-endpoint latency percentiles}
+  GET  /metrics       -> the same counters in Prometheus text format
   GET  /meta          -> the artifact's meta.json
   POST /logits        -> body: npz (numpy savez) with one array per
                          modality [+ optional 'length' (B,) int32 for
@@ -140,8 +142,37 @@ def make_handler(art, mesh=None, dynamic_batch=False,
             self.end_headers()
             self.wfile.write(body)
 
+        def _metrics_text(self) -> str:
+            b = streams.batcher
+            lines = [
+                '# fvt_tpu serving metrics (Prometheus text format)',
+                f'fvt_live_sessions {streams.live_sessions}',
+                f'fvt_expired_sessions_total {streams.expired_sessions}',
+                f'fvt_rejected_sessions_total '
+                f'{streams.rejected_sessions}',
+                f'fvt_draining {int(streams.draining)}',
+            ]
+            if b is not None:
+                lines += [
+                    f'fvt_stream_dispatches_total {b.dispatches}',
+                    f'fvt_stream_rows_padded_total {b.rows_padded}',
+                ]
+            for ep, row in latency.snapshot().items():
+                lab = f'{{endpoint="{ep}"}}'
+                lines += [
+                    f'fvt_request_count_total{lab} {row["count"]}',
+                    f'fvt_request_latency_ms{{endpoint="{ep}",'
+                    f'quantile="0.5"}} {row["p50_ms"]}',
+                    f'fvt_request_latency_ms{{endpoint="{ep}",'
+                    f'quantile="0.95"}} {row["p95_ms"]}',
+                ]
+            return '\n'.join(lines) + '\n'
+
         def do_GET(self):
-            if self.path == '/healthz':
+            if self.path == '/metrics':
+                self._send(200, self._metrics_text().encode(),
+                           ctype='text/plain; version=0.0.4')
+            elif self.path == '/healthz':
                 b = streams.batcher
                 self._send(200, {'ok': True, 'shapes': art.shape_keys,
                                  'aot': bool(art._aot),
