@@ -34,11 +34,18 @@ def ccc_loss(gold: jnp.ndarray, pred: jnp.ndarray,
 
 
 def ccc_score(gold, pred) -> float:
-    """Scalar Lin's CCC over flattened arrays (eval metric)."""
+    """Scalar Lin's CCC over flattened arrays (eval metric).
+
+    Matches the reference's ContinuousMetricsCalculator semantics
+    (/root/reference/base/logger.py:214-246): UNBIASED variances
+    ("consistent with Matlab's nanvar", ddof=1) with a ddof=0 mean
+    covariance and the 1e-100 epsilon — NOT the ddof=1-everywhere CCC
+    the training loss uses (base/loss_function.py)."""
     import numpy as np
     g = np.asarray(gold, dtype=np.float64).ravel()
     p = np.asarray(pred, dtype=np.float64).ravel()
     gm, pm = g.mean(), p.mean()
-    gv, pv = g.var(), p.var()
+    gv = ((g - gm) ** 2).sum() / (len(g) - 1)
+    pv = ((p - pm) ** 2).sum() / (len(p) - 1)
     cov = ((g - gm) * (p - pm)).mean()
-    return float(2 * cov / (gv + pv + (gm - pm) ** 2 + 1e-50))
+    return float(2 * cov / (gv + pv + (gm - pm) ** 2 + 1e-100))

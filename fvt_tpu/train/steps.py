@@ -118,7 +118,10 @@ def train_step_body(model, optimizer,
                 mutable=['batch_stats'])
             if task == constants.REGRESSION:
                 from fvt_tpu.train.losses import ccc_loss
-                loss = ccc_loss(labels.astype(jnp.float32), out[..., 0])
+                # cast to the model output dtype (f32 in production; a
+                # hard f32 cast would silently truncate the float64
+                # lockstep legs — same lesson as _TorchBNCore)
+                loss = ccc_loss(labels.astype(out.dtype), out[..., 0])
             else:
                 loss = cross_entropy_frames(out, labels)
             return loss, mutated['batch_stats']

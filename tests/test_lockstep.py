@@ -6,7 +6,9 @@ the same batch cycle and the per-step train losses must agree.
 This pins the optimizer/model INTERACTION over multiple steps (momentum
 accumulation, weight decay, BN running-stat updates feeding later eval),
 which single-step parity tests can't: /root/reference/trainer.py:399-430
-+ the SGD construction.  Covered for ALL FOUR fusion families:
++ the SGD construction.  Covered for ALL FOUR fusion families plus the
+REGRESSION task (LFAN_REG: tanh head + CCCLoss, the reference's legacy
+VA trainer loop, base/trainer.py:278):
 
   * the float64 legs are the exactness proof — with rounding removed,
     per-step losses agree at machine epsilon (measured 4e-16 LFAN,
@@ -36,14 +38,19 @@ def _save_init(model_name, T, tmp_path):
     from twin_train import _make_lockstep_ref
     torch.manual_seed(0)
     ref = _make_lockstep_ref(model_name, T)
-    if model_name == 'LFAN':
+    if model_name in ('LFAN', 'LFAN_REG'):
         ref.init()
     init_pt = str(tmp_path / 'init.pt')
     torch.save(ref.state_dict(), init_pt)
     return init_pt
 
 
-@pytest.mark.parametrize('model_name', ['LFAN', 'CAN', 'JMT', 'MT'])
+# LFAN_REG = the REGRESSION task: tanh head (model.py:485+523) trained
+# under CCCLoss (base/loss_function.py:6-24, base/trainer.py:278) — the
+# one task family the classification legs can't cover (different loss
+# surface, different gradient path through the bounded head).
+@pytest.mark.parametrize('model_name', ['LFAN', 'CAN', 'JMT', 'MT',
+                                        'LFAN_REG'])
 def test_lockstep_exact_in_float64(tmp_path, model_name):
     add_reference_to_path()
     from twin_train import _lockstep_probe

@@ -29,5 +29,7 @@ def test_ccc_loss_parity():
 
 def test_ccc_score_properties():
     x = np.random.default_rng(1).normal(size=(100,))
-    assert abs(ccc_score(x, x) - 1.0) < 1e-9
+    # reference semantics (base/logger.py:232-246): ddof=0 covariance
+    # over Matlab-nanvar ddof=1 variances -> identity scores (n-1)/n
+    assert abs(ccc_score(x, x) - 99 / 100) < 1e-9
     assert ccc_score(x, -x) < 0.0  # anti-correlation is NEGATIVE

@@ -56,7 +56,39 @@ def test_regression_perf_metrics():
     ident = {k: {'labels': v['labels'], 'preds': v['labels']}
              for k, v in data.items()}
     p = compute_regression_perf(ident)
-    assert abs(p['ccc'] - 1.0) < 1e-9 and p['rmse'] < 1e-12
+    # reference quirk (base/logger.py:232-246): ddof=0 covariance over
+    # ddof=1 variances, so identical arrays score (n-1)/n — NOT 1.0
+    n = sum(len(v['labels']) for v in data.values())
+    assert abs(p['ccc'] - (n - 1) / n) < 1e-9 and p['rmse'] < 1e-12
+
+
+def test_regression_metrics_parity_vs_reference():
+    """rmse/pcc/ccc equal the IMPORTED reference's
+    ContinuousMetricsCalculator.calculator on the same concatenated
+    arrays — the 'overall' partition-wise semantics of
+    /root/reference/base/logger.py:314-346 (ccc notably mixes a ddof=0
+    covariance with Matlab-nanvar ddof=1 variances, logger.py:232-246)."""
+    from conftest import add_reference_to_path
+    add_reference_to_path()
+    from base.logger import ContinuousMetricsCalculator as RefCalc
+
+    rng = np.random.default_rng(3)
+    data = {}
+    for i in range(4):
+        T = int(rng.integers(20, 61))
+        lab = rng.uniform(-1.0, 1.0, size=T)
+        data[f'vid{i}'] = {'labels': lab,
+                           'preds': np.tanh(lab + 0.3 * rng.normal(size=T))}
+    perf = compute_regression_perf(data)
+
+    preds = np.concatenate([d['preds'] for d in data.values()])
+    golds = np.concatenate([d['labels'] for d in data.values()])
+    ref_rmse = RefCalc.calculator(None, preds, golds, 'rmse')
+    ref_pcc = RefCalc.calculator(None, preds, golds, 'pcc')
+    ref_ccc = RefCalc.calculator(None, preds, golds, 'ccc')
+    assert abs(perf['rmse'] - float(ref_rmse)) < 1e-12, (perf, ref_rmse)
+    assert abs(perf['pcc'] - float(ref_pcc[0])) < 1e-12, (perf, ref_pcc)
+    assert abs(perf['ccc'] - float(ref_ccc)) < 1e-12, (perf, ref_ccc)
 
 
 def test_regression_viz_artifacts(tmp_path):

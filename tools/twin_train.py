@@ -6,7 +6,8 @@ with matched config, and compare
     (FRAMES_VOTE / FRAMES_AVG_PROBS / FRAMES_AVG_LOGITS,
     /root/reference/trainer.py:716-750, metrics.py:196-462),
   * the per-epoch validation W-F1 curves,
-  * a deterministic LOCKSTEP leg per model family (LFAN/CAN/JMT/MT;
+  * a deterministic LOCKSTEP leg per model family (LFAN/CAN/JMT/MT,
+    plus LFAN_REG = the REGRESSION task's tanh head under CCCLoss;
     dropout zeroed, matched init, same fixed batch cycle in both
     stacks): per-step train losses and the final held-out eval loss
     must agree at fp32-drift tolerance — this
@@ -238,10 +239,16 @@ def _make_lockstep_ref(model_name: str, T: int):
     from fvt_tpu.config import model_config as MC
     from fvt_tpu import constants
 
-    if model_name == 'LFAN':
+    if model_name in ('LFAN', 'LFAN_REG'):
+        # LFAN_REG: the REGRESSION task head (output_dim=1 + tanh,
+        # model.py:485+523) trained under CCCLoss
+        # (base/loss_function.py:6-24 via base/trainer.py:278)
         from models.model import LFAN as RefLFAN
+        reg = model_name == 'LFAN_REG'
         return RefLFAN(backbone_settings=MC.BACKBONE_SETTINGS,
-                       output_dim=7, task=constants.CLASSIFICATION,
+                       output_dim=1 if reg else 7,
+                       task=(constants.REGRESSION if reg
+                             else constants.CLASSIFICATION),
                        modality=['vggish', 'bert'], example_length=T,
                        kernel_size=5, tcn_channel=MC.TCN_CHANNELS,
                        modal_dim=32, num_heads=2, root_dir='',
@@ -300,7 +307,9 @@ def _lockstep_probe(init_pt: str, model_name: str = 'LFAN',
     step) + optimizer construction.  ``model_name`` covers all four
     fusion families (LFAN/CAN default feature-only; JMT/MT run a raw
     video stream through a frozen stand-in backbone, exercising the
-    split_frozen no-grad/no-decay path against torch requires_grad=False)."""
+    split_frozen no-grad/no-decay path against torch requires_grad=False)
+    plus 'LFAN_REG': the REGRESSION task (tanh head, CCCLoss gradient,
+    continuous labels — base/trainer.py:278 + base/loss_function.py)."""
     import torch
     import jax
     import jax.numpy as jnp
@@ -316,28 +325,36 @@ def _lockstep_probe(init_pt: str, model_name: str = 'LFAN',
     from fvt_tpu.train.steps import create_train_state, make_train_step
 
     sd = torch.load(init_pt, map_location='cpu')
+    task = (constants.REGRESSION if model_name == 'LFAN_REG'
+            else constants.CLASSIFICATION)
 
     # --- torch reference, dropout zeroed, TRAIN mode
     ref = _make_lockstep_ref(model_name, T)
-    if model_name == 'LFAN':
+    if model_name in ('LFAN', 'LFAN_REG'):
         ref.init()
     ref.load_state_dict(sd, strict=True)
     for m in ref.modules():
         if isinstance(m, torch.nn.Dropout):
             m.p = 0.0
     ref.train()
-    crit = torch.nn.CrossEntropyLoss(reduction='mean')
+    if task == constants.REGRESSION:
+        from base.loss_function import CCCLoss
+        crit = CCCLoss()  # called criterion(labels, outputs) like
+        # base/trainer.py:278
+    else:
+        crit = torch.nn.CrossEntropyLoss(reduction='mean')
     opt = torch.optim.SGD(ref.parameters(), lr=lr, momentum=0.9,
                           nesterov=True, weight_decay=1e-4)
 
     # --- fvt_tpu, dropout-zero model, same ported init
-    if model_name == 'LFAN':
+    if model_name in ('LFAN', 'LFAN_REG'):
         modality = ('vggish', 'bert')
         params, stats = port.lfan_from_torch(sd, list(modality),
                                              MC.TCN_CHANNELS,
                                              MC.EMBEDDING_DIM)
-        model = LFAN(modality=modality, output_dim=7,
-                     tcn_dropout=0.0, fusion_dropout=0.0)
+        model = LFAN(modality=modality,
+                     output_dim=1 if task == constants.REGRESSION else 7,
+                     task=task, tcn_dropout=0.0, fusion_dropout=0.0)
     elif model_name == 'CAN':
         modality = ('vggish', 'bert')
         params, stats = port.can_from_torch(sd, list(modality),
@@ -386,23 +403,45 @@ def _lockstep_probe(init_pt: str, model_name: str = 'LFAN',
         stats = jax.tree.map(lambda a: np.asarray(a, np.float64), stats)
 
     rng = np.random.default_rng(0)
+
+    def _labels():
+        if task == constants.REGRESSION:
+            # f32-representable values so both stacks see EXACTLY the
+            # same continuous labels in the x64 legs too (the fvt step
+            # casts labels to the model output dtype)
+            return rng.uniform(-1.0, 1.0, size=(B, T)).astype(np.float32)
+        return rng.integers(0, 7, size=(B, T))
+
     if model_name in ('JMT', 'MT'):
         batches = [(rng.normal(size=(B, T, 3, 8, 8)).astype(dt),
                     rng.normal(size=(B, T, 128)).astype(dt),
-                    rng.integers(0, 7, size=(B, T)))
+                    _labels())
                    for _ in range(n_batches + 1)]
     else:
         batches = [(rng.normal(size=(B, T, 128)).astype(dt),
                     rng.normal(size=(B, T, 768)).astype(dt),
-                    rng.integers(0, 7, size=(B, T)))
+                    _labels())
                    for _ in range(n_batches + 1)]
     held_out, batches = batches[-1], batches[:-1]
+
+    def _lab_arr(lab):
+        if task == constants.REGRESSION:
+            return jnp.asarray(lab.astype(dt))
+        return jnp.asarray(lab.astype(np.int32))
+
+    def _ref_loss(out, lab):
+        if task == constants.REGRESSION:
+            # base/trainer.py:278: criterion(labels, outputs) with
+            # (B, T, 1) continuous labels against the tanh head
+            return crit(torch.from_numpy(lab.astype(dt)[..., None]), out)
+        return crit(out.reshape(B * T, 7),
+                    torch.from_numpy(lab.reshape(-1)))
 
     if model_name in ('JMT', 'MT'):
         def fvt_batch(vid, vg, lab):
             return {'video': jnp.asarray(vid.transpose(0, 1, 3, 4, 2)),
                     'vggish': jnp.asarray(vg),
-                    constants.EXPR: jnp.asarray(lab.astype(np.int32))}
+                    constants.EXPR: _lab_arr(lab)}
 
         def ref_inputs(vid, vg):
             return {'video': torch.from_numpy(vid.copy()),
@@ -410,7 +449,7 @@ def _lockstep_probe(init_pt: str, model_name: str = 'LFAN',
     else:
         def fvt_batch(vg, bt, lab):
             return {'vggish': jnp.asarray(vg), 'bert': jnp.asarray(bt),
-                    constants.EXPR: jnp.asarray(lab.astype(np.int32))}
+                    constants.EXPR: _lab_arr(lab)}
 
         def ref_inputs(vg, bt):
             return {'vggish': torch.from_numpy(vg[:, None].copy()),
@@ -433,14 +472,13 @@ def _lockstep_probe(init_pt: str, model_name: str = 'LFAN',
         # grafted params so momentum buffers carry the run's dtype
         state = state.replace(
             opt_state=optimizer.init(split_frozen(state.params)[0]))
-        step = make_train_step(model, optimizer)
+        step = make_train_step(model, optimizer, task)
 
         ref_losses, fvt_losses = [], []
         for i in range(n_steps):
             a, b, lab = batches[i % n_batches]
             out = ref(ref_inputs(a, b))
-            loss = crit(out.reshape(B * T, 7),
-                        torch.from_numpy(lab.reshape(-1)))
+            loss = _ref_loss(out, lab)
             opt.zero_grad()
             loss.backward()
             opt.step()
@@ -454,16 +492,21 @@ def _lockstep_probe(init_pt: str, model_name: str = 'LFAN',
         ref.eval()
         with torch.no_grad():
             out = ref(ref_inputs(a, b))
-            ref_eval = float(crit(out.reshape(B * T, 7),
-                                  torch.from_numpy(lab.reshape(-1))))
+            ref_eval = float(_ref_loss(out, lab))
         fvt_in = fvt_batch(a, b, lab)
         del fvt_in[constants.EXPR]
         logits = model.apply({'params': state.params,
                               'batch_stats': state.batch_stats},
                              fvt_in, train=False)
-        fvt_eval = float(optax.softmax_cross_entropy_with_integer_labels(
-            logits.reshape(-1, 7),
-            jnp.asarray(lab.reshape(-1).astype(np.int32))).mean())
+        if task == constants.REGRESSION:
+            from fvt_tpu.train.losses import ccc_loss
+            fvt_eval = float(ccc_loss(jnp.asarray(lab.astype(dt)),
+                                      logits[..., 0]))
+        else:
+            fvt_eval = float(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    logits.reshape(-1, 7),
+                    jnp.asarray(lab.reshape(-1).astype(np.int32))).mean())
 
         dsteps = [abs(x - y) for x, y in zip(ref_losses, fvt_losses)]
         out = {'model': model_name,
@@ -554,7 +597,7 @@ def main(workdir: str = '/tmp/fvt_twin', epochs: int = 5,
     # loosely rather than tightly).
     import torch
     lockstep = {}
-    for mn in ('LFAN', 'CAN', 'JMT', 'MT'):
+    for mn in ('LFAN', 'CAN', 'JMT', 'MT', 'LFAN_REG'):
         print(f'== twin_train: lockstep probe {mn} x64 (12 steps, '
               f'dropout off) ==', flush=True)
         if mn == 'LFAN':
@@ -562,6 +605,8 @@ def main(workdir: str = '/tmp/fvt_twin', epochs: int = 5,
         else:
             torch.manual_seed(11)
             m = _make_lockstep_ref(mn, 300)
+            if mn == 'LFAN_REG':
+                m.init()
             pt = join(workdir, f'lockstep_init_{mn}.pt')
             torch.save(m.state_dict(), pt)
         lockstep[mn] = _lockstep_probe(pt, model_name=mn, x64=True)
@@ -627,7 +672,7 @@ def main(workdir: str = '/tmp/fvt_twin', epochs: int = 5,
     checks['lockstep_exact_x64'] = bool(all(
         lockstep[mn]['max_step_loss_delta'] <= 1e-9
         and lockstep[mn]['final_eval_loss_delta'] <= 1e-9
-        for mn in ('LFAN', 'CAN', 'JMT', 'MT')))
+        for mn in ('LFAN', 'CAN', 'JMT', 'MT', 'LFAN_REG')))
     checks['lockstep_f32_drift_bounded'] = bool(
         lockstep['LFAN_f32']['max_step_loss_delta'] <= 5e-3
         and lockstep['LFAN_f32']['final_eval_loss_delta'] <= 5e-3)
