@@ -1,0 +1,254 @@
+"""Legacy VA-regression fit loop — the reference's
+GenericVideoTrainer.fit / loop (/root/reference/base/trainer.py:118-316)
+composed from the fvt_tpu pieces (REGRESSION train step + CCC loss,
+compute_regression_perf, regression_viz CSV/plots, optim schedulers).
+
+Faithful semantics, each pinned by tests/test_regression_trainer.py:
+
+  * epoch loss = sum of per-batch MEAN losses divided by the number of
+    SEQUENCES seen (not batches) — base/trainer.py:261+280+290;
+  * per-frame outputs AND labels of overlapping windows are averaged
+    per trial (ContinuousOutputHandler, base/logger.py:89-129) — here
+    one scatter-add accumulation per trial, train records taken from
+    the SAME train-mode forward that produced the loss
+    (base/trainer.py:276-286 → steps.make_train_step(with_outputs));
+  * best model selected by validation CCC ('overall' concatenated
+    partition), weights snapshotted + persisted (base/trainer.py:168-185);
+  * early stopping only after ``min_epoch``, counter reset on
+    improvement, else decremented; exhaustion marks fit_finished and the
+    NEXT epoch breaks (the stopping epoch itself completes, including
+    the scheduler step) — base/trainer.py:213-221+135-139;
+  * scheduler stepped per epoch on the VALIDATION LOSS
+    (base/trainer.py:223); warmup at epoch granularity (the per-batch
+    ramp caveat is documented on optim.MyWarmupSchedule);
+  * at a milestone epoch the best weights are reloaded and an optional
+    ``param_control.release()`` fires (base/trainer.py:140-149; the
+    release itself only applies to models carrying a frozen spatial
+    backbone);
+  * ``load_best_at_each_epoch`` restores the running best after every
+    epoch (base/trainer.py:228-229); fit always ends on the best
+    weights (base/trainer.py:233).
+
+Batch protocol (mirrors the reference dataloader tuple,
+base/trainer.py:254): iterables yield ``(X, trials, lengths, indices)``
+where X holds one window of each modality (B, w, ...) plus a
+``*continuous_label`` stream (B, w), ``trials`` names the source video
+per row, ``lengths`` is the full trial length, and ``indices`` (B, w)
+maps window frames into the trial.
+"""
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from fvt_tpu import constants
+from fvt_tpu.train import optim
+from fvt_tpu.train import regression_viz as RV
+from fvt_tpu.train.losses import ccc_loss
+from fvt_tpu.train.metrics import compute_regression_perf
+from fvt_tpu.train.steps import (create_train_state, label_key,
+                                 make_eval_step, make_train_step)
+from fvt_tpu.utils import rng as rng_mod
+from fvt_tpu.utils.logger import log
+
+
+class RegressionTrainer:
+    """See module docstring.  ``args`` needs the optimizer/scheduler
+    hyperparameters plus num_epochs / min_num_epochs / early_stopping /
+    seed / outd (and optionally milestone, load_best_at_each_epoch,
+    save_plot)."""
+
+    def __init__(self, model, args, param_control=None):
+        self.model = model
+        self.args = args
+        hp = optim.standardize_opt_params(vars(args))
+        self.optimizer = optim.build_optimizer(hp)
+        self.scheduler = optim.build_scheduler(
+            hp, args.num_epochs, args.min_num_epochs)
+        self.train_step = make_train_step(model, self.optimizer,
+                                          task=constants.REGRESSION,
+                                          with_outputs=True)
+        self.eval_step = make_eval_step(model)
+        self.param_control = param_control
+
+        self.state = None
+        self.fit_finished = False
+        self.early_stopping_counter = int(
+            getattr(args, 'early_stopping', 0))
+        # base/trainer.py:131-135
+        self.best = {'params': None, 'batch_stats': None,
+                     'loss': 1e10, 'ccc': -1e10, 'epoch': 0}
+
+    # ------------------------------------------------------------- state
+    def init_state(self, sample_batch: Dict[str, np.ndarray]):
+        key = rng_mod.root_key(self.args.seed)
+        batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        self.state = create_train_state(self.model, self.optimizer, batch,
+                                        rng_mod.fold_key(key, 'init'))
+        return self.state
+
+    def _snapshot_best(self, val_loss: float, ccc: float, epoch: int):
+        self.best = {
+            'params': jax.tree.map(np.asarray, self.state.params),
+            'batch_stats': jax.tree.map(np.asarray,
+                                        self.state.batch_stats),
+            'loss': float(val_loss), 'ccc': float(ccc), 'epoch': epoch}
+
+    def _restore_best(self):
+        if self.best['params'] is not None:
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, self.best['params']),
+                batch_stats=jax.tree.map(jnp.asarray,
+                                         self.best['batch_stats']))
+
+    # -------------------------------------------------------------- loop
+    def loop(self, loader: Iterable, epoch: Optional[int],
+             train_mode: bool):
+        """One pass (base/trainer.py:236-316): returns
+        (epoch_loss, perf, per_video records {'labels','preds'})."""
+        assert self.state is not None, 'init_state first'
+        epoch_key = rng_mod.fold_key(rng_mod.root_key(self.args.seed),
+                                     'epoch', epoch or 0)
+        running_loss, n_seqs = 0.0, 0
+        acc: Dict[str, dict] = {}  # trial -> sums/labsums/counts
+
+        for X, trials, lengths, indices in loader:
+            n_seqs += len(trials)
+            lkey = label_key(X)
+            jbatch = {k: jnp.asarray(v) for k, v in X.items()}
+            if train_mode:
+                self.state, loss, out = self.train_step(
+                    self.state, jbatch, epoch_key)
+            else:
+                inputs = {k: v for k, v in jbatch.items() if k != lkey}
+                out = self.eval_step(self.state.params,
+                                     self.state.batch_stats, inputs)
+                loss = ccc_loss(jbatch[lkey].astype(out.dtype),
+                                out[..., 0])
+            running_loss += float(loss)
+
+            out = np.asarray(out[..., 0], np.float64)
+            labs = np.asarray(X[lkey], np.float64)
+            for i, trial in enumerate(trials):
+                a = acc.get(trial)
+                if a is None:
+                    a = acc[trial] = {
+                        'sums': np.zeros(lengths[i]),
+                        'labsums': np.zeros(lengths[i]),
+                        'counts': np.zeros(lengths[i])}
+                # the handler stops at the trial length
+                # (base/logger.py:104-108)
+                k = min(int(lengths[i]), out.shape[1])
+                idx = np.asarray(indices[i][:k], np.int64)
+                np.add.at(a['sums'], idx, out[i, :k])
+                np.add.at(a['labsums'], idx, labs[i, :k])
+                np.add.at(a['counts'], idx, 1.0)
+
+        per_video = {}
+        for trial, a in acc.items():
+            c = np.maximum(a['counts'], 1.0)
+            per_video[trial] = {'labels': a['labsums'] / c,
+                                'preds': a['sums'] / c}
+        # sum of batch-mean losses over the number of sequences
+        # (base/trainer.py:261+290) — a reference quirk, kept verbatim
+        epoch_loss = running_loss / max(n_seqs, 1)
+        return epoch_loss, compute_regression_perf(per_video), per_video
+
+    # --------------------------------------------------------------- fit
+    def fit(self, train_loader_fn: Callable[[int], Iterable],
+            valid_loader_fn: Callable[[], Iterable]):
+        """base/trainer.py:118-233.  ``train_loader_fn(epoch)`` yields a
+        fresh train pass; ``valid_loader_fn()`` a validation pass."""
+        outd = self.args.outd
+        os.makedirs(outd, exist_ok=True)
+        RV.init_epoch_csv(outd)
+        raw_ms = getattr(self.args, 'milestone', ()) or ()
+        if isinstance(raw_ms, str):  # the CLI's '+'-separated form
+            raw_ms = [int(m) for m in raw_ms.replace('+', ',').split(',')
+                      if m]
+        milestones = set(int(m) for m in raw_ms)
+
+        for epoch in range(self.args.num_epochs):
+            if self.fit_finished:
+                log('regression fit: early stop')
+                break
+            if epoch in milestones:
+                # release frozen-backbone params (models that carry one)
+                # and restart from the running best (base/trainer.py:140-149)
+                if self.param_control is not None:
+                    self.param_control.release(epoch)
+                self._restore_best()
+            if self.scheduler is not None:
+                self.state = self.state.replace(
+                    opt_state=optim.set_lr(self.state.opt_state,
+                                           self.scheduler.lr(epoch)))
+
+            tr_loss, tr_perf, _ = self.loop(
+                train_loader_fn(epoch), epoch, train_mode=True)
+            val_loss, val_perf, val_records = self.loop(
+                valid_loader_fn(), epoch, train_mode=False)
+
+            improvement = val_perf['ccc'] > self.best['ccc']
+            if improvement:  # base/trainer.py:168-185
+                self._snapshot_best(val_loss, val_perf['ccc'], epoch)
+                self._save_best(outd)
+
+            lr = (self.scheduler.lr(epoch) if self.scheduler is not None
+                  else self.args.opt__lr)
+            RV.append_epoch_csv(outd, epoch, self.best['epoch'], lr,
+                                tr_loss, val_loss, tr_perf, val_perf)
+            if getattr(self.args, 'save_plot', False):
+                RV.save_output_vs_label_plots(val_records, val_perf, outd,
+                                              epoch, train_mode=False)
+            log(f'regression epoch {epoch}: train {tr_loss:.4f} '
+                f'valid {val_loss:.4f} ccc {val_perf["ccc"]:.4f} '
+                f'best@{self.best["epoch"]}')
+
+            # base/trainer.py:213-221 (gated on the CONFIG value, like
+            # the reference — the counter itself may legally reach 0)
+            if (int(getattr(self.args, 'early_stopping', 0))
+                    and epoch > self.args.min_num_epochs):
+                if improvement:
+                    self.early_stopping_counter = int(
+                        self.args.early_stopping)
+                else:
+                    self.early_stopping_counter -= 1
+                if self.early_stopping_counter <= 0:
+                    self.fit_finished = True
+
+            if self.scheduler is not None:
+                self.scheduler.step(epoch, metric=val_loss)
+            if getattr(self.args, 'load_best_at_each_epoch', False):
+                self._restore_best()
+
+        self.fit_finished = True
+        self._restore_best()  # base/trainer.py:233
+        return self.best
+
+    def _save_best(self, outd: str):
+        """model_state_dict persistence (base/trainer.py:169-170), in the
+        repo's msgpack container (same layout Trainer.load_best_model
+        reads)."""
+        with open(join(outd, 'model_state_dict.msgpack'), 'wb') as f:
+            f.write(serialization.to_bytes(
+                {'params': self.best['params'],
+                 'batch_stats': self.best['batch_stats']}))
+
+    # -------------------------------------------------------------- test
+    def test(self, test_loader_fn: Callable[[], Iterable]):
+        """Final held-out pass on the best weights: metrics row +
+        test plots (base/trainer.py:60-72 + checkpointer.py:62-65)."""
+        self._restore_best()
+        loss, perf, records = self.loop(test_loader_fn(), None,
+                                        train_mode=False)
+        RV.append_test_csv(self.args.outd, perf)
+        if getattr(self.args, 'save_plot', False):
+            RV.save_output_vs_label_plots(records, perf, self.args.outd,
+                                          epoch=None)
+        return loss, perf, records

@@ -88,13 +88,28 @@ def cross_entropy_frames(logits: jnp.ndarray, labels: jnp.ndarray
         logits.reshape(b * t, c), labels.reshape(b * t)).mean()
 
 
+def label_key(batch: Dict[str, Any]) -> str:
+    """The single ``*continuous_label`` key of a batch — EXPR for the
+    classification datasets, VA_continuous_label (or bare
+    continuous_label) for the legacy regression data
+    (base/trainer.py:265-269 pops whichever is present)."""
+    keys = [k for k in batch if 'continuous_label' in k]
+    assert len(keys) == 1, f'expected one label stream, got {keys}'
+    return keys[0]
+
+
 def train_step_body(model, optimizer,
-                    task: str = constants.CLASSIFICATION) -> Callable:
+                    task: str = constants.CLASSIFICATION,
+                    with_outputs: bool = False) -> Callable:
     """The UNJITTED train step: forward (+ batch-stat update), loss,
     backward, optimizer update.  One body shared by the single-chip jit
     (make_train_step) and the DP pjit (parallel.dp.make_dp_train_step):
     the two wrappers differ only in sharding/donation kwargs, so their
-    semantics cannot drift apart."""
+    semantics cannot drift apart.
+
+    ``with_outputs``: also return the train-mode forward outputs (the
+    legacy regression loop records them for train metrics from the SAME
+    forward that produced the loss, base/trainer.py:276-286)."""
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng_key: jax.Array):
         # per-step stream derived INSIDE the jit from (epoch key, step
@@ -102,7 +117,7 @@ def train_step_body(model, optimizer,
         # tiny device dispatch, measured at 67 ms/step of tunnel
         # round-trip on axon (201 -> 134 ms/step when hoisted)
         dropout_rng = jax.random.fold_in(rng_key, state.step)
-        labels = batch[constants.EXPR]
+        labels = batch[label_key(batch)]
         inputs = {k: v for k, v in batch.items()
                   if 'continuous_label' not in k}
         transform_rng, dropout_rng = jax.random.split(dropout_rng)
@@ -124,9 +139,9 @@ def train_step_body(model, optimizer,
                 loss = ccc_loss(labels.astype(out.dtype), out[..., 0])
             else:
                 loss = cross_entropy_frames(out, labels)
-            return loss, mutated['batch_stats']
+            return loss, (mutated['batch_stats'], out)
 
-        (loss, new_stats), grads = jax.value_and_grad(
+        (loss, (new_stats, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, trainable)
@@ -136,14 +151,17 @@ def train_step_body(model, optimizer,
                                   batch_stats=new_stats,
                                   opt_state=new_opt_state,
                                   step=state.step + 1)
+        if with_outputs:
+            return new_state, loss, out
         return new_state, loss
 
     return train_step
 
 
 def make_train_step(model, optimizer,
-                    task: str = constants.CLASSIFICATION) -> Callable:
-    return jax.jit(train_step_body(model, optimizer, task))
+                    task: str = constants.CLASSIFICATION,
+                    with_outputs: bool = False) -> Callable:
+    return jax.jit(train_step_body(model, optimizer, task, with_outputs))
 
 
 def make_eval_step(model, needs_time_mask: bool = False,
