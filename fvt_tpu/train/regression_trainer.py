@@ -39,6 +39,7 @@ maps window frames into the trial.
 from __future__ import annotations
 
 import os
+import pickle
 from os.path import join
 from typing import Callable, Dict, Iterable, Optional
 
@@ -78,6 +79,7 @@ class RegressionTrainer:
         self.param_control = param_control
 
         self.state = None
+        self.start_epoch = 0
         self.fit_finished = False
         self.early_stopping_counter = int(
             getattr(args, 'early_stopping', 0))
@@ -106,6 +108,45 @@ class RegressionTrainer:
                 params=jax.tree.map(jnp.asarray, self.best['params']),
                 batch_stats=jax.tree.map(jnp.asarray,
                                          self.best['batch_stats']))
+
+    # -------------------------------------------------------- checkpoint
+    CKPT_NAME = 'checkpoint.pkl'  # the reference's filename
+
+    def save_checkpoint(self):
+        """Per-epoch resume blob.  The reference pickles the WHOLE
+        trainer + param controller (base/checkpointer.py:37-44); here
+        the explicit resume fields: full TrainState (params, batch
+        stats, optimizer momentum, step counter), best snapshot,
+        early-stopping countdown, scheduler plateau state."""
+        blob = {'start_epoch': self.start_epoch,
+                'fit_finished': self.fit_finished,
+                'early_stopping_counter': self.early_stopping_counter,
+                'best': self.best,
+                'state': serialization.to_state_dict(
+                    jax.tree.map(np.asarray, self.state)),
+                'scheduler': (self.scheduler.state_dict()
+                              if self.scheduler is not None else None)}
+        tmp = join(self.args.outd, self.CKPT_NAME + '.tmp')
+        with open(tmp, 'wb') as f:
+            pickle.dump(blob, f)
+        os.replace(tmp, join(self.args.outd, self.CKPT_NAME))
+
+    def load_checkpoint(self):
+        """resume=1 (base/checkpointer.py:22-35).  Call AFTER
+        init_state — the live state pytree is the deserialization
+        template."""
+        assert self.state is not None, 'init_state first'
+        with open(join(self.args.outd, self.CKPT_NAME), 'rb') as f:
+            blob = pickle.load(f)
+        self.state = jax.tree.map(jnp.asarray, serialization
+                                  .from_state_dict(self.state,
+                                                   blob['state']))
+        self.start_epoch = int(blob['start_epoch'])
+        self.fit_finished = bool(blob['fit_finished'])
+        self.early_stopping_counter = int(blob['early_stopping_counter'])
+        self.best = blob['best']
+        if self.scheduler is not None and blob['scheduler'] is not None:
+            self.scheduler.load_state_dict(blob['scheduler'])
 
     # -------------------------------------------------------------- loop
     def loop(self, loader: Iterable, epoch: Optional[int],
@@ -167,14 +208,15 @@ class RegressionTrainer:
         fresh train pass; ``valid_loader_fn()`` a validation pass."""
         outd = self.args.outd
         os.makedirs(outd, exist_ok=True)
-        RV.init_epoch_csv(outd)
+        if self.start_epoch == 0:  # a resumed run appends to its rows
+            RV.init_epoch_csv(outd)
         raw_ms = getattr(self.args, 'milestone', ()) or ()
         if isinstance(raw_ms, str):  # the CLI's '+'-separated form
             raw_ms = [int(m) for m in raw_ms.replace('+', ',').split(',')
                       if m]
         milestones = set(int(m) for m in raw_ms)
 
-        for epoch in range(self.args.num_epochs):
+        for epoch in range(self.start_epoch, self.args.num_epochs):
             if self.fit_finished:
                 log('regression fit: early stop')
                 break
@@ -226,8 +268,13 @@ class RegressionTrainer:
                 self.scheduler.step(epoch, metric=val_loss)
             if getattr(self.args, 'load_best_at_each_epoch', False):
                 self._restore_best()
+            # checkpoint LAST, after the scheduler step, like the
+            # reference (base/trainer.py:224-231)
+            self.start_epoch = epoch + 1
+            self.save_checkpoint()
 
         self.fit_finished = True
+        self.save_checkpoint()  # base/trainer.py:226-228
         self._restore_best()  # base/trainer.py:233
         return self.best
 

@@ -132,6 +132,49 @@ def test_epoch_loss_is_sum_of_batch_means_over_sequences(fitted):
     assert abs(loss - expect / n) < 1e-6
 
 
+def test_checkpoint_resume_is_exact(tmp_path):
+    """An interrupted run resumed from checkpoint.pkl must reproduce the
+    uninterrupted run bit-for-bit: TrainState (params, momentum, step
+    counter), best snapshot, scheduler and stopping state all round-trip
+    (base/checkpointer.py:22-44; deterministic here — dropout is 0 and
+    the batch cycle is fixed)."""
+    import jax
+    train = _synth_trials(4, seed=0)
+    valid = _synth_trials(2, seed=1)
+
+    def make(outd, epochs):
+        args = _make_args(outd, num_epochs=epochs, min_num_epochs=1)
+        model = LFAN(modality=('vggish',), output_dim=1,
+                     task=constants.REGRESSION,
+                     tcn_dropout=0.0, fusion_dropout=0.0)
+        t = RegressionTrainer(model, args)
+        t.init_state(next(_loader(train))[0])
+        return t
+
+    # straight 6-epoch run
+    a = make(tmp_path / 'a', 6)
+    best_a = a.fit(lambda e: _loader(train), lambda: _loader(valid))
+
+    # 3 epochs, then a fresh process resumes to 6
+    b1 = make(tmp_path / 'b', 3)
+    b1.fit(lambda e: _loader(train), lambda: _loader(valid))
+    b2 = make(tmp_path / 'b', 6)
+    b2.load_checkpoint()
+    assert b2.start_epoch == 3
+    # phase 1 COMPLETED its (shorter) budget, so it is marked finished;
+    # raising the budget and continuing clears the flag (a killed run
+    # would resume with fit_finished False automatically)
+    assert b2.fit_finished
+    b2.fit_finished = False
+    best_b = b2.fit(lambda e: _loader(train), lambda: _loader(valid))
+
+    assert best_b['epoch'] == best_a['epoch']
+    assert abs(best_b['ccc'] - best_a['ccc']) < 1e-12
+    for la, lb in zip(jax.tree.leaves(best_a['params']),
+                      jax.tree.leaves(best_b['params'])):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_early_stopping_counter_semantics(tmp_path):
     """Scripted validation CCCs: improvement only at epoch 0; with
     early_stopping=2 and min_num_epochs=0 the counter decrements at
