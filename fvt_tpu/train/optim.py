@@ -80,13 +80,28 @@ def build_optimizer(hp) -> optax.GradientTransformation:
     return optax.inject_hyperparams(with_lr)(learning_rate=hp.lr)
 
 
+def _inject_state(opt_state):
+    """The inject_hyperparams state, unwrapping a param_control freeze
+    when present (PartitionState -> 'train' MaskedState -> inject)."""
+    s = opt_state
+    while not hasattr(s, 'hyperparams'):
+        if hasattr(s, 'inner_states'):   # optax.multi_transform
+            s = s.inner_states['train']
+        elif hasattr(s, 'inner_state'):  # optax.masked
+            s = s.inner_state
+        else:
+            raise TypeError(
+                f'no hyperparams state inside {type(opt_state).__name__}')
+    return s
+
+
 def set_lr(opt_state, lr: float):
-    opt_state.hyperparams['learning_rate'] = lr
+    _inject_state(opt_state).hyperparams['learning_rate'] = lr
     return opt_state
 
 
 def get_lr(opt_state) -> float:
-    return float(opt_state.hyperparams['learning_rate'])
+    return float(_inject_state(opt_state).hyperparams['learning_rate'])
 
 
 # ----------------------------------------------------------------- schedules
@@ -244,6 +259,18 @@ class MyWarmupSchedule(Scheduler):
         return self.current_lr
 
 
+def parse_milestones(raw) -> list:
+    """Epoch milestones: the reference documents '+'-separated strings
+    (parseit.py); ','-separated and int sequences stay accepted.  ONE
+    parser for the MULTISTEP schedule and the regression loop's
+    best-reload/release milestones, so the two can't drift."""
+    if raw is None:
+        return []
+    if isinstance(raw, str):
+        return [int(m) for m in raw.replace('+', ',').split(',') if m]
+    return [int(m) for m in raw]
+
+
 def build_scheduler(hp, num_epochs: int, min_num_epochs: int
                     ) -> Optional[Scheduler]:
     """Dispatch per reference instantiators.py:103-181."""
@@ -253,13 +280,8 @@ def build_scheduler(hp, num_epochs: int, min_num_epochs: int
     if name == constants.STEP:
         return StepSchedule(hp.lr, hp.step_size, hp.gamma)
     if name == constants.MULTISTEP:
-        milestones = hp.milestone
-        if isinstance(milestones, str):
-            # the reference documents '+'-separated milestones
-            # (parseit.py); ','-separated stays accepted
-            milestones = [int(m)
-                          for m in milestones.replace('+', ',').split(',')]
-        return MultiStepSchedule(hp.lr, milestones, hp.gamma)
+        return MultiStepSchedule(hp.lr, parse_milestones(hp.milestone),
+                                 hp.gamma)
     if name == constants.MYSTEP:
         return MyStepSchedule(hp.lr, hp.step_size, hp.gamma, hp.min_lr)
     if name == constants.COSINE:

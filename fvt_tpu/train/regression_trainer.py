@@ -69,7 +69,12 @@ class RegressionTrainer:
         self.model = model
         self.args = args
         hp = optim.standardize_opt_params(vars(args))
-        self.optimizer = optim.build_optimizer(hp)
+        self.hp = hp
+        # the UNWRAPPED optimizer: param_control re-freezes it at each
+        # release (the reference rebuilds its optimizer the same way,
+        # base/parameter_control.py release -> get_optimizer)
+        self._base_optimizer = optim.build_optimizer(hp)
+        self.optimizer = self._base_optimizer
         self.scheduler = optim.build_scheduler(
             hp, args.num_epochs, args.min_num_epochs)
         self.train_step = make_train_step(model, self.optimizer,
@@ -93,7 +98,26 @@ class RegressionTrainer:
         batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         self.state = create_train_state(self.model, self.optimizer, batch,
                                         rng_mod.fold_key(key, 'init'))
+        if self.param_control is not None:
+            # start frozen to the base patterns (ResnetParamControl
+            # semantics: staged groups are locked until a release)
+            self._rewrap_optimizer()
         return self.state
+
+    def _rewrap_optimizer(self):
+        """Re-freeze the base optimizer to param_control's CURRENT
+        patterns, rebuild the jitted step, and re-init the optimizer
+        state (the reference rebuilds its optimizer at each release)."""
+        from fvt_tpu.train.param_control import freeze
+        from fvt_tpu.train.steps import split_frozen
+        trainable, _ = split_frozen(self.state.params)
+        self.optimizer = freeze(self._base_optimizer, trainable,
+                                self.param_control.current_patterns())
+        self.train_step = make_train_step(self.model, self.optimizer,
+                                          task=constants.REGRESSION,
+                                          with_outputs=True)
+        self.state = self.state.replace(
+            opt_state=self.optimizer.init(trainable))
 
     def _snapshot_best(self, val_loss: float, ccc: float, epoch: int):
         self.best = {
@@ -118,6 +142,7 @@ class RegressionTrainer:
         the explicit resume fields: full TrainState (params, batch
         stats, optimizer momentum, step counter), best snapshot,
         early-stopping countdown, scheduler plateau state."""
+        pc = self.param_control
         blob = {'start_epoch': self.start_epoch,
                 'fit_finished': self.fit_finished,
                 'early_stopping_counter': self.early_stopping_counter,
@@ -125,7 +150,11 @@ class RegressionTrainer:
                 'state': serialization.to_state_dict(
                     jax.tree.map(np.asarray, self.state)),
                 'scheduler': (self.scheduler.state_dict()
-                              if self.scheduler is not None else None)}
+                              if self.scheduler is not None else None),
+                'param_control': (None if pc is None else
+                                  {'released': pc.released,
+                                   'release_count': pc.release_count,
+                                   'early_stop': pc.early_stop})}
         tmp = join(self.args.outd, self.CKPT_NAME + '.tmp')
         with open(tmp, 'wb') as f:
             pickle.dump(blob, f)
@@ -138,6 +167,14 @@ class RegressionTrainer:
         assert self.state is not None, 'init_state first'
         with open(join(self.args.outd, self.CKPT_NAME), 'rb') as f:
             blob = pickle.load(f)
+        pc = blob.get('param_control')
+        if self.param_control is not None and pc is not None:
+            # reconstruct the release stage FIRST: the wrapped optimizer
+            # state is the deserialization template for blob['state']
+            self.param_control.released = int(pc['released'])
+            self.param_control.release_count = int(pc['release_count'])
+            self.param_control.early_stop = bool(pc['early_stop'])
+            self._rewrap_optimizer()
         self.state = jax.tree.map(jnp.asarray, serialization
                                   .from_state_dict(self.state,
                                                    blob['state']))
@@ -193,9 +230,17 @@ class RegressionTrainer:
 
         per_video = {}
         for trial, a in acc.items():
-            c = np.maximum(a['counts'], 1.0)
-            per_video[trial] = {'labels': a['labsums'] / c,
-                                'preds': a['sums'] / c}
+            uncovered = int((a['counts'] == 0).sum())
+            if uncovered:
+                # fail loudly like the reference (statistics.mean on an
+                # empty per-frame list, base/logger.py:110-119) —
+                # fabricating (0, 0) pairs would silently distort the
+                # CCC that drives best-model selection
+                raise ValueError(
+                    f'trial {trial}: {uncovered} frames covered by no '
+                    f'window — the window/hop plan must tile each trial')
+            per_video[trial] = {'labels': a['labsums'] / a['counts'],
+                                'preds': a['sums'] / a['counts']}
         # sum of batch-mean losses over the number of sequences
         # (base/trainer.py:261+290) — a reference quirk, kept verbatim
         epoch_loss = running_loss / max(n_seqs, 1)
@@ -210,21 +255,30 @@ class RegressionTrainer:
         os.makedirs(outd, exist_ok=True)
         if self.start_epoch == 0:  # a resumed run appends to its rows
             RV.init_epoch_csv(outd)
-        raw_ms = getattr(self.args, 'milestone', ()) or ()
-        if isinstance(raw_ms, str):  # the CLI's '+'-separated form
-            raw_ms = [int(m) for m in raw_ms.replace('+', ',').split(',')
-                      if m]
-        milestones = set(int(m) for m in raw_ms)
+        milestones = set(optim.parse_milestones(
+            getattr(self.args, 'milestone', None)))
 
         for epoch in range(self.start_epoch, self.args.num_epochs):
             if self.fit_finished:
                 log('regression fit: early stop')
                 break
-            if epoch in milestones:
-                # release frozen-backbone params (models that carry one)
-                # and restart from the running best (base/trainer.py:140-149)
+            lr_floor = (self.scheduler is not None
+                        and self.scheduler.lr(epoch)
+                        < getattr(self.hp, 'min_lr', 0.0))
+            if epoch in milestones or lr_floor:
+                # release the next staged param group and restart from
+                # the running best (base/trainer.py:140-149; the lr
+                # floor is the reference's second release trigger)
                 if self.param_control is not None:
-                    self.param_control.release(epoch)
+                    from fvt_tpu.train.steps import split_frozen
+                    self.param_control.release(
+                        self._base_optimizer,
+                        split_frozen(self.state.params)[0])
+                    if self.param_control.early_stop:
+                        log('regression fit: param_control exhausted — '
+                            'early stop (base/trainer.py:145-146)')
+                        break
+                    self._rewrap_optimizer()
                 self._restore_best()
             if self.scheduler is not None:
                 self.state = self.state.replace(

@@ -175,6 +175,86 @@ def test_checkpoint_resume_is_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_param_control_release_wiring(tmp_path):
+    """Milestone release: the staged 'temporal' group stays FROZEN
+    through epoch 0, gets released at the milestone (epoch 1), trains
+    afterwards, and the stage round-trips through checkpoint.pkl
+    (base/trainer.py:140-149 + ResnetParamControl semantics)."""
+    import jax
+    from fvt_tpu.train.param_control import ParamControl
+
+    args = _make_args(tmp_path, num_epochs=3, min_num_epochs=1,
+                      milestone=(1,))
+    model = LFAN(modality=('vggish',), output_dim=1,
+                 task=constants.REGRESSION,
+                 tcn_dropout=0.0, fusion_dropout=0.0)
+    pc = ParamControl([[r'temporal']], release_count=1,
+                      base_patterns=[r'fusion', r'regressor', r'bn_'])
+    tr = RegressionTrainer(model, args, param_control=pc)
+    train = _synth_trials(2, seed=0)
+    valid = _synth_trials(1, seed=1)
+    tr.init_state(next(_loader(train))[0])
+
+    def leaves(sub):
+        return [np.asarray(x) for x in jax.tree.leaves(
+            tr.state.params[sub])]
+
+    init_temporal = leaves('temporal_vggish')
+    init_head = leaves('regressor')
+    probes = {}
+
+    def train_fn(epoch):
+        if epoch == 1:  # after epoch 0 trained, milestone just fired
+            probes['temporal_still_init'] = all(
+                np.array_equal(a, b) for a, b in
+                zip(init_temporal, leaves('temporal_vggish')))
+            probes['head_moved'] = not all(
+                np.array_equal(a, b) for a, b in
+                zip(init_head, leaves('regressor')))
+        return _loader(train)
+
+    tr.fit(train_fn, lambda: _loader(valid))
+    assert probes == {'temporal_still_init': True, 'head_moved': True}
+    assert pc.released == 1 and not pc.early_stop
+    # released group trained during epochs 1-2
+    assert not all(np.array_equal(a, b) for a, b in
+                   zip(init_temporal, leaves('temporal_vggish')))
+
+    # stage survives resume: the wrapped opt-state template matches
+    t2 = RegressionTrainer(model, args,
+                           param_control=ParamControl(
+                               [[r'temporal']], release_count=1,
+                               base_patterns=[r'fusion', r'regressor',
+                                              r'bn_']))
+    t2.init_state(next(_loader(train))[0])
+    t2.load_checkpoint()
+    assert t2.param_control.released == 1
+    for a, b in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_uncovered_frames_raise(tmp_path):
+    """A window plan that leaves trial frames uncovered must fail
+    loudly (the reference's handler would crash on the empty per-frame
+    list), not fabricate (0, 0) pairs into the metrics."""
+    import pytest as _pytest
+    args = _make_args(tmp_path, num_epochs=1)
+    model = LFAN(modality=('vggish',), output_dim=1,
+                 task=constants.REGRESSION,
+                 tcn_dropout=0.0, fusion_dropout=0.0)
+    tr = RegressionTrainer(model, args)
+    trials = _synth_trials(1, seed=0)
+    tr.init_state(next(_loader(trials))[0])
+
+    def gappy():
+        for X, names, lengths, indices in _loader(trials):
+            yield X, names, [TRIAL_LEN + 5] * len(names), indices
+
+    with _pytest.raises(ValueError, match='covered by no window'):
+        tr.loop(gappy(), None, train_mode=False)
+
+
 def test_early_stopping_counter_semantics(tmp_path):
     """Scripted validation CCCs: improvement only at epoch 0; with
     early_stopping=2 and min_num_epochs=0 the counter decrements at
