@@ -186,6 +186,38 @@ class RegressionTrainer:
             self.scheduler.load_state_dict(blob['scheduler'])
 
     # -------------------------------------------------------------- loop
+    @staticmethod
+    def _accumulate(acc: Dict[str, dict], trials, lengths, indices,
+                    **rows: np.ndarray):
+        """Scatter one batch of per-window rows (one named array per
+        stream, e.g. sums=outputs, labsums=labels) into the per-trial
+        per-frame accumulators (ContinuousOutputHandler,
+        base/logger.py:89-129; the handler stops at the trial length).
+        Window coverage is counted once per frame."""
+        for i, trial in enumerate(trials):
+            a = acc.get(trial)
+            if a is None:
+                a = acc[trial] = {k: np.zeros(int(lengths[i]))
+                                  for k in (*rows, 'counts')}
+            for key, arr in rows.items():
+                k = min(int(lengths[i]), arr.shape[1])
+                idx = np.asarray(indices[i][:k], np.int64)
+                np.add.at(a[key], idx, arr[i, :k])
+            np.add.at(a['counts'], idx, 1.0)
+
+    @staticmethod
+    def _finalize(a: dict, key: str, trial: str) -> np.ndarray:
+        """Per-frame average; frames covered by NO window fail loudly
+        like the reference (statistics.mean on an empty per-frame list,
+        base/logger.py:110-119) — fabricating (0, 0) pairs would
+        silently distort the CCC that drives best-model selection."""
+        uncovered = int((a['counts'] == 0).sum())
+        if uncovered:
+            raise ValueError(
+                f'trial {trial}: {uncovered} frames covered by no '
+                f'window — the window/hop plan must tile each trial')
+        return a[key] / a['counts']
+
     def loop(self, loader: Iterable, epoch: Optional[int],
              train_mode: bool):
         """One pass (base/trainer.py:236-316): returns
@@ -211,36 +243,14 @@ class RegressionTrainer:
                                 out[..., 0])
             running_loss += float(loss)
 
-            out = np.asarray(out[..., 0], np.float64)
-            labs = np.asarray(X[lkey], np.float64)
-            for i, trial in enumerate(trials):
-                a = acc.get(trial)
-                if a is None:
-                    a = acc[trial] = {
-                        'sums': np.zeros(lengths[i]),
-                        'labsums': np.zeros(lengths[i]),
-                        'counts': np.zeros(lengths[i])}
-                # the handler stops at the trial length
-                # (base/logger.py:104-108)
-                k = min(int(lengths[i]), out.shape[1])
-                idx = np.asarray(indices[i][:k], np.int64)
-                np.add.at(a['sums'], idx, out[i, :k])
-                np.add.at(a['labsums'], idx, labs[i, :k])
-                np.add.at(a['counts'], idx, 1.0)
+            self._accumulate(acc, trials, lengths, indices,
+                             sums=np.asarray(out[..., 0], np.float64),
+                             labsums=np.asarray(X[lkey], np.float64))
 
-        per_video = {}
-        for trial, a in acc.items():
-            uncovered = int((a['counts'] == 0).sum())
-            if uncovered:
-                # fail loudly like the reference (statistics.mean on an
-                # empty per-frame list, base/logger.py:110-119) —
-                # fabricating (0, 0) pairs would silently distort the
-                # CCC that drives best-model selection
-                raise ValueError(
-                    f'trial {trial}: {uncovered} frames covered by no '
-                    f'window — the window/hop plan must tile each trial')
-            per_video[trial] = {'labels': a['labsums'] / a['counts'],
-                                'preds': a['sums'] / a['counts']}
+        per_video = {
+            trial: {'labels': self._finalize(a, 'labsums', trial),
+                    'preds': self._finalize(a, 'sums', trial)}
+            for trial, a in acc.items()}
         # sum of batch-mean losses over the number of sequences
         # (base/trainer.py:261+290) — a reference quirk, kept verbatim
         epoch_loss = running_loss / max(n_seqs, 1)
@@ -340,6 +350,35 @@ class RegressionTrainer:
             f.write(serialization.to_bytes(
                 {'params': self.best['params'],
                  'batch_stats': self.best['batch_stats']}))
+
+    # ----------------------------------------------------------- predict
+    def predict(self, loader_fn: Callable[[], Iterable], partition: str,
+                emotion: str = 'valence') -> Dict[str, np.ndarray]:
+        """Label-free prediction pass (base/trainer.py:318-342
+        predict_loop): averaged per-frame outputs per trial, written as
+        ``predict/<partition>/<emotion>/<trial>.txt`` — one header line
+        naming the emotion, one value per frame (the reference's
+        single-column pandas to_csv)."""
+        assert self.state is not None, 'init_state first'
+        acc: Dict[str, dict] = {}
+        for X, trials, lengths, indices in loader_fn():
+            inputs = {k: jnp.asarray(v) for k, v in X.items()
+                      if 'label' not in k}
+            out = self.eval_step(self.state.params,
+                                 self.state.batch_stats, inputs)
+            self._accumulate(acc, trials, lengths, indices,
+                             sums=np.asarray(out[..., 0], np.float64))
+
+        outd = join(self.args.outd, 'predict', partition, emotion)
+        os.makedirs(outd, exist_ok=True)
+        written = {}
+        for trial, a in acc.items():
+            preds = self._finalize(a, 'sums', trial)
+            with open(join(outd, f'{trial}.txt'), 'w') as f:
+                f.write(emotion + '\n')
+                f.write('\n'.join(str(v) for v in preds) + '\n')
+            written[trial] = preds
+        return written
 
     # -------------------------------------------------------------- test
     def test(self, test_loader_fn: Callable[[], Iterable]):

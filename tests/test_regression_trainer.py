@@ -114,6 +114,24 @@ def test_artifact_contract(fitted):
         ['t0.jpg', 't1.jpg', 't2.jpg']
 
 
+def test_predict_writes_per_trial_txts(fitted):
+    """predict_loop contract (base/trainer.py:318-342): label-free pass,
+    predict/<partition>/<emotion>/<trial>.txt with the emotion header,
+    values identical to the eval loop's stitched predictions."""
+    tr, _, outd, _, test = fitted
+    written = tr.predict(lambda: _loader(test), 'test', emotion='valence')
+    _, _, records = tr.loop(_loader(test), None, train_mode=False)
+    d = join(outd, 'predict', 'test', 'valence')
+    assert sorted(os.listdir(d)) == sorted(f'{t}.txt' for t in test)
+    for trial in test:
+        np.testing.assert_allclose(written[trial],
+                                   records[trial]['preds'], atol=0)
+        lines = open(join(d, f'{trial}.txt')).read().splitlines()
+        assert lines[0] == 'valence' and len(lines) == 1 + TRIAL_LEN
+        np.testing.assert_allclose([float(x) for x in lines[1:]],
+                                   written[trial], atol=0)
+
+
 def test_epoch_loss_is_sum_of_batch_means_over_sequences(fitted):
     """base/trainer.py:261+290: running_loss accumulates per-batch MEAN
     losses but divides by the number of SEQUENCES — a reference quirk
