@@ -83,6 +83,10 @@ class RegressionTrainer:
         self.eval_step = make_eval_step(model)
         self.param_control = param_control
 
+        emo = getattr(args, 'emotion', None)
+        # '???' is the reference configs.py placeholder on the
+        # classification datasets; VA runs name a real dimension
+        self.emotion = emo if emo and emo != '???' else 'valence'
         self.state = None
         self.start_epoch = 0
         self.fit_finished = False
@@ -295,10 +299,12 @@ class RegressionTrainer:
                     opt_state=optim.set_lr(self.state.opt_state,
                                            self.scheduler.lr(epoch)))
 
-            tr_loss, tr_perf, _ = self.loop(
+            tr_loss, tr_perf, tr_records = self.loop(
                 train_loader_fn(epoch), epoch, train_mode=True)
             val_loss, val_perf, val_records = self.loop(
                 valid_loader_fn(), epoch, train_mode=False)
+            self._save_trialwise(tr_records, tr_perf, True, epoch)
+            self._save_trialwise(val_records, val_perf, False, epoch)
 
             improvement = val_perf['ccc'] > self.best['ccc']
             if improvement:  # base/trainer.py:168-185
@@ -351,6 +357,34 @@ class RegressionTrainer:
                 {'params': self.best['params'],
                  'batch_stats': self.best['batch_stats']}))
 
+    def _save_trialwise(self, per_video: Dict[str, dict], perf: dict,
+                        train_mode: bool, epoch: Optional[int]):
+        """Trial-wise records pkl in the reference layout
+        (base/logger.py:354-380 save_trial_wise_records/get_save_path):
+        ``dict/<emotion>/{train|validate}/epoch_<e>.pkl`` per epoch,
+        ``dict/<emotion>/test.pkl`` for the final pass — outputs,
+        continuous labels, and per-trial + 'overall' rmse/pcc/ccc
+        (pcc stored as a float; the p-value the reference keeps was
+        never consumed)."""
+        base = join(self.args.outd, 'dict', self.emotion)
+        if epoch is None:
+            path = join(base, 'test.pkl')
+        else:
+            sub = 'train' if train_mode else 'validate'
+            path = join(base, sub, f'epoch_{epoch}.pkl')
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        metrics = {t: compute_regression_perf({t: rec})
+                   for t, rec in per_video.items()}
+        metrics['overall'] = perf
+        with open(path, 'wb') as f:
+            pickle.dump({'output': {t: r['preds']
+                                    for t, r in per_video.items()},
+                         'continuous_label': {t: r['labels']
+                                              for t, r in
+                                              per_video.items()},
+                         'metrics': metrics}, f)
+        return path
+
     # ----------------------------------------------------------- predict
     def predict(self, loader_fn: Callable[[], Iterable], partition: str,
                 emotion: str = 'valence') -> Dict[str, np.ndarray]:
@@ -387,6 +421,7 @@ class RegressionTrainer:
         self._restore_best()
         loss, perf, records = self.loop(test_loader_fn(), None,
                                         train_mode=False)
+        self._save_trialwise(records, perf, False, None)
         RV.append_test_csv(self.args.outd, perf)
         if getattr(self.args, 'save_plot', False):
             RV.save_output_vs_label_plots(records, perf, self.args.outd,

@@ -112,6 +112,18 @@ def test_artifact_contract(fitted):
     assert os.path.isdir(join(outd, 'plot', 'validate', 'epoch_0'))
     assert sorted(os.listdir(join(outd, 'plot', 'test'))) == \
         ['t0.jpg', 't1.jpg', 't2.jpg']
+    # trial-wise records pkls in the reference layout
+    # (base/logger.py:354-380): per-epoch train/validate + final test
+    import pickle
+    for sub in ('train', 'validate'):
+        assert os.path.isfile(
+            join(outd, 'dict', 'valence', sub, 'epoch_0.pkl'))
+    with open(join(outd, 'dict', 'valence', 'test.pkl'), 'rb') as f:
+        rec = pickle.load(f)
+    assert set(rec) == {'output', 'continuous_label', 'metrics'}
+    assert set(rec['output']) == set(test)
+    assert abs(rec['metrics']['overall']['ccc'] - perf['ccc']) < 1e-12
+    assert set(rec['metrics']['t0']) == {'rmse', 'pcc', 'ccc'}
 
 
 def test_predict_writes_per_trial_txts(fitted):
