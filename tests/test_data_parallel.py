@@ -83,6 +83,52 @@ def test_dp_step_matches_single_device():
                                    rtol=2e-4, atol=2e-6)
 
 
+def test_dp_regression_step_matches_single_device():
+    """task=REGRESSION through the DP pjit: the CCC loss spans each
+    sequence's time axis (row-independent), so the 8-shard step must
+    equal the single-device one exactly like the CE path."""
+    import jax.numpy as jnp
+    from fvt_tpu import constants
+    from fvt_tpu.models.models import LFAN
+    from fvt_tpu.parallel.mesh import make_mesh, shard_batch
+    from fvt_tpu.parallel.dp import make_dp_train_step
+    from fvt_tpu.train.steps import create_train_state, make_train_step
+    from fvt_tpu.train import optim
+    from fvt_tpu.config.defaults import get_config
+
+    hp = optim.standardize_opt_params(get_config(constants.MELD))
+    optimizer = optim.build_optimizer(hp)
+    model = LFAN(modality=('vggish',), output_dim=1,
+                 task=constants.REGRESSION,
+                 tcn_dropout=0.0, fusion_dropout=0.0)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 16, 128)).astype(np.float32)
+    import jax.numpy as jnp
+    batch = {'vggish': jnp.asarray(x),
+             constants.EXPR: jnp.asarray(
+                 np.tanh(x.mean(axis=2)).astype(np.float32))}
+    state = create_train_state(model, optimizer, batch, jax.random.key(0))
+
+    single = make_train_step(model, optimizer, task=constants.REGRESSION)
+    s1, loss1 = single(state, batch, jax.random.key(1))
+
+    mesh = make_mesh(8)
+    with mesh:
+        dp = make_dp_train_step(model, optimizer, mesh,
+                                task=constants.REGRESSION)
+        state2 = create_train_state(model, optimizer, batch,
+                                    jax.random.key(0))
+        s2, loss2 = dp(state2, shard_batch(batch, mesh),
+                       jax.random.key(1))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_window_sharded_eval_matches_single_device(tmp_path):
     """Long-video window batch sharded over the mesh == single-device."""
     import jax.numpy as jnp
