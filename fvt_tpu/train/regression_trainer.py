@@ -21,10 +21,11 @@ Faithful semantics, each pinned by tests/test_regression_trainer.py:
   * scheduler stepped per epoch on the VALIDATION LOSS
     (base/trainer.py:223); warmup at epoch granularity (the per-batch
     ramp caveat is documented on optim.MyWarmupSchedule);
-  * at a milestone epoch the best weights are reloaded and an optional
-    ``param_control.release()`` fires (base/trainer.py:140-149; the
-    release itself only applies to models carrying a frozen spatial
-    backbone);
+  * at a milestone epoch (or when the lr falls under the floor) the
+    best weights are reloaded and an optional ParamControl releases the
+    next staged group — re-freezing the base optimizer, rebuilding the
+    jitted step, re-initializing the optimizer state, and halting when
+    the stack is exhausted (base/trainer.py:140-149);
   * ``load_best_at_each_epoch`` restores the running best after every
     epoch (base/trainer.py:228-229); fit always ends on the best
     weights (base/trainer.py:233).
@@ -198,14 +199,15 @@ class RegressionTrainer:
         per-frame accumulators (ContinuousOutputHandler,
         base/logger.py:89-129; the handler stops at the trial length).
         Window coverage is counted once per frame."""
+        w = min(arr.shape[1] for arr in rows.values())
         for i, trial in enumerate(trials):
             a = acc.get(trial)
             if a is None:
                 a = acc[trial] = {k: np.zeros(int(lengths[i]))
                                   for k in (*rows, 'counts')}
+            k = min(int(lengths[i]), w)
+            idx = np.asarray(indices[i][:k], np.int64)
             for key, arr in rows.items():
-                k = min(int(lengths[i]), arr.shape[1])
-                idx = np.asarray(indices[i][:k], np.int64)
                 np.add.at(a[key], idx, arr[i, :k])
             np.add.at(a['counts'], idx, 1.0)
 
