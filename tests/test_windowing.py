@@ -64,6 +64,44 @@ def test_stitch_equals_counter_average():
     assert (counts >= 1).all()
 
 
+def test_windowing_fuzz_matches_reference():
+    """Randomized (length, window, hop) sweep incl. the degenerate
+    corners the parametrized cases skip: hop > window (gap windows),
+    hop == window, length < window, window == 1."""
+    rng = np.random.default_rng(1234)
+    for _ in range(300):
+        length = int(rng.integers(1, 900))
+        win = int(rng.integers(1, 400))
+        hop = int(rng.integers(1, 400))
+        x = np.arange(length)
+        got = W.windowing(x, win, hop)
+        want = ref_windowing(x, win, hop)
+        assert len(got) == len(want), (length, win, hop)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w, err_msg=str((length, win, hop)))
+        if length >= win:
+            mat = W.window_index_matrix(length, win, hop)
+            assert mat.shape == (len(want), win), (length, win, hop)
+            for row, lst in zip(mat, want):
+                np.testing.assert_array_equal(row, lst)
+
+
+def test_stitch_zero_coverage_frames_stay_zero():
+    """hop > window leaves inter-window gaps; the reference Counter
+    division only divides visited indices (trainer.py:870-890), so
+    uncovered frames must come out 0, not NaN."""
+    length, win, hop, ncls = 20, 4, 6, 3
+    mat = W.window_index_matrix(length, win, hop)
+    outs = np.ones((mat.shape[0], win, ncls), np.float32)
+    got = W.stitch_windows_np(outs, mat, length)
+    covered = np.zeros(length, bool)
+    covered[mat.reshape(-1)] = True
+    assert (~covered).any()  # the config really has gaps
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got[~covered], 0.0)
+    np.testing.assert_array_equal(got[covered], 1.0)
+
+
 def test_pad_short_window_indices():
     idx = W.pad_short_window_indices(4, 7)
     np.testing.assert_array_equal(idx, [0, 1, 2, 3, 3, 3, 3])
