@@ -184,6 +184,20 @@ def _make_store():
     return STORE_DIR
 
 
+def _scrub_recompacted(root):
+    """Remove any video_<scale>.npy so every measurement that claims the
+    256^2 disk contract really reads it (a crashed prior run could have
+    left recompacted files in the persistent store)."""
+    from fvt_tpu.data.transforms import SCALE_SIZE
+    removed = 0
+    for dirpath, _dirs, files in os.walk(root):
+        name = f'video_{SCALE_SIZE}.npy'
+        if name in files:
+            os.remove(os.path.join(dirpath, name))
+            removed += 1
+    return removed
+
+
 def bench_e2e(flops_per_frame):
     """Full challenge-inference pass: disk -> loader -> device -> stitch
     -> host logits, timed end to end at steady state."""
@@ -194,6 +208,7 @@ def bench_e2e(flops_per_frame):
     from fvt_tpu.experiment import Experiment
 
     root = _make_store()
+    _scrub_recompacted(root)
     outd = tempfile.mkdtemp(prefix='fvt_bench_out_')
     cfg = get_config(constants.C_EXPR_DB_CHALLENGE)
     cfg.update(dataset_path=root,
@@ -265,6 +280,33 @@ def bench_e2e(flops_per_frame):
     loader_s = time.perf_counter() - t0
     breakdown['loader_only_s'] = round(loader_s, 3)
     breakdown['loader_only_fps'] = round(total_frames / loader_s, 1)
+    # (b2) same isolated loader over a RECOMPACTED store
+    # (preprocess/recompact.py): a production deployment repacks the
+    # 256^2 contract store to the 48^2 transform scale ONCE, after
+    # which the per-frame mmap read drops 196 KB -> ~7 KB and the
+    # resize disappears from the epoch path.  Measured here because
+    # loader_only_fps is the term that usually sets pcie_projected_fps.
+    # try/finally scrub keeps the persistent store contract-shaped for
+    # the e2e/loader_only measurements of the NEXT run.
+    try:
+        from fvt_tpu.preprocess.recompact import recompact_trial
+        for item in test_loader.work_list:
+            recompact_trial(item[0])
+        t0 = time.perf_counter()
+        for _ in test_loader.batches(
+                args.eval_video_batch, windowed_threshold=WINDOW,
+                center_crop=(CROP_SIZE if getattr(
+                    args, 'h2d_precrop_video', True) else None)):
+            pass
+        loader48_s = time.perf_counter() - t0
+        breakdown['loader_recompacted_s'] = round(loader48_s, 3)
+        breakdown['loader_recompacted_fps'] = round(
+            total_frames / loader48_s, 1)
+    except Exception:
+        breakdown['loader_recompacted_fps'] = None  # secondary: never
+        # sink the headline on a recompact failure
+    finally:
+        _scrub_recompacted(root)
     # window redundancy: the device processes OVERLAPPING window frames
     # (hop 200 < window 300) while loader/e2e throughputs count REAL
     # frames — the projection must divide the device ceiling by this
@@ -420,6 +462,9 @@ def main():
     redundancy = breakdown.get('window_redundancy') or 1.0
     pcie_projected = min(breakdown['loader_only_fps'],
                          fwd_fps / redundancy)
+    loader48 = breakdown.get('loader_recompacted_fps')
+    pcie_projected_48 = (round(min(loader48, fwd_fps / redundancy), 2)
+                         if loader48 else None)
     sync_s = breakdown.get('sync_s')
     tunnel_regime = {
         'h2d_gbps': breakdown.get('h2d_gbps'),
@@ -444,6 +489,12 @@ def main():
                            'window_redundancy) in REAL frames/s: '
                            'tunnel-transfer removed; what a PCIe host '
                            'with this 1-core loader would sustain',
+        'pcie_projected_recompacted_fps': pcie_projected_48,
+        'pcie_recompacted_note': 'same projection after the one-time '
+                                 'store repack to the 48^2 transform '
+                                 'scale (preprocess/recompact.py) — '
+                                 'the deployment-recommended store '
+                                 'layout',
         'tunnel_regime': tunnel_regime,
         'model_forward_fps': round(fwd_fps, 2),
         'model_forward_mfu': round(fwd_mfu, 4) if fwd_mfu else None,

@@ -38,6 +38,16 @@ def test_recompact_then_build_is_identical(tmp_path):
     # idempotent: second run skips
     assert recompact.recompact_trial(d) is None
 
+    # eval center-crop path (the bench loader leg): the recompacted
+    # store takes the plain-slice crop branch; must equal the fused
+    # native-resize crop of the 256^2 source
+    os.remove(dst)
+    before_c = builder.build(item, center_crop=40)['video']
+    assert recompact.recompact_trial(d)
+    after_c = builder.build(item, center_crop=40)['video']
+    assert after_c.shape[1:3] == (40, 40)
+    np.testing.assert_array_equal(before_c, after_c)
+
 
 def test_stale_recompacted_file_is_ignored(tmp_path):
     """CONTENT-sensitive: after the source is rewritten (truncated OR
