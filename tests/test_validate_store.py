@@ -1,0 +1,214 @@
+"""Store integrity checker (tools/validate_store.py).
+
+A clean synthetic store validates with zero errors; each injected defect
+class (truncated npy, frame-count drift, missing trial dir, stale
+video_48, out-of-range label, mixed extractor generations, fold trial
+missing from the store, duplicate trial) is detected as the right issue
+kind at the right severity.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from fvt_tpu import constants
+from fvt_tpu.utils.io import load_pickle, save_pickle
+from synth_store import make_cexpr_store, make_meld_store
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+import validate_store as vs  # noqa: E402
+
+
+@pytest.fixture()
+def meld_store(tmp_path):
+    make_meld_store(str(tmp_path), n_train=4, n_val=2, n_test=2,
+                    min_len=6, max_len=12, with_video=True)
+    return str(tmp_path)
+
+
+def _validate(root, ds=constants.MELD, **kw):
+    kw.setdefault('folds_dir', os.path.join(root, 'folds', ds))
+    return vs.validate(root, ds, **kw).as_dict()
+
+
+def test_clean_store_validates(meld_store):
+    out = _validate(meld_store, deep=True)
+    assert out['ok'], out
+    assert out['counts']['trials_checked'] == 8
+    assert not out['errors']
+    # synth stores are stamped with the current generation -> no warnings
+    assert 'extractor_stamp_missing' not in out['warnings']
+
+
+def test_clean_challenge_store_validates(tmp_path):
+    make_cexpr_store(str(tmp_path), ds=constants.C_EXPR_DB_CHALLENGE,
+                     n_train=3, min_len=6, max_len=10, video_hw=64)
+    out = vs.validate(str(tmp_path), constants.C_EXPR_DB_CHALLENGE,
+                      folds_dir=str(tmp_path / 'folds' /
+                                    constants.C_EXPR_DB_CHALLENGE))
+    assert out.as_dict()['ok'], out.as_dict()
+
+
+def _trial_dir(root, trial):
+    return os.path.join(root, 'features', 'compacted_48', trial)
+
+
+def _first_trial(root, split='train'):
+    info = load_pickle(os.path.join(
+        root, 'features', f'dataset_info_{constants.MELD}_{split}.pkl'))
+    return info['trial'][0]
+
+
+def test_truncated_npy_detected(meld_store):
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t), 'vggish.npy')
+    with open(path, 'r+b') as f:
+        f.truncate(os.path.getsize(path) - 100)
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert out['counts']['npy_truncated'] == 1
+    assert any(t in e for e in out['errors']['npy_truncated'])
+
+
+def test_frame_count_mismatch_detected(meld_store):
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t), 'bert.npy')
+    arr = np.load(path)
+    np.save(path, arr[:-2])
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert out['counts']['frame_count_mismatch'] == 1
+
+
+def test_video_length_drift_is_warning_for_challenge(tmp_path):
+    """C-EXPR-DB*: the arranger re-reads video.npy (arranger.py:55-60),
+    so a video-vs-recorded-length drift is survivable -> warning; the
+    other modalities still error."""
+    make_cexpr_store(str(tmp_path), ds=constants.C_EXPR_DB_CHALLENGE,
+                     n_train=2, min_len=8, max_len=10, video_hw=32)
+    root = str(tmp_path)
+    info = load_pickle(os.path.join(
+        root, 'features',
+        f'dataset_info_{constants.C_EXPR_DB_CHALLENGE}_train.pkl'))
+    t = info['trial'][0]
+    path = os.path.join(_trial_dir(root, t), 'video.npy')
+    arr = np.load(path)
+    np.save(path, arr[:-1])
+    out = vs.validate(root, constants.C_EXPR_DB_CHALLENGE)
+    d = out.as_dict()
+    assert d['ok'], d  # warning only
+    assert 'frame_count_mismatch' in d['warnings']
+
+
+def test_missing_trial_dir_detected(meld_store):
+    t = _first_trial(meld_store)
+    import shutil
+    shutil.rmtree(_trial_dir(meld_store, t))
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert out['counts']['trial_dir_missing'] == 1
+
+
+def test_stale_recompacted_flagged(meld_store):
+    from fvt_tpu.preprocess.recompact import recompact_trial
+    t = _first_trial(meld_store)
+    d = _trial_dir(meld_store, t)
+    assert recompact_trial(d, size=48)
+    out = _validate(meld_store)
+    assert out['ok'] and 'recompacted_stale' not in out['warnings']
+    # rewrite the source AFTER recompaction (forced newer mtime)
+    vid = np.load(os.path.join(d, 'video.npy'))
+    np.save(os.path.join(d, 'video.npy'), vid)
+    future = time.time() + 5
+    os.utime(os.path.join(d, 'video.npy'), (future, future))
+    out = _validate(meld_store)
+    assert out['ok']  # stale recompact is a warning, not an error
+    assert 'recompacted_stale' in out['warnings']
+
+
+def test_label_out_of_range_detected(meld_store):
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t),
+                        'EXPR_continuous_label.npy')
+    lab = np.load(path)
+    lab[0] = 99
+    np.save(path, lab)
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert out['counts']['label_out_of_range'] == 1
+
+
+def test_mixed_generations_detected(meld_store):
+    path = os.path.join(meld_store, 'features',
+                        f'dataset_info_{constants.MELD}_val.pkl')
+    info = load_pickle(path)
+    info['extractor_version'] = 1
+    save_pickle(info, path)
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert 'extractor_generation_mixed' in out['errors']
+    assert 'extractor_generation_old' in out['warnings']
+
+
+def test_fold_trial_missing_is_warning_fully_missing_is_error(meld_store):
+    fold_txt = os.path.join(meld_store, 'folds', constants.MELD,
+                            'split-0', 'val.txt')
+    with open(fold_txt, 'a') as f:
+        f.write('val/ghost,0,missing transcript\n')
+    out = _validate(meld_store)
+    assert out['ok']  # one missing trial mirrors the reference's
+    assert 'fold_trial_not_in_store' in out['warnings']
+
+    with open(fold_txt, 'w') as f:
+        f.write('val/ghost,0,missing transcript\n')
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert 'fold_split_fully_missing' in out['errors']
+
+
+def test_duplicate_trial_detected(meld_store):
+    path = os.path.join(meld_store, 'features',
+                        f'dataset_info_{constants.MELD}_train.pkl')
+    info = load_pickle(path)
+    info['trial'].append(info['trial'][0])
+    info['length'].append(info['length'][0])
+    save_pickle(info, path)
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert out['counts']['duplicate_trial'] == 1
+
+
+def test_nonfinite_feature_needs_deep(meld_store):
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t), 'vggish.npy')
+    arr = np.load(path)
+    arr[0, 0] = np.nan
+    np.save(path, arr)
+    assert _validate(meld_store)['ok']          # shallow pass misses it
+    out = _validate(meld_store, deep=True)
+    assert not out['ok']
+    assert 'nonfinite_feature' in out['errors']
+
+
+def test_cli_exit_codes(meld_store, tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, os.path.join(repo, 'tools', 'validate_store.py'),
+           '--dataset_path', meld_store, '--dataset_name', constants.MELD,
+           '--folds_dir', os.path.join(meld_store, 'folds', constants.MELD),
+           '--json', str(tmp_path / 'report.json')]
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    report = json.loads((tmp_path / 'report.json').read_text())
+    assert report['ok'] and report['counts']['trials_checked'] == 8
+
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t), 'vggish.npy')
+    with open(path, 'r+b') as f:
+        f.truncate(100)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r.returncode == 1, r.stdout + r.stderr

@@ -1,0 +1,356 @@
+#!/usr/bin/env python
+"""Feature-store integrity checker (fsck for the on-disk contract).
+
+The reference ecosystem ships stores whose defects surface as crashes or
+silent quality loss deep inside a run: truncated ``.npy`` shards, modality
+frame counts drifting from ``dataset_info`` lengths (the reference even
+hard-codes truncation fixups for 5 known-broken challenge videos,
+/root/reference/abaw5_pre_processing/dlib/compact_face_images.py:245-276),
+fold lists referencing trials that never finished extraction
+(/root/reference/base/dataset.py:379-410 silently intersects), stale
+recompacted ``video_48.npy`` files, and stores built by mixed extractor
+generations.  This tool front-loads every one of those checks into a
+single offline pass and emits a machine-readable report.
+
+Usage::
+
+    python tools/validate_store.py --dataset_path /path/to/store \
+        --dataset_name MELD [--folds_dir /path/to/folds/MELD --fold 0] \
+        [--json report.json] [--deep]
+
+Exit code 0 = no errors (warnings allowed), 1 = at least one error.
+
+Checks
+------
+dataset_info   pickles load; required keys present and list lengths agree;
+               duplicate trials; extractor-generation stamp
+               (fvt_tpu/preprocess/version.py) consistent across splits.
+trial dirs     exist; every ``.npy`` header parses AND the payload size on
+               disk matches the header (catches truncation mid-write).
+frame counts   per-frame modalities (video/vggish/bert/mfcc/egemaps/
+               logmel/labels) match the recorded trial length.  For the
+               C-EXPR-DB* datasets video.npy is the source of truth (the
+               arranger re-reads it, data/arranger.py:55-60) so a
+               length-field drift is a warning; elsewhere it is an error.
+video contract (n, H, W, 3) uint8 with square H == W; recompacted
+               ``video_48.npy`` must be fresh (same rows, mtime >= source)
+               or it is flagged stale (the loader ignores stale files —
+               data/dataset.py:68-88 — but they waste disk and signal an
+               interrupted recompact).
+labels         integer dtype and, when ``class_id.yaml`` is available,
+               values inside the class range (ignore label allowed).
+folds          class_id.yaml contiguous 0..n-1; every fold trial resolved
+               in the store (missing -> warning, like the reference's
+               silent intersection; an EMPTY intersection -> error).
+--deep         additionally mmap-scan float features for NaN/Inf rows
+               (strided sample per trial, bounded cost).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+from os.path import join
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from fvt_tpu import constants                             # noqa: E402
+from fvt_tpu.data import folds as folds_mod               # noqa: E402
+from fvt_tpu.data.native_store import npy_header          # noqa: E402
+from fvt_tpu.preprocess.version import (EXTRACTOR_VERSION,  # noqa: E402
+                                        STAMP_KEY)
+from fvt_tpu.utils.io import load_pickle                  # noqa: E402
+
+# per-frame streams whose row count must equal the trial length
+FRAME_FEATURES = ('video', 'vggish', 'bert', 'mfcc', 'egemaps', 'logmel',
+                  'cnn')
+LABEL_SUFFIX = 'continuous_label'
+MAX_EXAMPLES = 20  # bound per-issue example lists in the report
+
+
+class Report:
+    def __init__(self):
+        self.errors: dict[str, list] = {}
+        self.warnings: dict[str, list] = {}
+        self.counts: dict[str, int] = {}
+
+    def _add(self, sink, kind, example):
+        lst = sink.setdefault(kind, [])
+        if len(lst) < MAX_EXAMPLES:
+            lst.append(example)
+        self.counts[kind] = self.counts.get(kind, 0) + 1
+
+    def error(self, kind, example):
+        self._add(self.errors, kind, example)
+
+    def warn(self, kind, example):
+        self._add(self.warnings, kind, example)
+
+    def as_dict(self):
+        n_err = sum(v for k, v in self.counts.items() if k in self.errors)
+        n_warn = sum(v for k, v in self.counts.items()
+                     if k in self.warnings)
+        return {'ok': not self.errors,
+                'n_errors': n_err, 'n_warnings': n_warn,
+                'counts': self.counts,
+                'errors': self.errors, 'warnings': self.warnings,
+                'note': f'example lists capped at {MAX_EXAMPLES} '
+                        f'per issue; counts are exact'}
+
+
+def _payload_ok(path):
+    """Header parses and the on-disk payload matches it (truncation
+    check: np.load on a short file fails only when the missing bytes are
+    actually read, which for mmap is at first access deep in a run)."""
+    offset, shape, dtype, _f = npy_header(path)
+    expect = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+    actual = os.path.getsize(path) - offset
+    return actual == expect, shape, dtype
+
+
+def _check_split_info(info, split, rep):
+    required = ('trial', 'length')
+    for key in required:
+        if key not in info:
+            rep.error('dataset_info_missing_key', f'{split}: {key}')
+            return False
+    if 'data_folder' not in info:
+        rep.warn('dataset_info_missing_key',
+                 f'{split}: data_folder (assuming compacted_48)')
+    lens = {k: len(info[k]) for k in required if k in info}
+    if len(set(lens.values())) > 1:
+        rep.error('dataset_info_ragged_lists', f'{split}: {lens}')
+        return False
+    return True
+
+
+def _check_trial(tdir, trial, length, ds, class_ids, rep, deep=False):
+    if not os.path.isdir(tdir):
+        rep.error('trial_dir_missing', trial)
+        return
+    npys = sorted(glob.glob(join(tdir, '*.npy')))
+    if not npys:
+        rep.error('trial_dir_empty', trial)
+        return
+    video_rows = None
+    recompacted = {}
+    for path in npys:
+        name = os.path.basename(path)[:-4]
+        try:
+            ok, shape, dtype = _payload_ok(path)
+        except Exception as e:
+            rep.error('npy_unreadable', f'{trial}/{name}: {e}')
+            continue
+        if not ok:
+            rep.error('npy_truncated', f'{trial}/{name}: header {shape} '
+                                       f'{dtype} vs payload size')
+            continue
+        m = re.fullmatch(r'video_(\d+)', name)
+        if m:
+            recompacted[path] = (shape, int(m.group(1)))
+            continue
+        if name == constants.VIDEO:
+            video_rows = shape[0]
+            if dtype != np.uint8:
+                rep.error('video_dtype', f'{trial}: {dtype}')
+            if len(shape) != 4 or shape[3] != 3 or shape[1] != shape[2]:
+                rep.error('video_shape', f'{trial}: {shape}')
+        if name.endswith(LABEL_SUFFIX):
+            if not np.issubdtype(dtype, np.integer) \
+                    and not np.issubdtype(dtype, np.floating):
+                rep.error('label_dtype', f'{trial}/{name}: {dtype}')
+            elif np.issubdtype(dtype, np.integer) and class_ids:
+                vals = np.load(path, mmap_mode='r')
+                lo, hi = int(vals.min()), int(vals.max())
+                n_cls = len(class_ids)
+                if lo < -1 or hi >= n_cls:  # -1 = ignore label
+                    rep.error('label_out_of_range',
+                              f'{trial}/{name}: [{lo}, {hi}] vs '
+                              f'{n_cls} classes')
+        if name in FRAME_FEATURES or name.endswith(LABEL_SUFFIX):
+            if shape[0] != length:
+                # C-EXPR-DB*: the arranger trusts video.npy over the
+                # recorded length (data/arranger.py:55-60), so a drift
+                # there is survivable; elsewhere it desyncs the loader.
+                video_authority = ds in (constants.C_EXPR_DB,
+                                         constants.C_EXPR_DB_CHALLENGE)
+                sink = rep.warn if (video_authority
+                                    and name == constants.VIDEO) \
+                    else rep.error
+                sink('frame_count_mismatch',
+                     f'{trial}/{name}: {shape[0]} rows vs recorded '
+                     f'length {length}')
+        if deep and np.issubdtype(dtype, np.floating) and shape[0] > 0:
+            arr = np.load(path, mmap_mode='r')
+            idx = np.unique(np.linspace(0, shape[0] - 1,
+                                        min(32, shape[0]), dtype=int))
+            sample = np.asarray(arr[idx], dtype=np.float64)
+            if not np.isfinite(sample).all():
+                rep.error('nonfinite_feature', f'{trial}/{name}')
+    for path, (shape, scale) in recompacted.items():
+        src = join(tdir, 'video.npy')
+        name = os.path.basename(path)[:-4]
+        if not os.path.isfile(src):
+            rep.warn('recompacted_orphan', f'{trial}/{name}')
+            continue
+        stale = (video_rows is not None and shape[0] != video_rows) or \
+            os.path.getmtime(path) < os.path.getmtime(src)
+        if stale:
+            rep.warn('recompacted_stale',
+                     f'{trial}/{name}: {shape[0]} rows vs video '
+                     f'{video_rows} (or older mtime) — loader will '
+                     f're-resize from video.npy; re-run '
+                     f'preprocess/recompact.py')
+        if len(shape) != 4 or shape[1] != scale or shape[2] != scale:
+            rep.error('recompacted_shape', f'{trial}/{name}: {shape}')
+
+
+def _check_folds(folds_dir, fold, known_trials, rep):
+    split_dir = join(folds_dir, f'split-{fold}')
+    if not os.path.isdir(split_dir):
+        rep.error('folds_split_missing', split_dir)
+        return None
+    class_ids = None
+    cid = join(split_dir, 'class_id.yaml')
+    if os.path.isfile(cid):
+        try:
+            class_ids = folds_mod.load_class_id(folds_dir, fold)
+            ints = sorted(class_ids.values())
+            if ints != list(range(len(ints))):
+                rep.error('class_id_not_contiguous', str(ints))
+        except Exception as e:
+            rep.error('class_id_unreadable', f'{cid}: {e}')
+    else:
+        rep.warn('class_id_missing', cid)
+    for split_txt in sorted(glob.glob(join(split_dir, '*.txt'))):
+        split = os.path.basename(split_txt)[:-4]
+        try:
+            fold_map = folds_mod.load_fold_txt(split_txt)
+        except Exception as e:
+            rep.error('fold_txt_unreadable', f'{split_txt}: {e}')
+            continue
+        missing = [t for t in fold_map if t not in known_trials]
+        for t in missing[:MAX_EXAMPLES]:
+            rep.warn('fold_trial_not_in_store', f'{split}: {t}')
+        if len(missing) > MAX_EXAMPLES:
+            rep.counts['fold_trial_not_in_store'] = \
+                rep.counts.get('fold_trial_not_in_store', 0) \
+                + len(missing) - MAX_EXAMPLES
+        if fold_map and len(missing) == len(fold_map):
+            rep.error('fold_split_fully_missing',
+                      f'{split}: none of {len(fold_map)} trials in store')
+        if class_ids:
+            n_cls = len(class_ids)
+            bad = {t: v['cl'] for t, v in fold_map.items()
+                   if not 0 <= v['cl'] < n_cls}
+            for t, c in list(bad.items())[:MAX_EXAMPLES]:
+                rep.error('fold_label_out_of_range', f'{split}: {t}={c}')
+    return class_ids
+
+
+def validate(dataset_path, dataset_name, folds_dir=None, fold=0,
+             deep=False):
+    rep = Report()
+    feat = join(dataset_path, 'features')
+    if not os.path.isdir(feat):
+        rep.error('features_dir_missing', feat)
+        return rep
+
+    infos = {}
+    pattern = join(feat, f'dataset_info_{dataset_name}_*.pkl')
+    for path in sorted(glob.glob(pattern)):
+        split = os.path.basename(path)[:-4].split('_')[-1]
+        if split not in constants.SPLITS:
+            # unmerged per-part shard (dataset_info_{ds}_{split}_{nparts}
+            # _{part}.pkl) — run preprocess/merge.py before validating
+            rep.warn('unmerged_shard', os.path.basename(path))
+            continue
+        try:
+            infos[split] = load_pickle(path)
+        except Exception as e:
+            rep.error('dataset_info_unreadable', f'{path}: {e}')
+    if not infos:
+        rep.error('dataset_info_missing', pattern)
+        return rep
+
+    stamps = {s: i.get(STAMP_KEY) for s, i in infos.items()}
+    if len(set(stamps.values())) > 1:
+        rep.error('extractor_generation_mixed', str(stamps))
+    for s, v in stamps.items():
+        if v is None:
+            rep.warn('extractor_stamp_missing',
+                     f'{s}: pre-r4 store, current generation is '
+                     f'{EXTRACTOR_VERSION}')
+        elif v != EXTRACTOR_VERSION:
+            rep.warn('extractor_generation_old',
+                     f'{s}: built by generation {v}, code is '
+                     f'{EXTRACTOR_VERSION}')
+
+    known_trials = set()
+    class_ids = None
+    if folds_dir:
+        # folds first so label-range checks can use class_id.yaml;
+        # known_trials filled below, so re-run the membership pass after
+        trial_lists = {}
+        for split, info in infos.items():
+            if _check_split_info(info, split, rep):
+                trial_lists[split] = info['trial']
+                known_trials.update(info['trial'])
+        class_ids = _check_folds(folds_dir, fold, known_trials, rep)
+    else:
+        for split, info in infos.items():
+            if _check_split_info(info, split, rep):
+                known_trials.update(info['trial'])
+
+    seen = set()
+    n_trials = 0
+    for split, info in infos.items():
+        if 'trial' not in info or 'length' not in info:
+            continue
+        folder = info.get('data_folder', 'compacted_48')
+        for trial, length in zip(info['trial'], info['length']):
+            key = trial
+            if key in seen:
+                rep.error('duplicate_trial', f'{split}: {trial}')
+                continue
+            seen.add(key)
+            n_trials += 1
+            _check_trial(join(feat, folder, trial), trial, int(length),
+                         dataset_name, class_ids, rep, deep=deep)
+    rep.counts['trials_checked'] = n_trials
+    return rep
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument('--dataset_path', required=True)
+    ap.add_argument('--dataset_name', required=True,
+                    choices=constants.DATASETS)
+    ap.add_argument('--folds_dir', default=None,
+                    help='folds/<ds> dir; enables fold cross-checks')
+    ap.add_argument('--fold', type=int, default=0)
+    ap.add_argument('--deep', action='store_true',
+                    help='NaN/Inf scan of float features (strided sample)')
+    ap.add_argument('--json', default=None, help='write the report here')
+    args = ap.parse_args(argv)
+
+    rep = validate(args.dataset_path, args.dataset_name,
+                   folds_dir=args.folds_dir, fold=args.fold,
+                   deep=args.deep)
+    out = rep.as_dict()
+    print(json.dumps(out, indent=2, sort_keys=True))
+    if args.json:
+        with open(args.json, 'w') as f:
+            json.dump(out, f, indent=2, sort_keys=True)
+    return 0 if out['ok'] else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
