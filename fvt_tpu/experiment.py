@@ -142,7 +142,8 @@ class Experiment:
                     f"{self.fold_to_run}) exists in the feature store at "
                     f"{self.dataset_path!r}. Check the fold lists against "
                     f"dataset_info, or the train_p/valid_p/test_p "
-                    f"subsampling.")
+                    f"subsampling (tools/validate_store.py cross-checks "
+                    f"the store against the fold lists offline).")
             if split == constants.TRAINSET:
                 loaders[split] = TrainLoader(
                     data, builder,
