@@ -104,6 +104,99 @@ def test_video_length_drift_is_warning_for_challenge(tmp_path):
     assert 'frame_count_mismatch' in d['warnings']
 
 
+def test_mixed_sink_kind_counts_split_correctly(tmp_path):
+    """frame_count_mismatch can be a warning (challenge video drift) AND
+    an error (other modality drift) in the same report; n_errors /
+    n_warnings must tally per sink, not per kind."""
+    make_cexpr_store(str(tmp_path), ds=constants.C_EXPR_DB_CHALLENGE,
+                     n_train=2, min_len=8, max_len=10, video_hw=32)
+    root = str(tmp_path)
+    info = load_pickle(os.path.join(
+        root, 'features',
+        f'dataset_info_{constants.C_EXPR_DB_CHALLENGE}_train.pkl'))
+    t0, t1 = info['trial'][0], info['trial'][1]
+    for t, name in ((t0, 'video'), (t1, 'bert')):
+        path = os.path.join(_trial_dir(root, t), f'{name}.npy')
+        arr = np.load(path)
+        np.save(path, arr[:-1])
+    d = vs.validate(root, constants.C_EXPR_DB_CHALLENGE).as_dict()
+    assert not d['ok']
+    # t1/bert shorter than the runtime (video) length -> 1 error;
+    # t0's video-vs-recorded drift + its now-longer-than-video feature
+    # streams -> survivable warnings only
+    assert 'frame_count_mismatch' in d['errors']
+    assert 'frame_count_mismatch' in d['warnings']
+    assert d['n_errors'] == 1, d
+    assert d['n_warnings'] == d['counts']['frame_count_mismatch'] - 1, d
+
+
+def test_video_longer_than_features_is_error_for_challenge(tmp_path):
+    """The arranger trusts video.npy rows (arranger.py:55-61): features
+    shorter than video crash the runtime window gather -> fsck error."""
+    make_cexpr_store(str(tmp_path), ds=constants.C_EXPR_DB_CHALLENGE,
+                     n_train=2, min_len=8, max_len=10, video_hw=32)
+    root = str(tmp_path)
+    info = load_pickle(os.path.join(
+        root, 'features',
+        f'dataset_info_{constants.C_EXPR_DB_CHALLENGE}_train.pkl'))
+    t = info['trial'][0]
+    path = os.path.join(_trial_dir(root, t), 'video.npy')
+    vid = np.load(path)
+    np.save(path, np.concatenate([vid, vid[:2]]))  # video grows 2 rows
+    d = vs.validate(root, constants.C_EXPR_DB_CHALLENGE).as_dict()
+    assert not d['ok'], d
+    assert any('index out of range' in e
+               for e in d['errors']['frame_count_mismatch']), d
+
+
+def test_missing_video_is_error_for_challenge(tmp_path):
+    make_cexpr_store(str(tmp_path), ds=constants.C_EXPR_DB_CHALLENGE,
+                     n_train=2, min_len=8, max_len=10, video_hw=32)
+    root = str(tmp_path)
+    info = load_pickle(os.path.join(
+        root, 'features',
+        f'dataset_info_{constants.C_EXPR_DB_CHALLENGE}_train.pkl'))
+    os.remove(os.path.join(_trial_dir(root, info['trial'][0]),
+                           'video.npy'))
+    d = vs.validate(root, constants.C_EXPR_DB_CHALLENGE).as_dict()
+    assert not d['ok']
+    assert 'video_missing' in d['errors']
+
+
+def test_missing_or_empty_fold_txt_is_error(meld_store):
+    split_dir = os.path.join(meld_store, 'folds', constants.MELD,
+                             'split-0')
+    os.remove(os.path.join(split_dir, 'test.txt'))
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert 'fold_txt_missing' in out['errors']
+
+    with open(os.path.join(split_dir, 'test.txt'), 'w'):
+        pass  # exists but empty -> init_loaders would raise
+    out = _validate(meld_store)
+    assert not out['ok']
+    assert 'fold_txt_empty' in out['errors']
+
+
+def test_missing_info_split_is_error(meld_store):
+    os.remove(os.path.join(meld_store, 'features',
+                           f'dataset_info_{constants.MELD}_test.pkl'))
+    out = vs.validate(meld_store, constants.MELD).as_dict()  # no folds
+    assert not out['ok']
+    assert 'dataset_info_split_missing' in out['errors']
+
+
+def test_empty_label_file_reports_not_crashes(meld_store):
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t),
+                        'EXPR_continuous_label.npy')
+    lab = np.load(path)
+    np.save(path, lab[:0])
+    out = _validate(meld_store)  # must not raise on .min() of empty
+    assert not out['ok']
+    assert 'frame_count_mismatch' in out['errors']
+
+
 def test_missing_trial_dir_detected(meld_store):
     t = _first_trial(meld_store)
     import shutil

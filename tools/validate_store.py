@@ -80,6 +80,12 @@ class Report:
         self.errors: dict[str, list] = {}
         self.warnings: dict[str, list] = {}
         self.counts: dict[str, int] = {}
+        # per-sink tallies: a kind can be BOTH an error and a warning
+        # (frame_count_mismatch is a warning for C-EXPR-DB video drift
+        # but an error elsewhere), so n_errors/n_warnings must not be
+        # derived from the combined counts dict
+        self._n_err = 0
+        self._n_warn = 0
 
     def _add(self, sink, kind, example):
         lst = sink.setdefault(kind, [])
@@ -89,16 +95,15 @@ class Report:
 
     def error(self, kind, example):
         self._add(self.errors, kind, example)
+        self._n_err += 1
 
     def warn(self, kind, example):
         self._add(self.warnings, kind, example)
+        self._n_warn += 1
 
     def as_dict(self):
-        n_err = sum(v for k, v in self.counts.items() if k in self.errors)
-        n_warn = sum(v for k, v in self.counts.items()
-                     if k in self.warnings)
         return {'ok': not self.errors,
-                'n_errors': n_err, 'n_warnings': n_warn,
+                'n_errors': self._n_err, 'n_warnings': self._n_warn,
                 'counts': self.counts,
                 'errors': self.errors, 'warnings': self.warnings,
                 'note': f'example lists capped at {MAX_EXAMPLES} '
@@ -139,7 +144,16 @@ def _check_trial(tdir, trial, length, ds, class_ids, rep, deep=False):
     if not npys:
         rep.error('trial_dir_empty', trial)
         return
-    video_rows = None
+
+    # C-EXPR-DB*: the ARRANGER re-reads video.npy as the trial-length
+    # authority (data/arranger.py:55-61) — video.npy must exist, and the
+    # other per-frame streams must cover ITS row count (a stream shorter
+    # than video crashes the window gather at runtime even when it
+    # matches the recorded length).  Elsewhere the recorded length rules.
+    video_authority = ds in (constants.C_EXPR_DB,
+                             constants.C_EXPR_DB_CHALLENGE)
+
+    headers = {}
     recompacted = {}
     for path in npys:
         name = os.path.basename(path)[:-4]
@@ -155,18 +169,34 @@ def _check_trial(tdir, trial, length, ds, class_ids, rep, deep=False):
         m = re.fullmatch(r'video_(\d+)', name)
         if m:
             recompacted[path] = (shape, int(m.group(1)))
-            continue
-        if name == constants.VIDEO:
-            video_rows = shape[0]
-            if dtype != np.uint8:
-                rep.error('video_dtype', f'{trial}: {dtype}')
-            if len(shape) != 4 or shape[3] != 3 or shape[1] != shape[2]:
-                rep.error('video_shape', f'{trial}: {shape}')
+        else:
+            headers[name] = (path, shape, dtype)
+
+    video_rows = None
+    if constants.VIDEO in headers:
+        _p, shape, dtype = headers[constants.VIDEO]
+        video_rows = shape[0]
+        if dtype != np.uint8:
+            rep.error('video_dtype', f'{trial}: {dtype}')
+        if len(shape) != 4 or shape[3] != 3 or shape[1] != shape[2]:
+            rep.error('video_shape', f'{trial}: {shape}')
+    elif video_authority:
+        rep.error('video_missing',
+                  f'{trial}: C-EXPR-DB* trials need video.npy — the '
+                  f'arranger reads it for the trial length '
+                  f'(data/arranger.py:55-61)')
+
+    # the row count the runtime will actually gather up to
+    runtime_rows = video_rows if (video_authority
+                                  and video_rows is not None) else length
+
+    for name, (path, shape, dtype) in headers.items():
         if name.endswith(LABEL_SUFFIX):
             if not np.issubdtype(dtype, np.integer) \
                     and not np.issubdtype(dtype, np.floating):
                 rep.error('label_dtype', f'{trial}/{name}: {dtype}')
-            elif np.issubdtype(dtype, np.integer) and class_ids:
+            elif np.issubdtype(dtype, np.integer) and class_ids \
+                    and shape[0] > 0:  # empty file: frame-count check
                 vals = np.load(path, mmap_mode='r')
                 lo, hi = int(vals.min()), int(vals.max())
                 n_cls = len(class_ids)
@@ -175,18 +205,26 @@ def _check_trial(tdir, trial, length, ds, class_ids, rep, deep=False):
                               f'{trial}/{name}: [{lo}, {hi}] vs '
                               f'{n_cls} classes')
         if name in FRAME_FEATURES or name.endswith(LABEL_SUFFIX):
-            if shape[0] != length:
-                # C-EXPR-DB*: the arranger trusts video.npy over the
-                # recorded length (data/arranger.py:55-60), so a drift
-                # there is survivable; elsewhere it desyncs the loader.
-                video_authority = ds in (constants.C_EXPR_DB,
-                                         constants.C_EXPR_DB_CHALLENGE)
-                sink = rep.warn if (video_authority
-                                    and name == constants.VIDEO) \
-                    else rep.error
+            if video_authority and name == constants.VIDEO:
+                # recorded-length drift is survivable (warning): the
+                # arranger re-reads video.npy anyway
+                if shape[0] != length:
+                    rep.warn('frame_count_mismatch',
+                             f'{trial}/{name}: {shape[0]} rows vs '
+                             f'recorded length {length} (survivable: '
+                             f'arranger trusts video.npy)')
+            elif shape[0] < runtime_rows:
+                rep.error('frame_count_mismatch',
+                          f'{trial}/{name}: {shape[0]} rows < runtime '
+                          f'length {runtime_rows} — the window gather '
+                          f'will index out of range')
+            elif shape[0] != runtime_rows:
+                # extra rows beyond the runtime length are ignored by
+                # the gather, but signal a desynced extraction
+                sink = rep.warn if video_authority else rep.error
                 sink('frame_count_mismatch',
-                     f'{trial}/{name}: {shape[0]} rows vs recorded '
-                     f'length {length}')
+                     f'{trial}/{name}: {shape[0]} rows vs runtime '
+                     f'length {runtime_rows}')
         if deep and np.issubdtype(dtype, np.floating) and shape[0] > 0:
             arr = np.load(path, mmap_mode='r')
             idx = np.unique(np.linspace(0, shape[0] - 1,
@@ -194,6 +232,7 @@ def _check_trial(tdir, trial, length, ds, class_ids, rep, deep=False):
             sample = np.asarray(arr[idx], dtype=np.float64)
             if not np.isfinite(sample).all():
                 rep.error('nonfinite_feature', f'{trial}/{name}')
+
     for path, (shape, scale) in recompacted.items():
         src = join(tdir, 'video.npy')
         name = os.path.basename(path)[:-4]
@@ -229,6 +268,14 @@ def _check_folds(folds_dir, fold, known_trials, rep):
             rep.error('class_id_unreadable', f'{cid}: {e}')
     else:
         rep.warn('class_id_missing', cid)
+    # the arranger opens {train,val,test}.txt for EVERY dataset
+    # (data/arranger.py::create_splits iterates all three split keys,
+    # challenge folds alias train.txt into val/test copies), so a
+    # missing one is a guaranteed prepare-time FileNotFoundError
+    required = [join(split_dir, f'{s}.txt') for s in constants.SPLITS]
+    for split_txt in required:
+        if not os.path.isfile(split_txt):
+            rep.error('fold_txt_missing', split_txt)
     for split_txt in sorted(glob.glob(join(split_dir, '*.txt'))):
         split = os.path.basename(split_txt)[:-4]
         try:
@@ -236,22 +283,22 @@ def _check_folds(folds_dir, fold, known_trials, rep):
         except Exception as e:
             rep.error('fold_txt_unreadable', f'{split_txt}: {e}')
             continue
+        if not fold_map and split in constants.SPLITS:
+            # init_loaders raises on an empty split after fold filtering
+            rep.error('fold_txt_empty', split_txt)
+            continue
         missing = [t for t in fold_map if t not in known_trials]
-        for t in missing[:MAX_EXAMPLES]:
+        for t in missing:  # _add caps the example list, counts stay exact
             rep.warn('fold_trial_not_in_store', f'{split}: {t}')
-        if len(missing) > MAX_EXAMPLES:
-            rep.counts['fold_trial_not_in_store'] = \
-                rep.counts.get('fold_trial_not_in_store', 0) \
-                + len(missing) - MAX_EXAMPLES
         if fold_map and len(missing) == len(fold_map):
             rep.error('fold_split_fully_missing',
                       f'{split}: none of {len(fold_map)} trials in store')
         if class_ids:
             n_cls = len(class_ids)
-            bad = {t: v['cl'] for t, v in fold_map.items()
-                   if not 0 <= v['cl'] < n_cls}
-            for t, c in list(bad.items())[:MAX_EXAMPLES]:
-                rep.error('fold_label_out_of_range', f'{split}: {t}={c}')
+            for t, v in fold_map.items():
+                if not 0 <= v['cl'] < n_cls:
+                    rep.error('fold_label_out_of_range',
+                              f'{split}: {t}={v["cl"]}')
     return class_ids
 
 
@@ -280,6 +327,18 @@ def validate(dataset_path, dataset_name, folds_dir=None, fold=0,
         rep.error('dataset_info_missing', pattern)
         return rep
 
+    # Experiment.load_dataset_info reads a fixed per-dataset split set
+    # (experiment.py:54-68); a missing pkl there is a prepare-time crash
+    need = {constants.MELD: constants.SPLITS,
+            constants.C_EXPR_DB: [constants.TRAINSET, constants.VALIDSET],
+            constants.C_EXPR_DB_CHALLENGE: [constants.TRAINSET],
+            }.get(dataset_name, [constants.TRAINSET])
+    for split in need:
+        if split not in infos:
+            rep.error('dataset_info_split_missing',
+                      f'{dataset_name} needs dataset_info_'
+                      f'{dataset_name}_{split}.pkl')
+
     stamps = {s: i.get(STAMP_KEY) for s, i in infos.items()}
     if len(set(stamps.values())) > 1:
         rep.error('extractor_generation_mixed', str(stamps))
@@ -294,20 +353,13 @@ def validate(dataset_path, dataset_name, folds_dir=None, fold=0,
                      f'{EXTRACTOR_VERSION}')
 
     known_trials = set()
+    for split, info in infos.items():
+        if _check_split_info(info, split, rep):
+            known_trials.update(info['trial'])
     class_ids = None
     if folds_dir:
-        # folds first so label-range checks can use class_id.yaml;
-        # known_trials filled below, so re-run the membership pass after
-        trial_lists = {}
-        for split, info in infos.items():
-            if _check_split_info(info, split, rep):
-                trial_lists[split] = info['trial']
-                known_trials.update(info['trial'])
+        # folds before trials so label-range checks can use class_id.yaml
         class_ids = _check_folds(folds_dir, fold, known_trials, rep)
-    else:
-        for split, info in infos.items():
-            if _check_split_info(info, split, rep):
-                known_trials.update(info['trial'])
 
     seen = set()
     n_trials = 0
