@@ -287,6 +287,125 @@ def test_nonfinite_feature_needs_deep(meld_store):
     assert 'nonfinite_feature' in out['errors']
 
 
+# ---------------------------------------------------------------------------
+# --repair: the reference's hard-coded challenge fixups
+# (compact_face_images.py:245-276) as a general, safe operation
+# ---------------------------------------------------------------------------
+
+def test_repair_truncates_overlong_stream(meld_store):
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t), 'vggish.npy')
+    arr = np.load(path)
+    np.save(path, np.concatenate([arr, arr[:3]]))
+    assert not _validate(meld_store)['ok']
+    actions = vs.repair(meld_store, constants.MELD)
+    assert any(a['action'] == 'truncated_stream' and 'vggish' in a['file']
+               for a in actions), actions
+    post = _validate(meld_store, deep=True)
+    assert post['ok'], post
+    np.testing.assert_array_equal(np.load(path), arr)  # kept rows intact
+
+
+def test_repair_salvages_truncated_payload(meld_store):
+    """A mid-row write truncation is salvaged to the complete leading
+    rows; when those still cover the recorded length the store is fully
+    healed."""
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t), 'vggish.npy')
+    arr = np.load(path)
+    n = arr.shape[0]
+    np.save(path, np.concatenate([arr, arr[:2]]))  # n+2 rows on disk
+    offset, shape, dtype, _f = vs.npy_header(path)
+    row_bytes = int(np.prod(shape[1:])) * dtype.itemsize
+    with open(path, 'r+b') as f:
+        f.truncate(offset + n * row_bytes + 7)  # mid-row tail
+    pre = _validate(meld_store)
+    assert 'npy_truncated' in pre['errors']
+    actions = vs.repair(meld_store, constants.MELD)
+    kinds = {a['action'] for a in actions}
+    assert 'salvaged_truncated' in kinds, actions
+    post = _validate(meld_store, deep=True)
+    assert post['ok'], post
+    np.testing.assert_array_equal(np.load(path), arr)
+
+
+def test_repair_cannot_fabricate_missing_rows(meld_store):
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t), 'bert.npy')
+    arr = np.load(path)
+    np.save(path, arr[:-2])  # SHORTER than the recorded length
+    actions = vs.repair(meld_store, constants.MELD)
+    assert not any('bert' in a.get('file', '') for a in actions), actions
+    post = _validate(meld_store)
+    assert not post['ok']  # honestly still broken
+    assert 'frame_count_mismatch' in post['errors']
+
+
+def test_repair_removes_stale_recompact(meld_store):
+    from fvt_tpu.preprocess.recompact import recompact_trial
+    t = _first_trial(meld_store)
+    d = _trial_dir(meld_store, t)
+    assert recompact_trial(d, size=48)
+    future = time.time() + 5
+    os.utime(os.path.join(d, 'video.npy'), (future, future))
+    assert 'recompacted_stale' in _validate(meld_store)['warnings']
+    actions = vs.repair(meld_store, constants.MELD)
+    assert any(a['action'] == 'removed_stale_recompact' for a in actions)
+    assert not os.path.isfile(os.path.join(d, 'video_48.npy'))
+    post = _validate(meld_store)
+    assert post['ok'] and 'recompacted_stale' not in post['warnings']
+
+
+def test_repair_realigns_challenge_recorded_length(tmp_path):
+    """C-EXPR-DB*: video.npy is the authority — repair truncates the
+    other streams to its rows AND rewrites the recorded dataset_info
+    length (the generalized reference fixup)."""
+    make_cexpr_store(str(tmp_path), ds=constants.C_EXPR_DB_CHALLENGE,
+                     n_train=2, min_len=8, max_len=10, video_hw=32)
+    root = str(tmp_path)
+    info_path = os.path.join(
+        root, 'features',
+        f'dataset_info_{constants.C_EXPR_DB_CHALLENGE}_train.pkl')
+    info = load_pickle(info_path)
+    t = info['trial'][0]
+    vpath = os.path.join(_trial_dir(root, t), 'video.npy')
+    vid = np.load(vpath)
+    np.save(vpath, vid[:-2])  # video shrinks; features/record now long
+    pre = vs.validate(root, constants.C_EXPR_DB_CHALLENGE).as_dict()
+    assert 'frame_count_mismatch' in pre['warnings']
+    actions = vs.repair(root, constants.C_EXPR_DB_CHALLENGE)
+    kinds = {a['action'] for a in actions}
+    assert {'truncated_stream', 'realigned_recorded_length',
+            'rewrote_dataset_info'} <= kinds, actions
+    post = vs.validate(root, constants.C_EXPR_DB_CHALLENGE).as_dict()
+    assert post['ok'], post
+    assert 'frame_count_mismatch' not in post['warnings'], post
+    new_info = load_pickle(info_path)
+    i = new_info['trial'].index(t)
+    assert int(new_info['length'][i]) == vid.shape[0] - 2
+
+
+def test_repair_cli_roundtrip(meld_store, tmp_path):
+    t = _first_trial(meld_store)
+    path = os.path.join(_trial_dir(meld_store, t), 'vggish.npy')
+    arr = np.load(path)
+    np.save(path, np.concatenate([arr, arr[:1]]))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable,
+           os.path.join(repo, 'tools', 'validate_store.py'),
+           '--dataset_path', meld_store, '--dataset_name', constants.MELD,
+           '--folds_dir', os.path.join(meld_store, 'folds', constants.MELD),
+           '--repair', '--json', str(tmp_path / 'report.json')]
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    report = json.loads((tmp_path / 'report.json').read_text())
+    assert not report['pre']['ok'] and report['post']['ok'] \
+        and report['ok'], report
+    assert any(a['action'] == 'truncated_stream'
+               for a in report['repairs'])
+
+
 def test_cli_exit_codes(meld_store, tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cmd = [sys.executable, os.path.join(repo, 'tools', 'validate_store.py'),

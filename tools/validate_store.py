@@ -16,9 +16,12 @@ Usage::
 
     python tools/validate_store.py --dataset_path /path/to/store \
         --dataset_name MELD [--folds_dir /path/to/folds/MELD --fold 0] \
-        [--json report.json] [--deep]
+        [--json report.json] [--deep] [--repair]
 
 Exit code 0 = no errors (warnings allowed), 1 = at least one error.
+With ``--repair`` the safe fixes are applied between two validation
+passes (see the repair section below) and the exit code reflects the
+POST-repair state; the JSON output becomes {pre, repairs, post, ok}.
 
 Checks
 ------
@@ -66,7 +69,7 @@ from fvt_tpu.data import folds as folds_mod               # noqa: E402
 from fvt_tpu.data.native_store import npy_header          # noqa: E402
 from fvt_tpu.preprocess.version import (EXTRACTOR_VERSION,  # noqa: E402
                                         STAMP_KEY)
-from fvt_tpu.utils.io import load_pickle                  # noqa: E402
+from fvt_tpu.utils.io import load_pickle, save_pickle     # noqa: E402
 
 # per-frame streams whose row count must equal the trial length
 FRAME_FEATURES = ('video', 'vggish', 'bert', 'mfcc', 'egemaps', 'logmel',
@@ -380,6 +383,182 @@ def validate(dataset_path, dataset_name, folds_dir=None, fold=0,
     return rep
 
 
+# ---------------------------------------------------------------------------
+# Repair pass (--repair)
+#
+# The reference ships its store fixups as hard-coded special cases for 5
+# known-broken challenge videos (compact_face_images.py:245-276: truncate
+# every feature to the video frame count).  The repair pass makes those
+# semantics a general, safe operation:
+#
+#   * truncated .npy payload  -> salvage the complete leading rows
+#     (rewrite as a valid file; the partial tail row is data loss that
+#     already happened at write time)
+#   * per-frame stream LONGER than the runtime length -> truncate to it
+#     (exactly the reference fixup, generalized)
+#   * stale/orphan recompacted video_<N>.npy -> delete (the loader
+#     ignores them; preprocess/recompact.py regenerates)
+#   * C-EXPR-DB*: recorded dataset_info length drifting from video.npy
+#     rows -> rewrite the recorded length (the arranger trusts video.npy,
+#     data/arranger.py:55-61; this aligns the record with the authority)
+#
+# NOT repaired (data would have to be fabricated): streams SHORTER than
+# the runtime length, missing video.npy on C-EXPR-DB*, label values out
+# of class range, duplicate trials.  All writes are atomic
+# (tmp + os.replace) because loaders mmap these files — an in-place
+# rewrite would SIGBUS a concurrently-mapped process.
+# ---------------------------------------------------------------------------
+
+def _atomic_save_npy(path, arr):
+    tmp = path + '.fsck_tmp.npy'  # .npy suffix: np.save appends otherwise
+    np.save(tmp, np.ascontiguousarray(arr))
+    os.replace(tmp, path)
+
+
+def _salvage_truncated(path):
+    """Rewrite a payload-truncated .npy keeping the complete leading
+    rows.  Returns the new row count, or None when unsalvageable
+    (fortran order, zero-size rows, or no complete row survived)."""
+    offset, shape, dtype, fortran = npy_header(path)
+    if fortran or len(shape) == 0:
+        return None
+    row_bytes = int(np.prod(shape[1:], dtype=np.int64)) * dtype.itemsize
+    if row_bytes <= 0:
+        return None
+    payload = os.path.getsize(path) - offset
+    n_complete = int(payload // row_bytes)
+    if n_complete <= 0 or n_complete >= shape[0]:
+        return None
+    with open(path, 'rb') as f:
+        f.seek(offset)
+        flat = np.fromfile(f, dtype=dtype,
+                           count=n_complete * (row_bytes // dtype.itemsize))
+    _atomic_save_npy(path, flat.reshape((n_complete,) + tuple(shape[1:])))
+    return n_complete
+
+
+def _truncate_npy_rows(path, n):
+    arr = np.load(path, mmap_mode='r')
+    _atomic_save_npy(path, arr[:n])
+
+
+def repair(dataset_path, dataset_name):
+    """Apply the safe repairs described above.  Returns a list of
+    repair-action records; dataset_info pickles are rewritten in place
+    (atomically) when recorded lengths are realigned."""
+    actions = []
+    feat = join(dataset_path, 'features')
+    video_authority = dataset_name in (constants.C_EXPR_DB,
+                                       constants.C_EXPR_DB_CHALLENGE)
+    pattern = join(feat, f'dataset_info_{dataset_name}_*.pkl')
+    for info_path in sorted(glob.glob(pattern)):
+        split = os.path.basename(info_path)[:-4].split('_')[-1]
+        if split not in constants.SPLITS:
+            continue  # unmerged shard: merge first, then repair
+        try:
+            info = load_pickle(info_path)
+        except Exception:
+            continue
+        if 'trial' not in info or 'length' not in info:
+            continue
+        folder = info.get('data_folder', 'compacted_48')
+        lengths = list(info['length'])
+        info_dirty = False
+        for i, (trial, length) in enumerate(zip(info['trial'], lengths)):
+            tdir = join(feat, folder, trial)
+            if not os.path.isdir(tdir):
+                continue
+            # 1) salvage truncated payloads first: later steps need
+            #    readable row counts
+            for path in sorted(glob.glob(join(tdir, '*.npy'))):
+                name = os.path.basename(path)[:-4]
+                try:
+                    ok, _shape, _dtype = _payload_ok(path)
+                except Exception:
+                    continue
+                if not ok:
+                    kept = _salvage_truncated(path)
+                    if kept is not None:
+                        actions.append({'action': 'salvaged_truncated',
+                                        'file': f'{trial}/{name}',
+                                        'rows_kept': kept})
+
+            def _rows(name):
+                p = join(tdir, f'{name}.npy')
+                if not os.path.isfile(p):
+                    return None, None
+                try:
+                    ok, shape, _d = _payload_ok(p)
+                except Exception:
+                    return None, None
+                return (shape[0] if ok else None), p
+
+            video_rows, _vp = _rows(constants.VIDEO)
+            runtime_rows = video_rows if (video_authority
+                                          and video_rows is not None) \
+                else int(length)
+
+            # 2) the reference fixup, generalized: truncate over-long
+            #    per-frame streams (and labels) to the runtime length
+            for path in sorted(glob.glob(join(tdir, '*.npy'))):
+                name = os.path.basename(path)[:-4]
+                if name not in FRAME_FEATURES \
+                        and not name.endswith(LABEL_SUFFIX):
+                    continue
+                if video_authority and name == constants.VIDEO:
+                    continue  # never truncate the authority
+                rows, _p = _rows(name)
+                if rows is not None and rows > runtime_rows:
+                    _truncate_npy_rows(path, runtime_rows)
+                    actions.append({'action': 'truncated_stream',
+                                    'file': f'{trial}/{name}',
+                                    'rows': f'{rows} -> {runtime_rows}'})
+
+            # step 2 may have truncated video.npy itself (non-authority
+            # datasets) — refresh the row count before the checks below
+            video_rows, _vp = _rows(constants.VIDEO)
+
+            # 3) realign the recorded length with the video authority
+            if video_authority and video_rows is not None \
+                    and int(length) != video_rows:
+                lengths[i] = type(length)(video_rows)
+                info_dirty = True
+                actions.append({'action': 'realigned_recorded_length',
+                                'file': f'{split}: {trial}',
+                                'rows': f'{int(length)} -> {video_rows}'})
+
+            # 4) drop stale/orphan recompacted files (loader ignores
+            #    them; recompact.py regenerates)
+            for path in sorted(glob.glob(join(tdir, '*.npy'))):
+                name = os.path.basename(path)[:-4]
+                m = re.fullmatch(r'video_(\d+)', name)
+                if not m:
+                    continue
+                src = join(tdir, 'video.npy')
+                scale = int(m.group(1))
+                try:
+                    ok, shape, _d = _payload_ok(path)
+                except Exception:
+                    ok, shape = False, ()
+                bad_shape = not ok or len(shape) != 4 \
+                    or shape[1] != scale or shape[2] != scale
+                stale = bad_shape or (not os.path.isfile(src)) or \
+                    (video_rows is not None and shape[0] != video_rows) or \
+                    os.path.getmtime(path) < os.path.getmtime(src)
+                if stale:
+                    os.remove(path)
+                    actions.append({'action': 'removed_stale_recompact',
+                                    'file': f'{trial}/{name}'})
+        if info_dirty:
+            info['length'] = lengths
+            tmp = info_path + '.fsck_tmp'
+            save_pickle(info, tmp)
+            os.replace(tmp, info_path)
+            actions.append({'action': 'rewrote_dataset_info',
+                            'file': os.path.basename(info_path)})
+    return actions
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument('--dataset_path', required=True)
@@ -390,6 +569,11 @@ def main(argv=None):
     ap.add_argument('--fold', type=int, default=0)
     ap.add_argument('--deep', action='store_true',
                     help='NaN/Inf scan of float features (strided sample)')
+    ap.add_argument('--repair', action='store_true',
+                    help='apply safe repairs (truncate over-long streams, '
+                         'salvage truncated .npy, drop stale recompacts, '
+                         'realign C-EXPR-DB* recorded lengths), then '
+                         're-validate')
     ap.add_argument('--json', default=None, help='write the report here')
     args = ap.parse_args(argv)
 
@@ -397,6 +581,13 @@ def main(argv=None):
                    folds_dir=args.folds_dir, fold=args.fold,
                    deep=args.deep)
     out = rep.as_dict()
+    if args.repair:
+        actions = repair(args.dataset_path, args.dataset_name)
+        post = validate(args.dataset_path, args.dataset_name,
+                        folds_dir=args.folds_dir, fold=args.fold,
+                        deep=args.deep).as_dict()
+        out = {'pre': out, 'repairs': actions, 'post': post,
+               'ok': post['ok']}
     print(json.dumps(out, indent=2, sort_keys=True))
     if args.json:
         with open(args.json, 'w') as f:
