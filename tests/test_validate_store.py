@@ -406,6 +406,47 @@ def test_repair_cli_roundtrip(meld_store, tmp_path):
                for a in report['repairs'])
 
 
+def test_repair_is_idempotent_fuzz(tmp_path):
+    """Random repairable-defect soup: repair always heals the store,
+    and a second repair pass is a no-op (idempotence)."""
+    rng = np.random.RandomState(7)
+    for it in range(3):
+        root = str(tmp_path / f'it{it}')
+        make_meld_store(root, n_train=3, n_val=1, n_test=1,
+                        min_len=6, max_len=12, with_video=True)
+        info = load_pickle(os.path.join(
+            root, 'features', f'dataset_info_{constants.MELD}_train.pkl'))
+        for t in info['trial']:
+            d = os.path.join(root, 'features', 'compacted_48', t)
+            for name in ('vggish', 'bert', 'video'):
+                p = os.path.join(d, f'{name}.npy')
+                roll = rng.randint(4)
+                if roll == 0:       # over-long stream
+                    a = np.load(p)
+                    np.save(p, np.concatenate([a, a[:rng.randint(1, 4)]]))
+                elif roll == 1:     # mid-row payload truncation w/ slack
+                    a = np.load(p)
+                    np.save(p, np.concatenate([a, a[:2]]))
+                    off, shape, dt, _f = vs.npy_header(p)
+                    rb = int(np.prod(shape[1:])) * dt.itemsize
+                    with open(p, 'r+b') as f:
+                        f.truncate(off + a.shape[0] * rb
+                                   + rng.randint(1, rb))
+                elif roll == 2 and name == 'video':  # stale recompact
+                    from fvt_tpu.preprocess.recompact import \
+                        recompact_trial
+                    recompact_trial(d, size=48)
+                    fut = time.time() + 5
+                    os.utime(p, (fut, fut))
+        vs.repair(root, constants.MELD)
+        post = vs.validate(root, constants.MELD,
+                           folds_dir=os.path.join(root, 'folds',
+                                                  constants.MELD))
+        assert post.as_dict()['ok'], (it, post.as_dict())
+        again = vs.repair(root, constants.MELD)
+        assert again == [], (it, again)
+
+
 def test_cli_exit_codes(meld_store, tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cmd = [sys.executable, os.path.join(repo, 'tools', 'validate_store.py'),
