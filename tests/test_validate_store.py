@@ -406,6 +406,34 @@ def test_repair_cli_roundtrip(meld_store, tmp_path):
                for a in report['repairs'])
 
 
+def test_stale_mean_std_cache_warned_and_repaired(meld_store):
+    """The runtime computes the mean/std cache once and never
+    invalidates it (experiment.py:84-95); a store mutated after the
+    cache was built silently trains with stale stats -> fsck warning,
+    and --repair drops the cache so the next run recomputes."""
+    cache = os.path.join(meld_store, 'mean_std_info_fold-0.pkl')
+    save_pickle({'fake': 'stats'}, cache)
+    past = time.time() - 3600
+    os.utime(cache, (past, past))  # older than every feature npy
+    out = _validate(meld_store)
+    assert out['ok']  # warning, not error
+    assert 'mean_std_cache_stale' in out['warnings']
+    actions = vs.repair(meld_store, constants.MELD)
+    assert any(a['action'] == 'removed_stale_mean_std_cache'
+               for a in actions), actions
+    assert not os.path.isfile(cache)
+    post = _validate(meld_store)
+    assert 'mean_std_cache_stale' not in post['warnings']
+
+    # a FRESH cache (newer than every npy) is left alone
+    save_pickle({'fake': 'stats'}, cache)
+    future = time.time() + 60
+    os.utime(cache, (future, future))
+    assert 'mean_std_cache_stale' not in _validate(meld_store)['warnings']
+    assert vs.repair(meld_store, constants.MELD) == []
+    assert os.path.isfile(cache)
+
+
 def test_repair_is_idempotent_fuzz(tmp_path):
     """Random repairable-defect soup: repair always heals the store,
     and a second repair pass is a no-op (idempotence)."""

@@ -45,6 +45,10 @@ labels         integer dtype and, when ``class_id.yaml`` is available,
 folds          class_id.yaml contiguous 0..n-1; every fold trial resolved
                in the store (missing -> warning, like the reference's
                silent intersection; an EMPTY intersection -> error).
+mean/std cache ``mean_std_info_fold-*.pkl`` older than the newest
+               feature npy -> stale-normalization warning (the runtime
+               computes it once and never invalidates,
+               experiment.py:84-95); ``--repair`` drops it.
 --deep         additionally mmap-scan float features for NaN/Inf rows
                (strided sample per trial, bounded cost).
 """
@@ -83,6 +87,7 @@ class Report:
         self.errors: dict[str, list] = {}
         self.warnings: dict[str, list] = {}
         self.counts: dict[str, int] = {}
+        self.max_npy_mtime = 0.0  # newest feature file seen (cache check)
         # per-sink tallies: a kind can be BOTH an error and a warning
         # (frame_count_mismatch is a warning for C-EXPR-DB video drift
         # but an error elsewhere), so n_errors/n_warnings must not be
@@ -160,6 +165,7 @@ def _check_trial(tdir, trial, length, ds, class_ids, rep, deep=False):
     recompacted = {}
     for path in npys:
         name = os.path.basename(path)[:-4]
+        rep.max_npy_mtime = max(rep.max_npy_mtime, os.path.getmtime(path))
         try:
             ok, shape, dtype = _payload_ok(path)
         except Exception as e:
@@ -380,6 +386,20 @@ def validate(dataset_path, dataset_name, folds_dir=None, fold=0,
             _check_trial(join(feat, folder, trial), trial, int(length),
                          dataset_name, class_ids, rep, deep=deep)
     rep.counts['trials_checked'] = n_trials
+
+    # mean/std cache freshness: computed ONCE and never invalidated by
+    # the runtime (experiment.py:84-95 returns early when the file
+    # exists, mirroring the reference base/experiment.py:247-269), so a
+    # store mutated after the cache was built silently trains with
+    # stale normalization stats
+    for cache in sorted(glob.glob(join(dataset_path,
+                                       'mean_std_info_fold-*.pkl'))):
+        if rep.max_npy_mtime and \
+                os.path.getmtime(cache) < rep.max_npy_mtime:
+            rep.warn('mean_std_cache_stale',
+                     f'{os.path.basename(cache)}: older than the newest '
+                     f'feature npy — the runtime will NOT recompute it; '
+                     f'delete it (or run --repair) to refresh')
     return rep
 
 
@@ -447,6 +467,7 @@ def repair(dataset_path, dataset_name):
     repair-action records; dataset_info pickles are rewritten in place
     (atomically) when recorded lengths are realigned."""
     actions = []
+    visited_dirs = set()
     feat = join(dataset_path, 'features')
     video_authority = dataset_name in (constants.C_EXPR_DB,
                                        constants.C_EXPR_DB_CHALLENGE)
@@ -468,6 +489,7 @@ def repair(dataset_path, dataset_name):
             tdir = join(feat, folder, trial)
             if not os.path.isdir(tdir):
                 continue
+            visited_dirs.add(tdir)
             # 1) salvage truncated payloads first: later steps need
             #    readable row counts
             for path in sorted(glob.glob(join(tdir, '*.npy'))):
@@ -556,6 +578,25 @@ def repair(dataset_path, dataset_name):
             os.replace(tmp, info_path)
             actions.append({'action': 'rewrote_dataset_info',
                             'file': os.path.basename(info_path)})
+
+    # Stream mutations change the train-split feature statistics, and a
+    # cache older than the newest feature file was stale to begin with —
+    # either way drop it so the next run recomputes (derived data;
+    # calc_mean_std defaults to true in both stacks; the runtime never
+    # invalidates, experiment.py:84-95).  Mutated files carry fresh
+    # mtimes, so one post-repair mtime scan covers both cases, and a
+    # repair that changed nothing on a fresh store removes nothing
+    # (idempotence).
+    newest = 0.0
+    for tdir in sorted(visited_dirs):
+        for path in glob.glob(join(tdir, '*.npy')):
+            newest = max(newest, os.path.getmtime(path))
+    for cache in sorted(glob.glob(join(dataset_path,
+                                       'mean_std_info_fold-*.pkl'))):
+        if newest and os.path.getmtime(cache) < newest:
+            os.remove(cache)
+            actions.append({'action': 'removed_stale_mean_std_cache',
+                            'file': os.path.basename(cache)})
     return actions
 
 
