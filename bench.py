@@ -425,6 +425,39 @@ def main():
         signal.signal(signal.SIGALRM, _timeout)
         signal.alarm(wd)
 
+    # Fast-fail pre-probe: a wedged axon tunnel otherwise burns the
+    # FULL watchdog budget (observed 2026-08-20: probe ok at session
+    # start, zero compile progress for 15 min right after) before the
+    # same null measurement is reported.  The probe subprocess costs
+    # ~20-40 s when healthy; skip with FVT_BENCH_SKIP_PROBE=1 (or when
+    # the probe script is absent, e.g. a trimmed deployment).
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'tools', 'probe_tpu.py')
+    if wd > 0 and os.path.isfile(probe) \
+            and os.environ.get('FVT_BENCH_SKIP_PROBE') != '1':
+        import subprocess
+        probe_cmd = [sys.executable, probe]
+        if os.environ.get('FVT_BENCH_PROBE_TIMEOUT_S'):  # testable knob
+            probe_cmd.append(os.environ['FVT_BENCH_PROBE_TIMEOUT_S'])
+        try:
+            r = subprocess.run(probe_cmd, timeout=240,
+                               capture_output=True, text=True)
+            probe_failed = r.returncode != 0
+            reason = (r.stdout or r.stderr or '').strip().splitlines()
+            reason = reason[-1] if reason else f'exit {r.returncode}'
+        except subprocess.TimeoutExpired:
+            probe_failed, reason = True, 'probe subprocess timeout (240s)'
+        if probe_failed:
+            print(json.dumps({
+                'metric': 'challenge_e2e_inference_throughput',
+                'value': None,
+                'unit': 'frames/sec/chip end-to-end',
+                'vs_baseline': None,
+                'error': f'TPU liveness pre-probe failed — tunnel '
+                         f'wedged, no measurement possible ({reason})',
+            }), flush=True)
+            os._exit(2)
+
     from fvt_tpu.utils.logger import enable_jit_cache
     enable_jit_cache()
     # the axon tunnel occasionally drops a remote_compile mid-flight;
