@@ -439,14 +439,20 @@ def main():
         probe_cmd = [sys.executable, probe]
         if os.environ.get('FVT_BENCH_PROBE_TIMEOUT_S'):  # testable knob
             probe_cmd.append(os.environ['FVT_BENCH_PROBE_TIMEOUT_S'])
+        # subprocess timeout tracks the knob (plus slack for process
+        # startup) so an env override above the 240 s default stays
+        # effective instead of being silently capped
+        sub_to = max(240, int(float(os.environ.get(
+            'FVT_BENCH_PROBE_TIMEOUT_S', '0'))) + 30)
         try:
-            r = subprocess.run(probe_cmd, timeout=240,
+            r = subprocess.run(probe_cmd, timeout=sub_to,
                                capture_output=True, text=True)
             probe_failed = r.returncode != 0
             reason = (r.stdout or r.stderr or '').strip().splitlines()
             reason = reason[-1] if reason else f'exit {r.returncode}'
         except subprocess.TimeoutExpired:
-            probe_failed, reason = True, 'probe subprocess timeout (240s)'
+            probe_failed, reason = \
+                True, f'probe subprocess timeout ({sub_to}s)'
         if probe_failed:
             print(json.dumps({
                 'metric': 'challenge_e2e_inference_throughput',

@@ -210,6 +210,15 @@ def compute_perf(data: dict, dataset_name: str, use_other_class: bool,
         _perf = copy.deepcopy(perf_tpl)
 
         preds, trgs = format_trg_pred_frames(data, ignore_class=ignore_class)
+        if len(trgs) == 0:
+            # raise BEFORE the degenerate means below emit numpy
+            # empty-slice RuntimeWarnings on the way to the same error
+            raise ValueError(
+                f"compute_perf: every frame in the eval set carries the "
+                f"ignored class ({ignore_class}); no metrics can be "
+                f"computed. Check the split or disable use_other_class. "
+                f"(The reference crashes with an IndexError here: "
+                f"/root/reference/metrics.py:89-145.)")
         f1_per_cl, macro_f1, w_f1 = _f1_both(trgs, preds)
         acc = compute_class_acc(trgs, preds)
         cnf = compute_confusion_matrix(trgs, preds)

@@ -16,6 +16,11 @@ Cell = Union[str, float, int]
 
 
 def _fmt(cell: Cell, dtype: str, precision: int) -> str:
+    # Missing values render as '-' regardless of the column dtype; the
+    # run-summary aggregator legitimately carries None for perf nodes a
+    # partial/foreign run dir lacks.
+    if cell is None or (isinstance(cell, str) and cell == '-'):
+        return '-'
     if dtype == 'f':
         return f"{float(cell):.{precision}f}"
     return str(cell)

@@ -134,6 +134,38 @@ def test_cv_grouping_mean_std(tmp_path):
     assert 'mean +/- std' in text and 'fold2' in text
 
 
+def test_missing_perf_nodes_render_as_dash(tmp_path):
+    """A foreign/partial perf pkl (missing video level) yields None
+    scalars; render() must print '-' instead of crashing on
+    float('-') in the float-dtype column (advisor r4)."""
+    root = str(tmp_path)
+    perf = _perf(0.5)
+    # strip the video level entirely -> extract_row returns None there
+    for ign in perf:
+        for metric in list(perf[ign]):
+            perf[ign][metric].pop(constants.VIDEO_LEVEL, None)
+    _make_run(root, 'partial', constants.C_EXPR_DB, 0, {'None': perf})
+    out = sr.summarize([root])
+    row = out['runs'][0]
+    assert row['video_W_F1_vote'] is None
+    assert row['master'] == row['frame_W_F1'] is not None
+    text = sr.render(out)  # must not raise
+    assert ' - ' in text   # the None cells render as '-'
+
+
+def test_mixed_none_and_int_folds_group(tmp_path):
+    """A group mixing fold=None (config without fold_to_run) and int
+    folds must not TypeError in sorted() (advisor r4)."""
+    root = str(tmp_path)
+    _make_run(root, 'a', constants.C_EXPR_DB, 0, {'None': _perf(0.5)})
+    _make_run(root, 'b', constants.C_EXPR_DB, None, {'None': _perf(0.7)})
+    out = sr.summarize([root])
+    g = out['groups'][0]
+    assert g['n_runs'] == 2 and set(g['folds']) == {0, None}
+    np.testing.assert_allclose(g['master_mean'], 0.6)
+    sr.render(out)  # must not raise
+
+
 def test_cli_json_roundtrip(tmp_path):
     root = str(tmp_path / 'exps')
     _make_run(root, 'a', constants.MELD, 0,

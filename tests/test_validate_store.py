@@ -329,6 +329,22 @@ def test_repair_salvages_truncated_payload(meld_store):
     np.testing.assert_array_equal(np.load(path), arr)
 
 
+def test_repair_sweeps_orphan_fsck_tmp(meld_store):
+    """A repair that crashed between np.save(tmp) and os.replace leaves
+    <name>.fsck_tmp.npy behind; the next repair pass must delete it
+    instead of treating it as an unknown stream forever (advisor r4)."""
+    t = _first_trial(meld_store)
+    tdir = _trial_dir(meld_store, t)
+    orphan = os.path.join(tdir, 'vggish.npy.fsck_tmp.npy')
+    np.save(orphan, np.zeros((2, 3), dtype=np.float32))
+    actions = vs.repair(meld_store, constants.MELD)
+    assert any(a['action'] == 'removed_orphan_tmp'
+               and a['file'].endswith('.fsck_tmp.npy')
+               for a in actions), actions
+    assert not os.path.exists(orphan)
+    assert _validate(meld_store, deep=True)['ok']
+
+
 def test_repair_cannot_fabricate_missing_rows(meld_store):
     t = _first_trial(meld_store)
     path = os.path.join(_trial_dir(meld_store, t), 'bert.npy')

@@ -172,7 +172,10 @@ def summarize(roots, include_unfinished=False):
         grp = groups[key]
         agg = {'dataset_name': key[0], 'model_name': key[1],
                'modality': key[2], 'item': key[3], 'n_runs': len(grp),
-               'folds': sorted({g['fold'] for g in grp})}
+               # key=str: a group can mix integer folds with fold=None
+               # (config missing fold_to_run) — plain sorted() would
+               # TypeError comparing them
+               'folds': sorted({g['fold'] for g in grp}, key=str)}
         for col in COLUMNS:
             vals = [g[col] for g in grp if g[col] is not None]
             agg[f'{col}_mean'] = float(np.mean(vals)) if vals else None

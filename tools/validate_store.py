@@ -489,7 +489,16 @@ def repair(dataset_path, dataset_name):
             tdir = join(feat, folder, trial)
             if not os.path.isdir(tdir):
                 continue
-            visited_dirs.add(tdir)
+            if tdir not in visited_dirs:
+                visited_dirs.add(tdir)
+                # 0) sweep temp files orphaned by a repair that crashed
+                #    between np.save(tmp) and os.replace — later passes
+                #    would otherwise glob them as unknown streams forever
+                for tmp in sorted(glob.glob(join(tdir, '*.fsck_tmp*'))):
+                    os.remove(tmp)
+                    actions.append({'action': 'removed_orphan_tmp',
+                                    'file': f'{trial}/'
+                                            f'{os.path.basename(tmp)}'})
             # 1) salvage truncated payloads first: later steps need
             #    readable row counts
             for path in sorted(glob.glob(join(tdir, '*.npy'))):
