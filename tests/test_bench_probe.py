@@ -1,0 +1,74 @@
+"""bench.py tunnel-wedge behavior (round-4 verdict: a single failed
+probe attempt bare-nulled the whole round's perf record).
+
+The probe pre-flight must (a) retry over a bounded schedule before
+declaring the tunnel wedged and (b) embed the last-known-good
+measurement — explicitly marked stale, with its timestamp — in the
+null payload so a wedged driver run still carries evidence.  Driven
+through the real bench.py subprocess with a stub probe script
+(FVT_BENCH_PROBE_SCRIPT) so the loop, knobs, and JSON shape are the
+shipped ones.
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(tmp_path, probe_body, attempts=2, extra_env=None):
+    probe = tmp_path / 'probe_stub.py'
+    probe.write_text(probe_body)
+    env = dict(os.environ,
+               FVT_BENCH_PROBE_SCRIPT=str(probe),
+               FVT_BENCH_PROBE_ATTEMPTS=str(attempts),
+               FVT_BENCH_PROBE_RETRY_DELAY_S='0.05',
+               FVT_BENCH_WATCHDOG_S='600')
+    env.update(extra_env or {})
+    return subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
+                          capture_output=True, text=True, env=env,
+                          timeout=120)
+
+
+def test_probe_fail_reports_stale_last_known_good(tmp_path):
+    r = _run_bench(tmp_path,
+                   'import sys; print("stub: wedged"); sys.exit(1)')
+    assert r.returncode == 2, (r.stdout, r.stderr)
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out['value'] is None
+    assert 'pre-probe failed 2x' in out['error']
+    # the committed seed (or a fresher successful run) must be embedded
+    lkg = out['last_known_good']
+    assert lkg['stale'] is True
+    assert lkg['value'] and lkg['value'] > 0
+    assert lkg['measured_at']
+    # the retry loop really ran: attempt log on stderr
+    assert 'probe attempt 1/2 failed' in r.stderr
+
+
+def test_probe_retry_recovers_after_transient_failure(tmp_path):
+    """First attempt fails, second succeeds -> bench proceeds past the
+    probe (and then fails later on the CPU-only fake store — which is
+    fine: we only assert it did NOT emit the probe-failure null)."""
+    marker = tmp_path / 'flap_marker'
+    body = (
+        'import os, sys\n'
+        f'm = {str(marker)!r}\n'
+        'if not os.path.exists(m):\n'
+        '    open(m, "w").close(); print("stub: first-attempt wedge");'
+        ' sys.exit(1)\n'
+        'print("stub: alive"); sys.exit(0)\n')
+    r = _run_bench(tmp_path, body,
+                   # watchdog bounds the post-probe phase (we don't want
+                   # a real measurement): long enough for both probe
+                   # attempts (~1 s), short enough to cut the bench off
+                   # right after — which also exercises _null_payload's
+                   # watchdog arm
+                   extra_env={'FVT_BENCH_WATCHDOG_S': '8'})
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith('{')]
+    out = json.loads(lines[-1])
+    # probe passed on retry -> the error (if any) is the watchdog, not
+    # the probe
+    assert 'pre-probe failed' not in (out.get('error') or '')
+    assert os.path.exists(marker)
