@@ -35,10 +35,33 @@ def make_dp_train_step(model, optimizer, mesh: Mesh,
         donate_argnums=(0,))
 
 
-def make_dp_eval_step(model, mesh: Mesh, extra_vars=None) -> Callable:
+def make_dp_eval_step(model, mesh: Mesh, extra_vars=None,
+                      needs_time_mask: bool = False) -> Callable:
+    """``needs_time_mask`` mirrors steps.make_eval_step: JMT/MT apply a
+    (B, T) valid-frame mask.  Their final attention runs over the
+    flattened (B*T) axis (models/fusion.py:190-199) — under these jit
+    shardings that is GLOBAL-array semantics, so the SPMD partitioner
+    inserts the cross-device gathers the mixing needs and the result
+    equals the single-device step (pinned by
+    tests/test_data_parallel.py)."""
+    import jax.numpy as jnp
+
     repl = replicated(mesh)
     bsh = batch_sharded(mesh)
     extra = dict(extra_vars or {})  # e.g. calibrated int8 'act_scales'
+
+    if needs_time_mask:
+        def step(params, batch_stats, inputs, length):
+            inputs = _device_transform(inputs, train=False)
+            b, t = next(iter(inputs.values())).shape[:2]
+            length = jnp.broadcast_to(jnp.asarray(length), (b,))
+            mask = jnp.arange(t)[None, :] < length[:, None]
+            return model.apply({'params': params,
+                                'batch_stats': batch_stats, **extra},
+                               inputs, train=False, time_mask=mask)
+
+        return jax.jit(step, in_shardings=(repl, repl, bsh, bsh),
+                       out_shardings=bsh)
 
     def step(params, batch_stats, inputs):
         inputs = _device_transform(inputs, train=False)

@@ -29,9 +29,32 @@ COMPOUND_CLASSES = [
 ]
 
 
+def _observed_label(rng, label, ncls, label_noise):
+    """With prob ``label_noise`` record a WRONG label (uniform over the
+    other classes) while the features stay drawn from the true class —
+    the irreducible-error knob that pins the converged W-F1 to ~
+    (1 - label_noise) instead of 1.0 (round-4 verdict: a 0.0 accuracy
+    delta at a saturated ceiling carries no information)."""
+    if label_noise > 0 and rng.random() < label_noise:
+        return int((label + 1 + rng.integers(0, ncls - 1)) % ncls)
+    return label
+
+
+def _class_center(rng, centers, label, ncls, ambiguity):
+    """With prob ``ambiguity`` the video's features come from the
+    MIDPOINT of the true class and a random other class — genuinely
+    uncertain videos whose predictions depend on the learned boundary,
+    giving the metric model-sensitive dynamic range."""
+    if ambiguity > 0 and rng.random() < ambiguity:
+        other = int((label + 1 + rng.integers(0, ncls - 1)) % ncls)
+        return 0.5 * (centers[label] + centers[other])
+    return centers[label]
+
+
 def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
                      n_train=10, n_val=5, min_len=8, max_len=40,
-                     seed=0, separation=3.0, video_hw=8):
+                     seed=0, separation=3.0, video_hw=8,
+                     label_noise=0.0, ambiguity=0.0):
     """C-EXPR-DB / challenge-shaped store.
 
     Both datasets require a per-trial video.npy (the arranger trusts its
@@ -62,21 +85,24 @@ def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
             tdir = join(feat_dir, trial)
             os.makedirs(tdir, exist_ok=True)
 
+            cen_v = _class_center(rng, centers_v, label, ncls, ambiguity)
+            cen_b = _class_center(rng, centers_b, label, ncls, ambiguity)
+            obs = _observed_label(rng, label, ncls, label_noise)
             np.save(join(tdir, 'video.npy'),
                     rng.integers(0, 255, size=(length, video_hw, video_hw,
                                                3)).astype(np.uint8))
             np.save(join(tdir, 'vggish.npy'),
-                    (centers_v[label] + rng.normal(size=(length, 128))
+                    (cen_v + rng.normal(size=(length, 128))
                      ).astype(np.float32))
             np.save(join(tdir, 'bert.npy'),
-                    (centers_b[label] + rng.normal(size=(length, 768))
+                    (cen_b + rng.normal(size=(length, 768))
                      ).astype(np.float32))
             np.save(join(tdir, 'EXPR_continuous_label.npy'),
-                    np.full((length,), label, dtype=np.int64))
+                    np.full((length,), obs, dtype=np.int64))
 
             trials.append(trial)
             lengths.append(length)
-            lines.append(f"{trial},{label},compound transcript {i}")
+            lines.append(f"{trial},{obs},compound transcript {i}")
 
         save_pickle(stamp({'data_folder': 'compacted_48', 'trial': trials,
                            'length': lengths, 'partition': split}),
@@ -103,8 +129,14 @@ def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
 
 def make_meld_store(root: str, n_train=12, n_val=6, n_test=6,
                     min_len=8, max_len=40, ncls=7, seed=0,
-                    separation=3.0, with_video=False):
-    """Label-separable synthetic vggish/bert streams (learnable quickly)."""
+                    separation=3.0, with_video=False,
+                    label_noise=0.0, ambiguity=0.0):
+    """Label-separable synthetic vggish/bert streams (learnable quickly).
+
+    ``label_noise`` / ``ambiguity`` > 0 make the store NON-separable
+    (wrong recorded labels / class-midpoint feature manifolds) so the
+    converged W-F1 has real dynamic range — the operating point the
+    accuracy-equivalence twins (tools/twin_accuracy.py) need."""
     rng = np.random.default_rng(seed)
     ds = constants.MELD
     feat_dir = join(root, 'features', 'compacted_48')
@@ -125,11 +157,16 @@ def make_meld_store(root: str, n_train=12, n_val=6, n_test=6,
             tdir = join(feat_dir, trial)
             os.makedirs(tdir, exist_ok=True)
 
-            vggish = (class_centers_v[label]
+            cen_v = _class_center(rng, class_centers_v, label, ncls,
+                                  ambiguity)
+            cen_b = _class_center(rng, class_centers_b, label, ncls,
+                                  ambiguity)
+            obs = _observed_label(rng, label, ncls, label_noise)
+            vggish = (cen_v
                       + rng.normal(size=(length, 128))).astype(np.float32)
-            bert = (class_centers_b[label]
+            bert = (cen_b
                     + rng.normal(size=(length, 768))).astype(np.float32)
-            labels = np.full((length,), label, dtype=np.int64)
+            labels = np.full((length,), obs, dtype=np.int64)
             np.save(join(tdir, 'vggish.npy'), vggish)
             np.save(join(tdir, 'bert.npy'), bert)
             np.save(join(tdir, 'EXPR_continuous_label.npy'), labels)
@@ -140,7 +177,7 @@ def make_meld_store(root: str, n_train=12, n_val=6, n_test=6,
 
             trials.append(trial)
             lengths.append(length)
-            lines.append(f"{trial},{label},synthetic transcript {i}")
+            lines.append(f"{trial},{obs},synthetic transcript {i}")
 
         save_pickle(stamp({'data_folder': 'compacted_48', 'trial': trials,
                            'length': lengths, 'partition': split}),
