@@ -69,6 +69,12 @@ def get_config(ds: str) -> dict:
         'opt__weight_decay': 0.0001,
         'opt__name_optimizer': constants.SGD,
         'opt__lr': 0.001,
+        'opt__honor_lr': False,  # opt-in DIVERGENCE: the reference
+        # never passes lr to torch SGD/Adam (instantiators.py:74-92),
+        # so its live runs train at torch's default 1e-3 regardless of
+        # opt__lr (except MYWARMUP's post-warmup jump) — reproduced by
+        # default; True makes the optimizer + schedules honor opt__lr
+        # as intended (train/optim.py::effective_base_lr)
         'opt__momentum': 0.9,
         'opt__dampening': 0.0,
         'opt__nesterov': True,

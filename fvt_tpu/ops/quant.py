@@ -143,3 +143,38 @@ def conv3x3_int8_9mm(x: jnp.ndarray, kernel: jnp.ndarray,
 
     deq = acc.astype(jnp.float32) * (xscale * wscale.reshape(1, 1, 1, -1))
     return deq.astype(out_dtype)
+
+
+def calibrate_act_scales(model, params, batch_stats, sample_batch):
+    """Record per-conv max|x| activation scales over one representative
+    batch for ``--serve_quant int8_static`` — the frozen backbone's
+    post-BN/PReLU activation ranges are stationary across a run, so one
+    batch suffices (measured quality bound: tools/quant_delta.py).
+
+    Shared by the live path (train/trainer.py::Trainer.calibrate_quant)
+    and the frozen-artifact export (tools/export_serving.py), so the
+    two cannot drift apart.  Returns the host-side ``act_scales``
+    variable collection; raises if the model recorded none (backbone
+    not running with conv_impl='int8')."""
+    import jax.numpy as jnp  # noqa: F401
+    from fvt_tpu.train.steps import _device_transform
+
+    inputs = {k: jnp.asarray(v) for k, v in sample_batch.items()
+              if 'continuous_label' not in k}
+
+    @jax.jit
+    def calib(params, stats, inputs):
+        x = _device_transform(inputs, train=False)
+        _, mut = model.apply(
+            {'params': params, 'batch_stats': stats}, x,
+            train=False, mutable=['act_scales'])
+        return mut['act_scales']
+
+    scales = jax.device_get(calib(params, batch_stats, inputs))
+    n = len(jax.tree.leaves(scales))
+    if n == 0:
+        raise ValueError(
+            'calibration recorded no activation scales — is the '
+            'backbone running with conv_impl=int8 (serve_quant '
+            'int8/int8_static)?')
+    return scales

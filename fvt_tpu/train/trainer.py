@@ -144,24 +144,12 @@ class Trainer:
         outside the calibrated range clip to ±127 (standard symmetric
         int8); the measured quality delta lives in tools/quant_delta.py.
         """
-        from fvt_tpu.train.steps import _device_transform
+        from fvt_tpu.ops.quant import calibrate_act_scales
         assert self.state is not None, 'init_state first'
-        inputs = {k: jnp.asarray(v) for k, v in sample_batch.items()
-                  if 'continuous_label' not in k}
-
-        @jax.jit
-        def calib(params, stats, inputs):
-            x = _device_transform(inputs, train=False)
-            _, mut = self.model.apply(
-                {'params': params, 'batch_stats': stats}, x,
-                train=False, mutable=['act_scales'])
-            return mut['act_scales']
-
-        scales = jax.device_get(calib(self.state.params,
-                                      self.state.batch_stats, inputs))
+        scales = calibrate_act_scales(self.model, self.state.params,
+                                      self.state.batch_stats,
+                                      sample_batch)
         n = len(jax.tree.leaves(scales))
-        assert n > 0, ('calibration recorded no activation scales — '
-                       'is the backbone running with conv_impl=int8?')
         log(fmsg(f'int8_static: calibrated {n} activation scales'))
         self.act_scales = scales
         self.eval_step = make_eval_step(self.model,

@@ -341,16 +341,115 @@ def test_cli_export_from_run_dir(tmp_path):
         [4, 8, 128]
 
 
-def test_int8_static_run_refused(tmp_path):
+def _int8_static_model(args):
+    """Tri-modal model with the int8 backbone path live (what
+    Experiment._spatial_modules builds for serve_quant=int8*)."""
+    from fvt_tpu.models.arcface import VisualBackbone
+    return _init_model(args,
+                       spatial_video=VisualBackbone(conv_impl='int8'))
+
+
+def test_int8_static_artifact_roundtrip():
+    """int8_static serving in the frozen artifact (round-4 verdict #4):
+    the calibrated activation scales are baked into the exported
+    StableHLO (closed-over extra_vars) AND serialized into the
+    artifact's weights; artifact.call must equal the live calibrated
+    eval step bitwise."""
+    from fvt_tpu.ops.quant import calibrate_act_scales
+
+    args = _tiny_args(modality='video+vggish+bert+EXPR_continuous_label',
+                      serve_quant='int8_static', window_length=2,
+                      hop_length=2)
+    model, params, stats = _int8_static_model(args)
+    calib = _rand_batch(serving_input_specs(args, 2, 2), seed=3)
+    scales = calibrate_act_scales(model, params, stats, calib)
+    assert len(jax.tree.leaves(scales)) > 0
+    extra = {'act_scales': scales}
+
+    exports, aot, meta = export_serving(
+        model, args.model_name, args, params, stats, shapes=[(2, 2)],
+        platforms=('cpu',), extra_vars=extra)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        path = join(td, 'int8s.fvtserve')
+        save_artifact(path, exports, aot, meta, params, stats,
+                      extra_vars=extra)
+        art = load_artifact(path, prefer_aot=False)
+        assert art.extra_vars is not None  # scales rode the artifact
+        batch = _rand_batch(serving_input_specs(args, 2, 2), seed=4)
+        live = np.asarray(make_eval_step(model, extra_vars=extra)(
+            params, stats, batch))
+        frozen = np.asarray(art.call(batch))
+        np.testing.assert_array_equal(frozen, live)
+        # and the scales genuinely steer the program: a no-scale step
+        # (dynamic int8) must differ on the same batch
+        dyn = np.asarray(make_eval_step(model)(params, stats, batch))
+        assert np.abs(dyn - live).max() > 0
+
+
+def test_int8_static_cli_export_calibrates(tmp_path):
+    """tools/export_serving.py on an int8_static run dir: calibrates
+    one batch from --calib_store, embeds the scales, and the artifact
+    reproduces the live calibrated eval; without a store it still
+    refuses with an actionable error."""
     import yaml
-    args = _tiny_args(serve_quant='int8_static')
+    from flax import serialization as fser
+    from synth_store import make_meld_store
+    from fvt_tpu.ops.quant import calibrate_act_scales
+    from export_serving import main
+
+    store = str(tmp_path / 'store')
+    make_meld_store(store, n_train=3, n_val=2, n_test=2, min_len=4,
+                    max_len=8, with_video=True)
+
+    args = _tiny_args(modality='video+vggish+bert+EXPR_continuous_label',
+                      serve_quant='int8_static', window_length=2,
+                      hop_length=2, train_batch_size=2, num_workers=1,
+                      eval_bucket_quantum=2, calc_mean_std=True, seed=0,
+                      dataset_path=str(tmp_path / 'absent'),
+                      folds_dir=join(store, 'folds', 'MELD'),
+                      outd=str(tmp_path / 'outd'))
+    os.makedirs(args.outd, exist_ok=True)
+    model, params, stats = _int8_static_model(args)
+
     run = tmp_path / 'run'
-    os.makedirs(run)
+    best = run / 'best-models' / 'w_f1-frames_vote'
+    os.makedirs(best)
     with open(run / 'config.yml', 'w') as f:
         yaml.dump(vars(args), f)
-    from export_serving import main
-    with pytest.raises(SystemExit, match='int8_static'):
-        main(['--fd_exp', str(run)])
+    with open(best / 'model.msgpack', 'wb') as f:
+        f.write(fser.to_bytes(
+            {'params': jax.tree.map(np.asarray, params),
+             'batch_stats': jax.tree.map(np.asarray, stats)}))
+
+    out = str(tmp_path / 'int8s.fvtserve')
+    # no store anywhere -> actionable refusal (config dataset_path is
+    # absent and no --calib_store given)
+    with pytest.raises(SystemExit, match='calibration store'):
+        main(['--fd_exp', str(run), '--out', out, '--platforms', 'cpu'])
+
+    main(['--fd_exp', str(run), '--out', out, '--platforms', 'cpu',
+          '--window_batch', '2', '--seq_len', '2',
+          '--calib_store', store])
+
+    art = load_artifact(out, prefer_aot=False)
+    assert art.extra_vars is not None
+    assert art.meta['flags']['serve_quant'] == 'int8_static'
+
+    # live twin: calibrate on the SAME batch the CLI used (the loader
+    # build is deterministic at seed 0)
+    from types import SimpleNamespace
+    from fvt_tpu.experiment import Experiment
+    cargs = SimpleNamespace(**{**vars(args), 'dataset_path': store})
+    exp = Experiment(cargs)
+    exp.prepare()
+    sample = exp._sample_batch(exp.init_loaders())
+    scales = calibrate_act_scales(model, params, stats, sample)
+    extra = {'act_scales': scales}
+    batch = _rand_batch(serving_input_specs(args, 2, 2), seed=9)
+    live = np.asarray(make_eval_step(model, extra_vars=extra)(
+        params, stats, batch))
+    np.testing.assert_array_equal(np.asarray(art.call(batch)), live)
 
 
 def test_http_serving_endpoint(lfan_artifact):

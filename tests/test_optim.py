@@ -114,7 +114,10 @@ def test_optimizer_single_step_matches_torch(name):
         topt.step()
     want = tp.detach().numpy()
 
-    hp = _hp(name_optimizer=name)
+    # honor_lr: this test compares step MATH against a hand-built torch
+    # optimizer with lr passed explicitly; the live reference drops lr
+    # (see test_live_optimizer_lr_reproduces_reference_default)
+    hp = _hp(name_optimizer=name, honor_lr=True)
     opt = O.build_optimizer(hp)
     params = {'w': jnp.asarray(w0)}
     state = opt.init(params)
@@ -125,6 +128,61 @@ def test_optimizer_single_step_matches_torch(name):
 
     np.testing.assert_allclose(np.asarray(params['w']), want, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_live_optimizer_lr_reproduces_reference_default():
+    """The reference builds torch SGD/Adam WITHOUT passing lr
+    (instantiators.py:74-92: the `_params` group list with the config
+    lr is built and never used), so its live runs train at torch's
+    default 1e-3 regardless of opt__lr.  Pin (a) that fact on the
+    IMPORTED reference, (b) that the fvt live path reproduces it, and
+    (c) that opt__honor_lr=True restores configured-lr semantics.
+    Found by the round-5 non-saturated accuracy twins (fvt at honored
+    lr=0.01 converged ~2x faster than the reference on identical batch
+    sequences)."""
+    from conftest import add_reference_to_path
+    add_reference_to_path()
+    import os
+    import dllogger as DLLogger
+    if type(DLLogger.GLOBAL_LOGGER).__name__ == 'NotInitializedObject':
+        DLLogger.init_arb(backends=[], master_pid=os.getpid())  # it logs
+    import instantiators as ref_inst
+    from fvt_tpu.config.defaults import get_config
+
+    cfg = {**get_config('MELD'), 'opt__lr': 0.05}
+    p = [torch.nn.Parameter(torch.zeros(1))]
+    ref_opt, ref_sched = ref_inst.get_optimizer_scheduler(
+        dict(cfg), p, epoch=0, best=None)
+    assert ref_opt.param_groups[0]['lr'] == pytest.approx(1e-3)
+    # the torch scheduler snapshots that default as its base lr too
+    assert ref_sched.base_lrs == [pytest.approx(1e-3)]
+
+    hp = O.standardize_opt_params(dict(cfg))
+    assert O.effective_base_lr(hp) == pytest.approx(1e-3)
+    assert O.get_lr(O.build_optimizer(hp).init({'w': jnp.zeros(1)})) \
+        == pytest.approx(1e-3)
+    sched = O.build_scheduler(hp, num_epochs=10, min_num_epochs=5)
+    assert sched.lr(0) == pytest.approx(ref_sched.get_lr()[0])
+
+    hp2 = O.standardize_opt_params({**cfg, 'opt__honor_lr': True})
+    assert O.effective_base_lr(hp2) == pytest.approx(0.05)
+    sched2 = O.build_scheduler(hp2, num_epochs=10, min_num_epochs=5)
+    assert sched2.lr(0) == pytest.approx(0.05)
+
+
+def test_mywarmup_keeps_configured_lr():
+    """MYWARMUP is the one schedule where the configured lr matters in
+    the reference: base/scheduler.py:95 stores it and :148-151 jumps
+    the param groups to it after warmup — so build_scheduler must keep
+    hp.lr there even while every snapshot-based schedule runs off the
+    torch-default base."""
+    hp = O.standardize_opt_params({
+        **{f'opt__{k}': v for k, v in vars(_hp()).items()},
+        'opt__lr': 0.02, 'opt__name_lr_scheduler': constants.MYWARMUP,
+        'opt__mode': constants.MAX_MODE})
+    s = O.build_scheduler(hp, num_epochs=10, min_num_epochs=4)
+    assert s.lr(3) == pytest.approx(0.02)   # post-warmup = config lr
+    assert s.lr(0) == pytest.approx(0.02 / 4)
 
 
 def test_mywarmup_wired_in_trainer(tmp_path):

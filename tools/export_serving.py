@@ -17,10 +17,14 @@ Usage:
       [--platforms cpu,tpu] [--aot]
 
 Needs only the run dir (frozen config.yml + best-models/*/model.msgpack)
-— no feature store.  ``--serve_quant int8_static`` runs are refused:
-their activation scales are calibrated against live data at load time
-(fvt_tpu/experiment.py:243-246); export those from a process that has
-a store, or export the dynamic-``int8`` variant.
+— no feature store, EXCEPT for ``--serve_quant int8_static`` runs:
+their activation scales are calibrated against live data
+(fvt_tpu/experiment.py:243-246), so the export calibrates one
+representative batch from the run's dataset_path (override with
+``--calib_store``) and SERIALIZES the scales into the artifact — the
+frozen serving program then carries them as baked constants and
+deployment hosts need no store (round-4 verdict #3; the scales are ~41
+numbers).
 """
 import argparse
 import json
@@ -88,17 +92,31 @@ def main(argv=None):
                    help='also AOT-compile for THIS host\'s backend and '
                         'embed the executable (zero-compile load on an '
                         'identical platform + jax version)')
+    p.add_argument('--calib_store', default=None,
+                   help='int8_static only: dataset_path holding the '
+                        'calibration store (default: the run\'s '
+                        'dataset_path)')
+    p.add_argument('--calib_folds_dir', default=None,
+                   help='int8_static only: folds_dir for the '
+                        'calibration store (default: the run\'s)')
     a = p.parse_args(argv)
 
     from fvt_tpu.export import export_serving, save_artifact
     from fvt_tpu.utils.logger import log
 
     args = load_run_config(a.fd_exp)
-    if getattr(args, 'serve_quant', 'none') == 'int8_static':
-        raise SystemExit(
-            'int8_static serving calibrates activation scales against '
-            'live data at load (experiment.py:243-246) — export from a '
-            'calibrated process, or use --serve_quant int8/none runs')
+    int8_static = getattr(args, 'serve_quant', 'none') == 'int8_static'
+    if int8_static:
+        if a.calib_store:
+            args.dataset_path = a.calib_store
+        if a.calib_folds_dir:
+            args.folds_dir = a.calib_folds_dir
+        if not os.path.isdir(str(args.dataset_path)):
+            raise SystemExit(
+                f'int8_static export needs a calibration store: the '
+                f'activation scales describe live data '
+                f'(experiment.py:243-246) and {args.dataset_path!r} '
+                f'does not exist — pass --calib_store/--calib_folds_dir')
 
     case = a.case_best_model
     best_dir = join(a.fd_exp, 'best-models')
@@ -111,6 +129,24 @@ def main(argv=None):
 
     model, params, batch_stats = build_model_and_weights(args, path_model)
 
+    extra_vars = None
+    if int8_static:
+        # calibrate against the LOADED weights (the scales must describe
+        # the served checkpoint's activations) on one representative
+        # batch from the store — exactly the live path's semantics
+        # (Experiment.run_eval -> Trainer.calibrate_quant)
+        from fvt_tpu.experiment import Experiment
+        from fvt_tpu.ops.quant import calibrate_act_scales
+        import jax
+        exp = Experiment(args)
+        exp.prepare()
+        sample = exp._sample_batch(exp.init_loaders())
+        scales = calibrate_act_scales(model, params, batch_stats, sample)
+        extra_vars = {'act_scales': scales}
+        log(f"int8_static: calibrated "
+            f"{len(jax.tree.leaves(scales))} activation scales from "
+            f"{args.dataset_path}")
+
     wbs = a.window_batch or [int(getattr(args, 'eval_window_batch', 8))]
     tls = a.seq_len or [int(args.window_length)]
     shapes = [(wb, t) for wb in wbs for t in tls]
@@ -118,12 +154,14 @@ def main(argv=None):
 
     exports, aot_blobs, meta = export_serving(
         model, args.model_name, args, params, batch_stats,
-        shapes=shapes, platforms=platforms, aot=a.aot)
+        shapes=shapes, platforms=platforms, aot=a.aot,
+        extra_vars=extra_vars)
     meta['source_run'] = os.path.abspath(a.fd_exp)
     meta['case_best_model'] = case
 
     out = a.out or join(a.fd_exp, 'serving.fvtserve')
-    save_artifact(out, exports, aot_blobs, meta, params, batch_stats)
+    save_artifact(out, exports, aot_blobs, meta, params, batch_stats,
+                  extra_vars=extra_vars)
     log(f"wrote {out}: shapes={sorted(meta['shapes'])} "
         f"platforms={platforms} aot={sorted(aot_blobs) or None} "
         f"({os.path.getsize(out) / 1e6:.1f} MB)")

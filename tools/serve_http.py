@@ -350,7 +350,16 @@ def main(argv=None):
                    help='on SIGTERM/SIGINT: refuse new opens and wait '
                         'this long for live streams to finish before '
                         'exiting')
+    p.add_argument('--force_cpu', action='store_true',
+                   help='pin jax to the CPU backend before first use '
+                        '(needed to serve a cpu-only artifact on a '
+                        'host whose TPU PJRT plugin would otherwise '
+                        'win — JAX_PLATFORMS=cpu is IGNORED when such '
+                        'a plugin is importable)')
     a = p.parse_args(argv)
+    if a.force_cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     if a.dynamic_batch and a.batch_delay_ms <= 0:
         p.error('--dynamic_batch needs --batch_delay_ms > 0: with no '
                 'stale-flush bound, a lone stream\'s finish()ed tail '

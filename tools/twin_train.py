@@ -79,7 +79,8 @@ _trainer_mod.Trainer.train_one_epoch = _twin_toe
 
 _twin_load = _os.environ.get('TWIN_LOAD_PT')
 _twin_save = _os.environ.get('TWIN_SAVE_INIT')
-if _twin_load or _twin_save:
+_twin_nodrop = _os.environ.get('TWIN_ZERO_DROPOUT')
+if _twin_load or _twin_save or _twin_nodrop:
     import experiment as _exp_mod
     import torch as _torch
     _orig_init_model = _exp_mod.Experiment.init_model
@@ -92,6 +93,13 @@ if _twin_load or _twin_save:
         elif _twin_save and not _os.path.isfile(_twin_save):
             _torch.save(_m.state_dict(), _twin_save)
             print(f'TWIN: saved init state_dict to {_twin_save}')
+        if _twin_nodrop:
+            _n = 0
+            for _mod in _m.modules():
+                if isinstance(_mod, _torch.nn.Dropout):
+                    _mod.p = 0.0
+                    _n += 1
+            print(f'TWIN: zeroed {_n} dropout modules')
         return _m
     _exp_mod.Experiment.init_model = _twin_init_model
 '''
@@ -100,13 +108,14 @@ _CURVE_RE = re.compile(
     r'val: Current MASTER: None, W_F1, VIDEO_LEVEL, (\w+): ([0-9.]+)')
 
 
-def _stage_refrun(workdir: str, name: str, data: str) -> str:
+def _stage_refrun(workdir: str, name: str, data: str,
+                  ds: str = 'MELD') -> str:
     """Runnable copy of the reference with twin-patched launcher."""
     refrun = join(workdir, name)
     shutil.copytree(RI.REFERENCE, refrun)
-    shutil.rmtree(join(refrun, 'folds', 'MELD'))
-    shutil.copytree(join(data, 'abaw7', 'MELD', 'folds', 'MELD'),
-                    join(refrun, 'folds', 'MELD'))
+    shutil.rmtree(join(refrun, 'folds', ds))
+    shutil.copytree(join(data, 'abaw7', ds, 'folds', ds),
+                    join(refrun, 'folds', ds))
     anchor = "sys.argv = ['main.py']"
     # str.replace is silent on a missed anchor: the patch would no-op,
     # TWIN_LOSS_FILE would never be written, and worse, a zero-epoch
@@ -124,10 +133,11 @@ def _stage_refrun(workdir: str, name: str, data: str) -> str:
 def _run_reference(refrun: str, stubs: str, data: str, epochs: int,
                    lr: float, batch: int, loss_file: str = None,
                    load_pt: str = None, save_init: str = None,
-                   timeout: int = 3600) -> str:
+                   timeout: int = 3600, ds: str = 'MELD',
+                   seed: int = 0, extra_args: tuple = ()) -> str:
     env = dict(os.environ,
                PYTHONPATH=stubs + ':' + os.environ.get('PYTHONPATH', ''),
-               HOST_XXX='tay', DATASETSH=data, MYSEED='0')
+               HOST_XXX='tay', DATASETSH=data, MYSEED=str(seed))
     if loss_file:
         env['TWIN_LOSS_FILE'] = loss_file
     if load_pt:
@@ -136,13 +146,13 @@ def _run_reference(refrun: str, stubs: str, data: str, epochs: int,
         env['TWIN_SAVE_INIT'] = save_init
     subprocess.run(
         [sys.executable, '_run_cpu.py', '--mode', 'TRAINING',
-         '--dataset_name', 'MELD',
+         '--dataset_name', ds,
          '--modality', 'vggish+bert+EXPR_continuous_label',
          '--model_name', 'LFAN', '--num_epochs', str(epochs),
          '--train_batch_size', str(batch), '--num_workers', '0',
-         '--opt__lr', str(lr)],
+         '--opt__lr', str(lr), '--seed', str(seed), *extra_args],
         cwd=refrun, env=env, check=True, timeout=timeout)
-    return join(refrun, 'exps', 'MELD', 'fold-0', 'id_123456')
+    return join(refrun, 'exps', ds, 'fold-0', 'id_123456')
 
 
 def _parse_ref_valid_curves(log_txt: str) -> dict:
@@ -174,7 +184,9 @@ def _test_wf1(outd: str) -> dict:
 
 
 def _train_fvt(workdir: str, data: str, epochs: int, lr: float,
-               batch: int, init_pt: str = None):
+               batch: int, init_pt: str = None, ds: str = 'MELD',
+               seed: int = 0, outd_name: str = 'fvt_out',
+               extra_cfg: dict = None):
     """Train fvt_tpu in-process on CPU with the matched config (and the
     reference's saved INITIAL weights when ``init_pt`` is given, so the
     loss trajectories start from the same point); returns
@@ -186,15 +198,16 @@ def _train_fvt(workdir: str, data: str, epochs: int, lr: float,
     from fvt_tpu.config.defaults import get_config
     from fvt_tpu.experiment import Experiment
 
-    outd = join(workdir, 'fvt_out')
-    cfg = get_config('MELD')
-    cfg.update(dataset_path=join(data, 'abaw7', 'MELD'),
-               folds_dir=join(data, 'abaw7', 'MELD', 'folds', 'MELD'),
+    outd = join(workdir, outd_name)
+    cfg = get_config(ds)
+    cfg.update(dataset_path=join(data, 'abaw7', ds),
+               folds_dir=join(data, 'abaw7', ds, 'folds', ds),
                modality='vggish+bert+EXPR_continuous_label',
-               model_name='LFAN', num_workers=1, seed=0,
+               model_name='LFAN', num_workers=1, seed=seed,
                num_epochs=epochs, min_num_epochs=min(epochs, 5),
                train_batch_size=batch, opt__lr=lr,
                outd=outd, eval_bucket_quantum=300)
+    cfg.update(extra_cfg or {})
     os.makedirs(outd, exist_ok=True)
     exp = Experiment(SimpleNamespace(**cfg))
     exp.prepare()  # reuses the reference-computed mean/std cache
@@ -385,7 +398,12 @@ def _lockstep_probe(init_pt: str, model_name: str = 'LFAN',
         model = JMT(modality=modality, output_dim=7,
                     model_name=model_name, tcn_dropout=0.0,
                     spatial_video=_DummySpatialJax())
-    hp = O.standardize_opt_params({**get_config('MELD'), 'opt__lr': lr})
+    # honor_lr: the lockstep's torch twin is HAND-BUILT with lr passed
+    # explicitly (above), unlike the reference's live instantiators
+    # which drop it (optim.effective_base_lr) — so the fvt side must
+    # honor the configured lr to compare step MATH at the same lr
+    hp = O.standardize_opt_params({**get_config('MELD'), 'opt__lr': lr,
+                                   'opt__honor_lr': True})
     optimizer = O.build_optimizer(hp)
 
     prev_x64 = bool(jax.config.jax_enable_x64)
