@@ -54,7 +54,7 @@ def _class_center(rng, centers, label, ncls, ambiguity):
 def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
                      n_train=10, n_val=5, min_len=8, max_len=40,
                      seed=0, separation=3.0, video_hw=8,
-                     label_noise=0.0, ambiguity=0.0):
+                     label_noise=0.0, ambiguity=0.0, n_folds=1):
     """C-EXPR-DB / challenge-shaped store.
 
     Both datasets require a per-trial video.npy (the arranger trusts its
@@ -123,6 +123,34 @@ def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
 
     with open(join(folds_dir, 'class_id.yaml'), 'w') as f:
         yaml.dump({c: i for i, c in enumerate(COMPOUND_CLASSES)}, f)
+
+    # k-fold CV splits (C-EXPR-DB's 5-fold layout, folds/ tree of the
+    # reference): split-k re-partitions the SAME trial pool — fold txts
+    # are the split-membership authority; the arranger pools every
+    # partition's dataset_info and filters by them (data/arranger.py:
+    # 65-87), so a val-partition trial can serve in split-1's train set
+    if n_folds > 1 and ds == constants.C_EXPR_DB:
+        all_lines = []
+        for split in counts:
+            with open(join(folds_dir, f'{split}.txt')) as f:
+                all_lines += [ln for ln in f.read().splitlines() if ln]
+        frng = np.random.default_rng(seed + 1)
+        order = frng.permutation(len(all_lines))
+        chunks = np.array_split(order, n_folds)
+        for k in range(n_folds):
+            fd = join(root, 'folds', ds, f'split-{k}')
+            os.makedirs(fd, exist_ok=True)
+            val_idx = set(chunks[k].tolist())
+            val = [all_lines[i] for i in sorted(val_idx)]
+            train = [all_lines[i] for i in range(len(all_lines))
+                     if i not in val_idx]
+            for name, lines_k in (('train', train), ('val', val),
+                                  ('test', val)):
+                with open(join(fd, f'{name}.txt'), 'w') as f:
+                    f.write('\n'.join(lines_k) + '\n')
+            with open(join(fd, 'class_id.yaml'), 'w') as f:
+                yaml.dump({c: i for i, c in enumerate(COMPOUND_CLASSES)},
+                          f)
 
     return {'dataset_path': root, 'folds_dir': join(root, 'folds', ds)}
 

@@ -22,7 +22,13 @@ def _make_args(outd, **over):
     cfg = dict(get_config(constants.MELD))
     cfg.update(num_epochs=12, min_num_epochs=1, early_stopping=0,
                seed=0, outd=str(outd), opt__lr=0.05, save_plot=False,
-               milestone=(), load_best_at_each_epoch=False)
+               milestone=(), load_best_at_each_epoch=False,
+               # these tests pin the FIT-LOOP machinery (stitch,
+               # selection, release, resume), so they opt into the
+               # honored-lr divergence for fast convergence; the
+               # reference's silent-default-lr contract is pinned in
+               # test_optim.py
+               opt__honor_lr=True)
     cfg.update(over)
     return SimpleNamespace(**cfg)
 
