@@ -285,6 +285,37 @@ def test_dynamic_batching_packs_and_matches(lfan):
     assert solo.batcher.dispatches == 1 and solo.batcher.rows_padded == 2
 
 
+def test_dynamic_batching_over_mesh_matches(lfan):
+    """Streaming x DP composition (round-4 verdict #7): the SHARED
+    dynamic batcher dispatching through ``call_sharded`` on a 4-device
+    mesh — cross-session packed batches, each split over the data axis —
+    reproduces every session's offline stitch at f32 tolerance with
+    identical argmaxes, at the same packing efficiency as the
+    single-device shared path."""
+    from fvt_tpu.parallel.mesh import make_mesh
+
+    args, model, params, stats, art = lfan
+    spec = art.meta['shapes'][art.shape_keys[0]]['inputs']
+    L = 12
+    videos = [_rand_stream(spec, L, seed=30 + i) for i in range(4)]
+    wants = [_offline_stitch(art, v, L) for v in videos]
+
+    batcher = WindowBatcher(art, shared=True, mesh=make_mesh(4))
+    sessions = [StreamingSession(art, batcher=batcher) for _ in range(4)]
+    pieces = [[] for _ in range(4)]
+    for i, (sess, vid) in enumerate(zip(sessions, videos)):
+        _, logits = sess.feed(vid)
+        pieces[i].append(logits)
+    assert batcher.dispatches == 2 and batcher.rows_padded == 0
+    for i, sess in enumerate(sessions):
+        _, logits = sess.close()
+        pieces[i].append(logits)
+    for i in range(4):
+        got = np.concatenate([p for p in pieces[i] if p.size])
+        np.testing.assert_allclose(got, wants[i], atol=2e-5, rtol=1e-5)
+        np.testing.assert_array_equal(got.argmax(-1), wants[i].argmax(-1))
+
+
 def test_dynamic_batch_poll_surfaces_foreign_dispatch(lfan):
     """A's windows sit in the shared queue until B's traffic fills the
     batch; A.poll() then returns A's finalized frames without feeding."""
