@@ -17,9 +17,12 @@ from fvt_tpu.train import optim  # noqa: E402
 def test_sgd_dampening_matches_torch():
     """torch: buf = mu*buf + (1-dampening)*grad; was silently ignored."""
     from types import SimpleNamespace
+    # honor_lr: step-MATH test vs a hand-built torch SGD with lr
+    # passed explicitly (the live silent-default-lr contract is
+    # pinned in test_optim.py)
     hp = SimpleNamespace(name_optimizer=constants.SGD, weight_decay=0.0,
                          momentum=0.9, dampening=0.5, nesterov=False,
-                         lr=0.1)
+                         lr=0.1, honor_lr=True)
     opt = optim.build_optimizer(hp)
 
     w0 = np.asarray([1.0, -2.0, 0.5], np.float32)
@@ -46,6 +49,9 @@ def test_multistep_accepts_plus_separated_milestones():
     """The reference documents '+'-separated milestone strings."""
     from types import SimpleNamespace
     hp = SimpleNamespace(name_lr_scheduler=constants.MULTISTEP, lr=1.0,
+                         honor_lr=True,  # milestone-parse test at a
+                         # readable base lr; silent-default contract
+                         # pinned in test_optim.py
                          milestone='10+20', gamma=0.1, step_size=40,
                          min_lr=1e-7, t_max=100, coef=0.5,
                          num_warmup_epoch=5, mode='min', factor=0.5,
