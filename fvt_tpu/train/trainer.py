@@ -96,6 +96,19 @@ class Trainer:
         self.optimizer = optim.build_optimizer(hp)
         self.scheduler = optim.build_scheduler(
             hp, args.num_epochs, args.min_num_epochs)
+        if (not getattr(hp, 'honor_lr', False)
+                and hp.name_lr_scheduler != constants.MYWARMUP
+                and abs(hp.lr - optim.TORCH_DEFAULT_LR) > 1e-12):
+            # surface the reproduced reference quirk loudly: a user who
+            # set --opt__lr deserves to know it is ignored by default
+            # (DESIGN.md §15; the reference logs the configured value
+            # while training at torch's default)
+            log(fmsg(
+                f"NOTE: opt__lr={hp.lr} is IGNORED — reproducing the "
+                f"reference's optimizer wiring (instantiators.py:74-92 "
+                f"never passes lr; effective lr = "
+                f"{optim.TORCH_DEFAULT_LR}). Pass --opt__honor_lr true "
+                f"to actually train at opt__lr."))
 
         self.mesh = None
         if getattr(args, 'data_parallel', False) and len(jax.devices()) > 1:
