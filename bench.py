@@ -498,9 +498,13 @@ def main():
                       file=sys.stderr, flush=True)
                 time.sleep(retry_delay)
         if probe_failed:
+            # window estimate includes the per-attempt probe runtime,
+            # not just the sleeps — this string is the round's
+            # permanent null-measurement record
+            window_s = attempts * sub_to + (attempts - 1) * retry_delay
             print(json.dumps(_null_payload(
-                f'TPU liveness pre-probe failed {attempts}x over '
-                f'~{(attempts - 1) * retry_delay / 60:.0f} min — tunnel '
+                f'TPU liveness pre-probe failed {attempts}x over up to '
+                f'~{window_s / 60:.0f} min — tunnel '
                 f'wedged, no live measurement possible ({reason})'),
             ), flush=True)
             os._exit(2)

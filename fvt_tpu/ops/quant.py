@@ -156,7 +156,6 @@ def calibrate_act_scales(model, params, batch_stats, sample_batch):
     two cannot drift apart.  Returns the host-side ``act_scales``
     variable collection; raises if the model recorded none (backbone
     not running with conv_impl='int8')."""
-    import jax.numpy as jnp  # noqa: F401
     from fvt_tpu.train.steps import _device_transform
 
     inputs = {k: jnp.asarray(v) for k, v in sample_batch.items()

@@ -97,8 +97,11 @@ class Trainer:
         self.scheduler = optim.build_scheduler(
             hp, args.num_epochs, args.min_num_epochs)
         if (not getattr(hp, 'honor_lr', False)
-                and hp.name_lr_scheduler != constants.MYWARMUP
+                and not isinstance(self.scheduler, optim.MyWarmupSchedule)
                 and abs(hp.lr - optim.TORCH_DEFAULT_LR) > 1e-12):
+            # keyed on the BUILT scheduler, not the configured name:
+            # --opt__lr_scheduler false with name=MYWARMUP builds no
+            # scheduler, and opt__lr is then ignored like anywhere else
             # surface the reproduced reference quirk loudly: a user who
             # set --opt__lr deserves to know it is ignored by default
             # (DESIGN.md §15; the reference logs the configured value

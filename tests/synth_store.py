@@ -40,14 +40,27 @@ def _observed_label(rng, label, ncls, label_noise):
     return label
 
 
-def _class_center(rng, centers, label, ncls, ambiguity):
-    """With prob ``ambiguity`` the video's features come from the
-    MIDPOINT of the true class and a random other class — genuinely
-    uncertain videos whose predictions depend on the learned boundary,
-    giving the metric model-sensitive dynamic range."""
+def _video_hardness(rng, label, ncls, ambiguity, label_noise):
+    """ONE per-video draw of (ambiguous_partner, observed_label).
+
+    Ambiguity is a property of the VIDEO: when it fires, the SAME
+    partner class blends into every modality's features (independent
+    per-modality draws would leave ~a third of 'ambiguous' videos with
+    one clean modality the fusion model can fall back on, making the
+    store materially easier than the knob states)."""
+    partner = None
     if ambiguity > 0 and rng.random() < ambiguity:
-        other = int((label + 1 + rng.integers(0, ncls - 1)) % ncls)
-        return 0.5 * (centers[label] + centers[other])
+        partner = int((label + 1 + rng.integers(0, ncls - 1)) % ncls)
+    obs = _observed_label(rng, label, ncls, label_noise)
+    return partner, obs
+
+
+def _class_center(centers, label, partner):
+    """Feature center for one modality: the class center, or the
+    midpoint with the video's ambiguity partner — genuinely uncertain
+    videos whose predictions depend on the learned boundary."""
+    if partner is not None:
+        return 0.5 * (centers[label] + centers[partner])
     return centers[label]
 
 
@@ -85,9 +98,10 @@ def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
             tdir = join(feat_dir, trial)
             os.makedirs(tdir, exist_ok=True)
 
-            cen_v = _class_center(rng, centers_v, label, ncls, ambiguity)
-            cen_b = _class_center(rng, centers_b, label, ncls, ambiguity)
-            obs = _observed_label(rng, label, ncls, label_noise)
+            partner, obs = _video_hardness(rng, label, ncls, ambiguity,
+                                           label_noise)
+            cen_v = _class_center(centers_v, label, partner)
+            cen_b = _class_center(centers_b, label, partner)
             np.save(join(tdir, 'video.npy'),
                     rng.integers(0, 255, size=(length, video_hw, video_hw,
                                                3)).astype(np.uint8))
@@ -129,7 +143,11 @@ def make_cexpr_store(root: str, ds: str = constants.C_EXPR_DB,
     # are the split-membership authority; the arranger pools every
     # partition's dataset_info and filters by them (data/arranger.py:
     # 65-87), so a val-partition trial can serve in split-1's train set
-    if n_folds > 1 and ds == constants.C_EXPR_DB:
+    if n_folds > 1:
+        assert ds == constants.C_EXPR_DB, (
+            f'n_folds>1 is only defined for the C-EXPR-DB CV layout; '
+            f'got ds={ds!r} — a silently-missing split-1..k would fail '
+            f'far from here at --fold_to_run time')
         all_lines = []
         for split in counts:
             with open(join(folds_dir, f'{split}.txt')) as f:
@@ -185,11 +203,10 @@ def make_meld_store(root: str, n_train=12, n_val=6, n_test=6,
             tdir = join(feat_dir, trial)
             os.makedirs(tdir, exist_ok=True)
 
-            cen_v = _class_center(rng, class_centers_v, label, ncls,
-                                  ambiguity)
-            cen_b = _class_center(rng, class_centers_b, label, ncls,
-                                  ambiguity)
-            obs = _observed_label(rng, label, ncls, label_noise)
+            partner, obs = _video_hardness(rng, label, ncls, ambiguity,
+                                           label_noise)
+            cen_v = _class_center(class_centers_v, label, partner)
+            cen_b = _class_center(class_centers_b, label, partner)
             vggish = (cen_v
                       + rng.normal(size=(length, 128))).astype(np.float32)
             bert = (cen_b

@@ -25,6 +25,15 @@ def _run_bench(tmp_path, probe_body, attempts=2, extra_env=None):
                FVT_BENCH_PROBE_ATTEMPTS=str(attempts),
                FVT_BENCH_PROBE_RETRY_DELAY_S='0.05',
                FVT_BENCH_WATCHDOG_S='600')
+    # pin the subprocess to CPU: a bench that proceeds past the probe
+    # must NOT touch the live TPU tunnel from inside a pytest run (the
+    # repo's notes forbid mixing suite runs with tunnel traffic) — on
+    # this image that requires stripping the axon plugin dir, not just
+    # JAX_PLATFORMS (conftest-level gotcha)
+    env['PYTHONPATH'] = ':'.join(
+        [REPO] + [p for p in env.get('PYTHONPATH', '').split(':')
+                  if p and 'axon_site' not in p])
+    env['JAX_PLATFORMS'] = 'cpu'
     env.update(extra_env or {})
     return subprocess.run([sys.executable, os.path.join(REPO, 'bench.py')],
                           capture_output=True, text=True, env=env,
@@ -67,6 +76,9 @@ def test_probe_retry_recovers_after_transient_failure(tmp_path):
                    # watchdog arm
                    extra_env={'FVT_BENCH_WATCHDOG_S': '8'})
     lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith('{')]
+    assert lines, ('bench emitted no JSON line — it crashed before the '
+                   'watchdog could report: ' + r.stdout[-1500:]
+                   + r.stderr[-1000:])
     out = json.loads(lines[-1])
     # probe passed on retry -> the error (if any) is the watchdog, not
     # the probe

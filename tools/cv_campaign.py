@@ -29,13 +29,7 @@ sys.path.insert(0, join(REPO, 'tests'))
 sys.path.insert(0, join(REPO, 'tools'))
 
 
-def _cpu_env():
-    env = dict(os.environ)
-    pp = [p for p in env.get('PYTHONPATH', '').split(':')
-          if p and 'axon_site' not in p]
-    env['PYTHONPATH'] = ':'.join([REPO] + pp)
-    env['JAX_PLATFORMS'] = 'cpu'
-    return env
+from toolenv import cpu_env as _cpu_env  # noqa: E402
 
 
 def main(workdir='/tmp/fvt_cv', folds=2, seeds=(0, 1), epochs=6,

@@ -50,17 +50,9 @@ def step(name):
     PASS.append(name)
 
 
-def _cpu_env():
-    """Subprocess env pinned to the CPU backend: the acceptance drive
-    must not depend on (or wedge against) TPU hardware.  On hosts where
-    a TPU PJRT plugin rides PYTHONPATH, JAX_PLATFORMS=cpu is IGNORED —
-    exclude such site dirs instead (repo CLAUDE.md gotcha)."""
-    env = dict(os.environ)
-    pp = [p for p in env.get('PYTHONPATH', '').split(':')
-          if p and 'axon_site' not in p]
-    env['PYTHONPATH'] = ':'.join([REPO] + pp)
-    env['JAX_PLATFORMS'] = 'cpu'
-    return env
+from toolenv import cpu_env as _cpu_env  # noqa: E402  (shared recipe:
+# the acceptance drive must not depend on, or wedge against, TPU
+# hardware)
 
 
 def run_cli(cmd, **kw):
