@@ -99,6 +99,53 @@ def _one_twin(workdir, data, ds, seed, epochs, lr, batch):
     return TT._test_wf1(ref_exp), TT._test_wf1(fvt_outd)
 
 
+def _summarize(per_seed, legs):
+    """Per-cell across-seed statistics.  ``delta_vs_seed_noise``
+    contextualizes the cross-stack gap: mean |ref-fvt| divided by the
+    noise scale sqrt(ref_std^2 + fvt_std^2) of the two stacks' own
+    seed-to-seed spreads — a ratio ~<=1 means the stacks are
+    indistinguishable at the seed-noise level of this store/metric, so
+    a delta near the absolute tolerance is eval noise, not a
+    systematic gap (the systematic-gap instruments are the lockstep
+    and live-replay legs)."""
+    summary = {}
+    for ds, cells in legs.items():
+        rows = per_seed[ds]
+        summary[ds] = {}
+        for c in cells:
+            refs = [r['reference'][c]['W_F1'] for r in rows]
+            fvts = [r['fvt_tpu'][c]['W_F1'] for r in rows]
+            ds_ = [r['deltas_W_F1'][c] for r in rows]
+            noise = float(np.sqrt(np.std(refs) ** 2 + np.std(fvts) ** 2))
+            summary[ds][c] = {
+                'ref_mean': float(np.mean(refs)),
+                'ref_std': float(np.std(refs)),
+                'ref_per_seed': refs,
+                'fvt_mean': float(np.mean(fvts)),
+                'fvt_std': float(np.std(fvts)),
+                'fvt_per_seed': fvts,
+                'delta_mean': float(np.mean(ds_)),
+                'delta_max': float(np.max(ds_)),
+                'seed_noise_scale': noise,
+                'delta_vs_seed_noise': (float(np.mean(ds_) / noise)
+                                        if noise > 0 else None),
+            }
+    return summary
+
+
+def resummarize(json_path: str) -> dict:
+    """Recompute summary/checks of an existing verdict from its saved
+    per-seed rows (no retraining) — for adding derived statistics."""
+    import json as _json
+    with open(json_path) as f:
+        d = _json.load(f)
+    legs = {'MELD': MELD_CELLS, 'C-EXPR-DB': CEXPR_CELLS}
+    d['summary'] = _summarize(d['per_seed'], legs)
+    with open(json_path, 'w') as f:
+        _json.dump(d, f, indent=2)
+    return d
+
+
 def main(workdir='/tmp/fvt_twin_acc', seeds=(0, 1, 2), epochs=8,
          lr=0.01, batch=4, wf1_tol=0.10, mean_tol=0.06,
          saturation_cap=0.98, floor=0.15, out_json=None) -> dict:
@@ -136,24 +183,7 @@ def main(workdir='/tmp/fvt_twin_acc', seeds=(0, 1, 2), epochs=8,
                                 for c in cells},
             })
 
-    summary = {}
-    for ds, cells in legs.items():
-        rows = per_seed[ds]
-        summary[ds] = {}
-        for c in cells:
-            refs = [r['reference'][c]['W_F1'] for r in rows]
-            fvts = [r['fvt_tpu'][c]['W_F1'] for r in rows]
-            ds_ = [r['deltas_W_F1'][c] for r in rows]
-            summary[ds][c] = {
-                'ref_mean': float(np.mean(refs)),
-                'ref_std': float(np.std(refs)),
-                'ref_per_seed': refs,
-                'fvt_mean': float(np.mean(fvts)),
-                'fvt_std': float(np.std(fvts)),
-                'fvt_per_seed': fvts,
-                'delta_mean': float(np.mean(ds_)),
-                'delta_max': float(np.max(ds_)),
-            }
+    summary = _summarize(per_seed, legs)
 
     all_ref = [r['reference'][c]['W_F1']
                for ds, cells in legs.items() for r in per_seed[ds]
@@ -212,7 +242,15 @@ if __name__ == '__main__':
     p.add_argument('--lr', type=float, default=0.01)
     p.add_argument('--batch', type=int, default=4)
     p.add_argument('--out', default=None)
+    p.add_argument('--resummarize', default=None, metavar='JSON',
+                   help='recompute the summary (incl. derived stats) '
+                        'of an EXISTING verdict json from its per-seed '
+                        'rows, no retraining')
     a = p.parse_args()
+    if a.resummarize:
+        d = resummarize(a.resummarize)
+        print(json.dumps(d['summary'], indent=2))
+        sys.exit(0 if d['ok'] else 1)
     res = main(a.workdir, tuple(int(s) for s in a.seeds.split(',')),
                a.epochs, a.lr, a.batch, out_json=a.out)
     sys.exit(0 if res['ok'] else 1)
